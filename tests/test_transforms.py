@@ -1,0 +1,190 @@
+"""Transform wrapper tests: the Py* public classes over Surfaces.
+
+Ports the shape of reference tests/test_PySurfaceConverter.py,
+test_PySurfaceResizer.py, test_PySurfaceRotator.py, test_PySurfaceUD.py:
+Run/RunAsync semantics, cc-ctx error paths, uploader/downloader round trips.
+"""
+
+import numpy as np
+import pytest
+
+import vali_tpu as vali
+from vali_tpu.core.formats import format_info
+
+F = vali.PixelFormat
+W, H = 64, 48
+RNG = np.random.default_rng(7)
+
+
+def make_filled(fmt, w=W, h=H):
+    info = format_info(fmt)
+    surf = vali.Surface.Make(fmt, w, h)
+    arrays = []
+    for (ph, pw) in info.plane_dims(w, h):
+        if info.dtype == np.uint8:
+            arrays.append(RNG.integers(0, 256, (ph, pw), dtype=np.uint8))
+        elif info.dtype == np.uint16:
+            arrays.append(RNG.integers(0, 65536, (ph, pw), dtype=np.uint16))
+        else:
+            arrays.append(RNG.random((ph, pw), dtype=np.float32))
+    up = vali.PyFrameUploader(gpu_id=0)
+    from vali_tpu.memory.host import planes_to_host_frame
+
+    ok, _ = up.Run(planes_to_host_frame(arrays), surf)
+    assert ok
+    return surf, arrays
+
+
+def test_converter_run_and_async():
+    surf, _ = make_filled(F.NV12)
+    dst = vali.Surface.Make(F.RGB, W, H)
+    cvt = vali.PySurfaceConverter(gpu_id=0)
+    ok, info = cvt.Run(surf, dst)
+    assert ok and info == vali.TaskExecInfo.SUCCESS
+    ok, info = cvt.RunAsync(surf, dst)
+    assert ok
+    ev = vali.CudaStreamEvent(cvt.Stream, 0)
+    ev.Record()
+    ev.Wait()
+
+
+def test_converter_unsupported_params():
+    surf, _ = make_filled(F.NV12)
+    dst = vali.Surface.Make(F.RGB, W, H)
+    cvt = vali.PySurfaceConverter(gpu_id=0)
+    cc = vali.ColorspaceConversionContext(vali.ColorSpace.BT_601,
+                                          vali.ColorRange.MPEG)
+    ok, info = cvt.Run(surf, dst, cc)
+    assert not ok
+    assert info == vali.TaskExecInfo.UNSUPPORTED_FMT_CONV_PARAMS
+
+
+def test_converter_size_mismatch():
+    surf, _ = make_filled(F.NV12)
+    dst = vali.Surface.Make(F.RGB, W // 2, H // 2)
+    cvt = vali.PySurfaceConverter(gpu_id=0)
+    ok, info = cvt.Run(surf, dst)
+    assert not ok
+    assert info == vali.TaskExecInfo.INVALID_INPUT
+
+
+def test_converter_unsupported_pair_raises():
+    surf, _ = make_filled(F.YUV444)
+    dst = vali.Surface.Make(F.NV12, W, H)
+    cvt = vali.PySurfaceConverter(gpu_id=0)
+    with pytest.raises(ValueError):
+        cvt.Run(surf, dst)
+
+
+def test_converter_conversions_list():
+    assert len(vali.PySurfaceConverter.Conversions()) == 23
+
+
+def test_resizer():
+    surf, _ = make_filled(F.RGB)
+    dst = vali.Surface.Make(F.RGB, W // 2, H // 2)
+    rsz = vali.PySurfaceResizer(F.RGB, gpu_id=0)
+    ok, info = rsz.Run(surf, dst)
+    assert ok and info == vali.TaskExecInfo.SUCCESS
+    assert dst.to_numpy().shape == (H // 2, W // 2, 3)
+
+
+def test_resizer_format_mismatch():
+    surf, _ = make_filled(F.NV12)
+    dst = vali.Surface.Make(F.NV12, W // 2, H // 2)
+    rsz = vali.PySurfaceResizer(F.RGB, gpu_id=0)
+    ok, info = rsz.Run(surf, dst)
+    assert not ok and info == vali.TaskExecInfo.SRC_DST_FMT_MISMATCH
+
+
+def test_resizer_unsupported_format_ctor():
+    with pytest.raises(RuntimeError):
+        vali.PySurfaceResizer(F.Y, gpu_id=0)
+
+
+def test_rotator_90():
+    surf, arrays = make_filled(F.Y)
+    dst = vali.Surface.Make(F.Y, H, W)
+    rot = vali.PySurfaceRotator(gpu_id=0)
+    ok, info = rot.Run(surf, dst, 90.0)
+    assert ok
+    assert np.array_equal(dst.to_numpy(), np.rot90(arrays[0], k=1))
+    assert F.NV12 not in rot.SupportedFormats
+
+
+def test_rotator_fmt_mismatch():
+    surf, _ = make_filled(F.Y)
+    dst = vali.Surface.Make(F.RGB, H, W)
+    rot = vali.PySurfaceRotator(gpu_id=0)
+    ok, info = rot.Run(surf, dst, 90.0)
+    assert not ok and info == vali.TaskExecInfo.SRC_DST_FMT_MISMATCH
+
+
+def test_ud():
+    surf, _ = make_filled(F.NV12)
+    dst = vali.Surface.Make(F.RGB, W // 2, H // 2)
+    ud_op = vali.PySurfaceUD(gpu_id=0)
+    ok, info = ud_op.Run(surf, dst)
+    assert ok
+    assert len(vali.PySurfaceUD.SupportedFormats()) == 10
+
+
+def test_ud_unsupported():
+    surf, _ = make_filled(F.RGB)
+    dst = vali.Surface.Make(F.YUV444, W, H)
+    ud_op = vali.PySurfaceUD(gpu_id=0)
+    ok, info = ud_op.Run(surf, dst)
+    assert not ok and info == vali.TaskExecInfo.NOT_SUPPORTED
+
+
+def test_upload_download_roundtrip():
+    info = format_info(F.NV12)
+    frame = RNG.integers(0, 256, info.host_size(W, H), dtype=np.uint8)
+    surf = vali.Surface.Make(F.NV12, W, H)
+    up = vali.PyFrameUploader(gpu_id=0)
+    ok, _ = up.Run(frame, surf)
+    assert ok
+    down = vali.PySurfaceDownloader(gpu_id=0)
+    out = np.zeros(info.host_size(W, H), dtype=np.uint8)
+    ok, _ = down.Run(surf, out)
+    assert ok
+    assert np.array_equal(out, frame)
+
+
+def test_download_auto_resize():
+    surf, arrays = make_filled(F.Y)
+    down = vali.PySurfaceDownloader(gpu_id=0)
+    out = np.zeros(1, dtype=np.uint8)  # wrong size -> auto-resized
+    ok, _ = down.Run(surf, out)
+    assert ok
+    assert out.size == W * H
+    assert np.array_equal(out.reshape(H, W), arrays[0])
+
+
+def test_upload_wrong_size():
+    surf = vali.Surface.Make(F.NV12, W, H)
+    up = vali.PyFrameUploader(gpu_id=0)
+    ok, info = up.Run(np.zeros(10, dtype=np.uint8), surf)
+    assert not ok and info == vali.TaskExecInfo.INVALID_INPUT
+
+
+def test_converter_nv12_rgb_pipeline_psnr():
+    """decode-free version of the reference's nv12->rgb golden check:
+    gray ramp NV12 -> RGB should reproduce the luma ramp in all channels."""
+    info = format_info(F.NV12)
+    y = np.tile(np.linspace(16, 235, W).astype(np.uint8), (H, 1))
+    uv = np.full((H // 2, W), 128, dtype=np.uint8)
+    frame = np.concatenate([y.reshape(-1), uv.reshape(-1)])
+    surf = vali.Surface.Make(F.NV12, W, H)
+    up = vali.PyFrameUploader(gpu_id=0)
+    assert up.Run(frame, surf)[0]
+    dst = vali.Surface.Make(F.RGB, W, H)
+    cvt = vali.PySurfaceConverter(gpu_id=0)
+    cc = vali.ColorspaceConversionContext(vali.ColorSpace.BT_709,
+                                          vali.ColorRange.MPEG)
+    assert cvt.Run(surf, dst, cc)[0]
+    rgb = dst.to_numpy().astype(np.float64)
+    # neutral chroma -> R=G=B = 1.164*(Y-16)
+    want = np.clip(1.164 * (y.astype(np.float64) - 16), 0, 255)
+    for c in range(3):
+        assert np.abs(rgb[..., c] - want).max() <= 1.0

@@ -1,0 +1,253 @@
+"""Surface transform wrappers: converter, resizer, rotator, UD, up/download.
+
+These are the Py* classes of the public API (parity:
+src/python_vali/src/PySurfaceConverter.cpp, PySurfaceResizer.cpp,
+PySurfaceRotator.cpp, PySurfaceUD.cpp, PyFrameUploader.cpp,
+PySurfaceDownloader.cpp). Each wraps the batched functional ops in
+``vali_tpu.ops`` with N=1, jit-compiled per static (shape, format, params)
+signature. ``Run`` blocks until the result is on device (the reference's
+event record+wait); ``RunAsync`` returns immediately — JAX dispatch is
+already asynchronous, the stream ledger tracks completion.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from .core.details import ColorspaceConversionContext, TaskExecDetails
+from .core.enums import ColorRange, ColorSpace, PixelFormat, TaskExecInfo
+from .memory.host import host_frame_to_planes, planes_to_host_frame
+from .memory.surface import Surface
+from .ops import csc, resize, rotate, ud
+from .utils.device import get_device, get_stream
+from .utils.tracing import op_scope
+
+_OK = (True, TaskExecInfo.SUCCESS)
+
+
+def _fail(info: TaskExecInfo) -> Tuple[bool, TaskExecInfo]:
+    return (False, info)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("src_fmt", "dst_fmt", "w", "h", "cc"))
+def _jit_convert(planes, *, src_fmt, dst_fmt, w, h, cc):
+    cc_ctx = (ColorspaceConversionContext(cc[0], cc[1])
+              if cc is not None else None)
+    return csc.convert_batch(planes, src_fmt, dst_fmt, w, h, cc_ctx)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "fmt", "sw", "sh", "dw", "dh", "method"))
+def _jit_resize(planes, *, fmt, sw, sh, dw, dh, method):
+    return resize.resize_batch(planes, fmt, sw, sh, dw, dh, method)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "fmt", "sw", "sh", "dw", "dh", "angle", "shift_x", "shift_y"))
+def _jit_rotate(planes, *, fmt, sw, sh, dw, dh, angle, shift_x, shift_y):
+    return rotate.rotate_batch(planes, fmt, sw, sh, dw, dh,
+                               angle, shift_x, shift_y)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "src_fmt", "dst_fmt", "sw", "sh", "dw", "dh"))
+def _jit_ud(planes, *, src_fmt, dst_fmt, sw, sh, dw, dh):
+    return ud.ud_batch(planes, src_fmt, dst_fmt, sw, sh, dw, dh)
+
+
+class _SurfaceOp:
+    """Shared plumbing: device/stream selection and sync semantics."""
+
+    def __init__(self, gpu_id: int = 0, stream: Optional[int] = None):
+        self._gpu_id = gpu_id
+        self._device = get_device(gpu_id)
+        self._stream = get_stream(stream)
+
+    @property
+    def Stream(self) -> int:
+        return self._stream.handle
+
+    def _finish(self, dst: Surface, arrays, sync: bool):
+        batched = [a for a in arrays]
+        dst._replace_arrays([a[0] for a in batched])
+        self._stream.record_arrays(dst.plane_arrays())
+        if sync:
+            dst.block_until_ready()
+        return _OK
+
+
+class PySurfaceConverter(_SurfaceOp):
+    """Pixel format / color space converter (23 conversion pairs)."""
+
+    @staticmethod
+    def Conversions():
+        return csc.supported_conversions()
+
+    def _run(self, src: Surface, dst: Surface, cc_ctx, sync: bool):
+        if src.Width != dst.Width or src.Height != dst.Height:
+            return _fail(TaskExecInfo.INVALID_INPUT)
+        cc = None
+        if cc_ctx is not None:
+            cc = (ColorSpace(cc_ctx.color_space),
+                  ColorRange(cc_ctx.color_range))
+        planes = tuple(p[None] for p in src.plane_arrays())
+        try:
+            with op_scope("ConvertSurface"):
+                out = _jit_convert(planes, src_fmt=src.Format,
+                                   dst_fmt=dst.Format, w=src.Width,
+                                   h=src.Height, cc=cc)
+        except csc.UnsupportedConversionParams:
+            return _fail(TaskExecInfo.UNSUPPORTED_FMT_CONV_PARAMS)
+        except KeyError:
+            # parity: unsupported pair throws (TaskConvertSurface.cpp:1080)
+            raise ValueError(
+                f"Unsupported pixel format conversion: {src.Format.name} "
+                f"-> {dst.Format.name}")
+        return self._finish(dst, out, sync)
+
+    def Run(self, src, dst, cc_ctx=None):
+        return self._run(src, dst, cc_ctx, sync=True)
+
+    def RunAsync(self, src, dst, cc_ctx=None):
+        return self._run(src, dst, cc_ctx, sync=False)
+
+
+class PySurfaceResizer(_SurfaceOp):
+    """Lanczos resizer (parity: NPPI_INTER_LANCZOS, TaskResizeSurface.cpp)."""
+
+    def __init__(self, format: PixelFormat, gpu_id: int = 0,
+                 stream: Optional[int] = None, method: str = resize.LANCZOS):
+        super().__init__(gpu_id, stream)
+        format = PixelFormat(format)
+        if format not in resize.SUPPORTED_FORMATS:
+            raise RuntimeError(f"pixel format not supported: {format.name}")
+        self._format = format
+        self._method = method
+
+    @property
+    def Format(self) -> PixelFormat:
+        return self._format
+
+    def _run(self, src: Surface, dst: Surface, sync: bool):
+        if src.Format != self._format or dst.Format != self._format:
+            return _fail(TaskExecInfo.SRC_DST_FMT_MISMATCH)
+        if src.IsEmpty or dst.IsEmpty:
+            return _fail(TaskExecInfo.INVALID_INPUT)
+        planes = tuple(p[None] for p in src.plane_arrays())
+        with op_scope("ResizeSurface"):
+            out = _jit_resize(planes, fmt=self._format, sw=src.Width,
+                              sh=src.Height, dw=dst.Width, dh=dst.Height,
+                              method=self._method)
+        return self._finish(dst, out, sync)
+
+    def Run(self, src, dst):
+        return self._run(src, dst, sync=True)
+
+    def RunAsync(self, src, dst):
+        return self._run(src, dst, sync=False)
+
+
+class PySurfaceRotator(_SurfaceOp):
+    """Arbitrary-angle rotator (parity: nppiRotate, NPPI_INTER_LINEAR)."""
+
+    @property
+    def SupportedFormats(self):
+        return list(rotate.SUPPORTED_FORMATS)
+
+    def _run(self, src: Surface, dst: Surface, angle, shift_x, shift_y,
+             sync: bool):
+        if src.Format != dst.Format:
+            return _fail(TaskExecInfo.SRC_DST_FMT_MISMATCH)
+        if src.Format not in rotate.SUPPORTED_FORMATS:
+            return _fail(TaskExecInfo.NOT_SUPPORTED)
+        planes = tuple(p[None] for p in src.plane_arrays())
+        with op_scope("RotateSurface"):
+            out = _jit_rotate(planes, fmt=src.Format, sw=src.Width,
+                              sh=src.Height, dw=dst.Width, dh=dst.Height,
+                              angle=float(angle), shift_x=float(shift_x),
+                              shift_y=float(shift_y))
+        return self._finish(dst, out, sync)
+
+    def Run(self, src, dst, angle, shift_x=0.0, shift_y=0.0):
+        return self._run(src, dst, angle, shift_x, shift_y, sync=True)
+
+    def RunAsync(self, src, dst, angle, shift_x=0.0, shift_y=0.0):
+        return self._run(src, dst, angle, shift_x, shift_y, sync=False)
+
+
+class PySurfaceUD(_SurfaceOp):
+    """Fused upsample-downscale-convert (parity: UDSurface)."""
+
+    @staticmethod
+    def SupportedFormats():
+        return list(ud.SUPPORTED_CONVERSIONS)
+
+    def _run(self, src: Surface, dst: Surface, sync: bool):
+        if (src.Format, dst.Format) not in ud.SUPPORTED_CONVERSIONS:
+            return _fail(TaskExecInfo.NOT_SUPPORTED)
+        planes = tuple(p[None] for p in src.plane_arrays())
+        with op_scope("UDSurface"):
+            out = _jit_ud(planes, src_fmt=src.Format, dst_fmt=dst.Format,
+                          sw=src.Width, sh=src.Height,
+                          dw=dst.Width, dh=dst.Height)
+        return self._finish(dst, out, sync)
+
+    def Run(self, src, dst):
+        return self._run(src, dst, sync=True)
+
+    def RunAsync(self, src, dst):
+        return self._run(src, dst, sync=False)
+
+
+class PyFrameUploader:
+    """Host frame -> device Surface (parity: CudaUploadFrame)."""
+
+    def __init__(self, gpu_id: int = 0, stream: Optional[int] = None):
+        self._device = get_device(gpu_id)
+        self._stream = get_stream(stream)
+
+    def Run(self, src: np.ndarray, dst: Surface):
+        try:
+            flat = np.ascontiguousarray(src).reshape(-1).view(np.uint8)
+            if flat.nbytes != dst.HostSize:
+                return _fail(TaskExecInfo.INVALID_INPUT)
+            host_planes = host_frame_to_planes(
+                flat, dst.Format, dst.Width, dst.Height)
+            with op_scope("CudaUploadFrame"):
+                arrays = [jax.device_put(p, self._device)
+                          for p in host_planes]
+            dst._replace_arrays(arrays)
+            self._stream.record_arrays(arrays)
+            return _OK
+        except (ValueError, TypeError):
+            return _fail(TaskExecInfo.INVALID_INPUT)
+
+
+class PySurfaceDownloader:
+    """Device Surface -> host numpy (parity: CudaDownloadSurface).
+
+    Like the reference, the destination array is resized when its byte size
+    does not match (PySurfaceDownloader.cpp numpy auto-resize)."""
+
+    def __init__(self, gpu_id: int = 0, stream: Optional[int] = None):
+        self._device = get_device(gpu_id)
+        self._stream = get_stream(stream)
+
+    def Run(self, src: Surface, dst: np.ndarray):
+        if src.IsEmpty:
+            return _fail(TaskExecInfo.INVALID_INPUT)
+        with op_scope("CudaDownloadSurface"):
+            flat = planes_to_host_frame(src.plane_arrays())
+        if dst.nbytes != flat.nbytes:
+            try:
+                dst.resize((flat.nbytes // dst.dtype.itemsize,),
+                           refcheck=False)
+            except ValueError:
+                return _fail(TaskExecInfo.INVALID_INPUT)
+        dst.reshape(-1).view(np.uint8)[:] = flat
+        return _OK
