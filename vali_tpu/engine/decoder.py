@@ -1,0 +1,323 @@
+"""PyDecoder: FFmpeg demux+decode feeding host frames or TPU surfaces.
+
+API parity: reference src/python_vali/src/PyDecoder.cpp (701 lines of
+pybind11 bindings). Construction with ``gpu_id=-1`` gives the host path
+(``DecodeSingleFrame`` into numpy); ``gpu_id>=0`` gives the device path
+(``DecodeSingleSurface`` into a Surface whose planes live in TPU HBM).
+Decode itself always runs on host CPU — there is no video codec ASIC on
+TPU — with the GIL released inside the native engine, so N decoder
+instances scale across threads (the reference's multi-instance pattern).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..core.details import (
+    MotionVector,
+    PacketData,
+    SeekContext,
+    StreamParams,
+)
+from ..core.enums import (
+    ColorRange,
+    ColorSpace,
+    DecodeMode,
+    FfmpegLogLevel,
+    PixelFormat,
+    SeekMode,
+    TaskExecInfo,
+)
+from ..memory.host import host_frame_to_planes
+from ..memory.surface import Surface
+from ..utils.device import get_device, get_stream
+from ._loader import load_native
+
+
+def SetFFMpegLogLevel(level: FfmpegLogLevel) -> None:
+    """Parity: reference VALI.cpp:512-521."""
+    load_native().set_ffmpeg_log_level(int(level))
+
+
+class BufferedReader:
+    """Thin adapter marking an object as a custom-IO source.
+
+    Any object with ``.read(n)`` (and optionally ``.seek``) can be passed to
+    PyDecoder directly; this class exists for API discoverability.
+    """
+
+    def __init__(self, obj):
+        if not hasattr(obj, "read"):
+            raise TypeError("BufferedReader requires an object with .read")
+        self.obj = obj
+
+
+class PyDecoder:
+    """Video decoder (parity: reference PyDecoder)."""
+
+    def __init__(self, input, opts: Optional[dict] = None, gpu_id: int = 0,
+                 **kwargs):
+        if opts is None:
+            opts = {}
+        opts = {str(k): str(v) for k, v in opts.items()}
+        native = load_native()
+        self._gpu_id = gpu_id
+        self._device = get_device(gpu_id) if gpu_id >= 0 else None
+        self._stream = get_stream(None)
+        if isinstance(input, BufferedReader):
+            input = input.obj
+        if isinstance(input, (str, bytes)):
+            url = input if isinstance(input, str) else input.decode()
+            self._dec = native.Decoder(url, opts, None, False)
+        else:
+            if not hasattr(input, "read"):
+                raise TypeError(
+                    "input must be a URL string or an object with .read")
+            self._dec = native.Decoder(None, opts, input, False)
+        self._stage = np.zeros(0, dtype=np.uint8)
+
+    # --- decode ------------------------------------------------------------
+
+    def _do_decode(self, seek_ctx: Optional[SeekContext]):
+        if seek_ctx is not None:
+            by_number = seek_ctx.mode == SeekMode.BY_FRAME
+            return self._dec.seek(
+                seek_ctx.seek_frame, seek_ctx.seek_tssec, int(by_number))
+        return self._dec.decode()
+
+    def _fill_pkt_data(self, pkt_data: Optional[PacketData]):
+        if pkt_data is None:
+            return
+        d = self._dec.packet_data()
+        pkt_data.pts = d["pts"]
+        pkt_data.dts = d["dts"]
+        pkt_data.pos = d["pos"]
+        pkt_data.bsl = d["bsl"]
+        pkt_data.duration = d["duration"]
+        pkt_data.key = d["key"]
+
+    def DecodeSingleFrame(
+        self, frame: np.ndarray, pkt_data: Optional[PacketData] = None,
+        seek_ctx: Optional[SeekContext] = None,
+    ) -> Tuple[bool, TaskExecInfo]:
+        """Decode into a host numpy array (gpu_id == -1 path only,
+        parity: PyDecoder.cpp:77-95)."""
+        if isinstance(pkt_data, SeekContext) and seek_ctx is None:
+            pkt_data, seek_ctx = None, pkt_data
+        if self._gpu_id >= 0:
+            raise RuntimeError(
+                "Decoder has device surface output. Use DecodeSingleSurface "
+                "instead or construct with gpu_id=-1")
+        info_val, msg = self._do_decode(seek_ctx)
+        info = TaskExecInfo(info_val)
+        if info == TaskExecInfo.RES_CHANGE:
+            # No pixels delivered with the event; the caller re-allocates
+            # and the next call returns the stashed frame (parity:
+            # test_resolution_change_cpu semantics).
+            return (True, info)
+        if info != TaskExecInfo.SUCCESS:
+            return (False, info)
+        size = self.HostFrameSize
+        if frame.nbytes != size:
+            frame.resize((size // frame.dtype.itemsize,), refcheck=False)
+        written = self._dec.copy_frame(frame)
+        if written < 0:
+            return (False, TaskExecInfo.FAIL)
+        self._fill_pkt_data(pkt_data)
+        return (True, info)
+
+    def _decode_surface(self, surf: Surface, pkt_data, seek_ctx, sync):
+        if self._gpu_id < 0:
+            raise RuntimeError(
+                "Decoder has host frame output. Use DecodeSingleFrame "
+                "instead or construct with gpu_id >= 0")
+        if surf is None or surf.IsEmpty:
+            return (False, TaskExecInfo.INVALID_INPUT)
+        info_val, msg = self._do_decode(seek_ctx)
+        info = TaskExecInfo(info_val)
+        if info == TaskExecInfo.RES_CHANGE:
+            # Stash protocol: caller re-allocates, next call delivers
+            # (parity: TaskDecodeFrame.cpp:1043-1054).
+            return (True, info)
+        if info != TaskExecInfo.SUCCESS:
+            return (False, info)
+        if (surf.Width != self.Width or surf.Height != self.Height
+                or surf.Format != self.Format):
+            return (False, TaskExecInfo.SRC_DST_FMT_MISMATCH
+                    if surf.Format != self.Format
+                    else TaskExecInfo.SRC_DST_SIZE_MISMATCH)
+
+        size = self.HostFrameSize
+        if self._stage.nbytes != size:
+            self._stage = np.zeros(size, dtype=np.uint8)
+        written = self._dec.copy_frame(self._stage)
+        if written < 0:
+            return (False, TaskExecInfo.FAIL)
+        planes = host_frame_to_planes(
+            self._stage, self.Format, self.Width, self.Height)
+        import jax
+
+        arrays = [jax.device_put(p, self._device) for p in planes]
+        surf._replace_arrays(arrays)
+        self._stream.record_arrays(arrays)
+        if sync:
+            surf.block_until_ready()
+        self._fill_pkt_data(pkt_data)
+        return (True, info)
+
+    def DecodeSingleSurface(self, surf, pkt_data=None, seek_ctx=None):
+        if isinstance(pkt_data, SeekContext) and seek_ctx is None:
+            pkt_data, seek_ctx = None, pkt_data
+        return self._decode_surface(surf, pkt_data, seek_ctx, sync=True)
+
+    def DecodeSingleSurfaceAsync(self, surf, pkt_data=None, seek_ctx=None):
+        if isinstance(pkt_data, SeekContext) and seek_ctx is None:
+            pkt_data, seek_ctx = None, pkt_data
+        return self._decode_surface(surf, pkt_data, seek_ctx, sync=False)
+
+    # --- probe -------------------------------------------------------------
+
+    @staticmethod
+    def Probe(input: str) -> List[StreamParams]:
+        """Parity: reference PyDecoder.cpp:684-698."""
+        native = load_native()
+        dec = native.Decoder(input, {}, None, True)
+        out = []
+        props = dec.props()
+        for i in range(props["num_streams"]):
+            p = dec.stream_params(i)
+            if p is None:
+                continue
+            out.append(StreamParams(
+                width=p["width"], height=p["height"], fourcc=p["fourcc"],
+                codec_id=p["codec_id"], fps=p["fps"], avg_fps=p["avg_fps"],
+                time_base=p["time_base"], start_time=p["start_time"],
+                start_time_sec=p["start_time_sec"],
+                duration_sec=p["duration_sec"], bit_rate=p["bit_rate"],
+                num_frames=p["num_frames"], profile=p["profile"],
+                level=p["level"],
+                color_space=ColorSpace(p["color_space"]),
+                color_range=ColorRange(p["color_range"])))
+        return out
+
+    # --- properties --------------------------------------------------------
+
+    def _props(self):
+        return self._dec.props()
+
+    @property
+    def Width(self) -> int:
+        return self._props()["width"]
+
+    @property
+    def Height(self) -> int:
+        return self._props()["height"]
+
+    @property
+    def Level(self) -> int:
+        return self._props()["level"]
+
+    @property
+    def Profile(self) -> int:
+        return self._props()["profile"]
+
+    @property
+    def Delay(self) -> int:
+        return self._props()["delay"]
+
+    @property
+    def GopSize(self) -> int:
+        return self._props()["gop_size"]
+
+    @property
+    def Bitrate(self) -> int:
+        return self._props()["bitrate"]
+
+    @property
+    def NumFrames(self) -> int:
+        return self._props()["num_frames"]
+
+    @property
+    def NumStreams(self) -> int:
+        return self._props()["num_streams"]
+
+    @property
+    def StreamIndex(self) -> int:
+        return self._props()["stream_index"]
+
+    @property
+    def HostFrameSize(self) -> int:
+        return self._props()["host_frame_size"]
+
+    @property
+    def Framerate(self) -> float:
+        return self._props()["framerate"]
+
+    @property
+    def AvgFramerate(self) -> float:
+        return self._props()["avg_framerate"]
+
+    @property
+    def Timebase(self) -> float:
+        return self._props()["timebase"]
+
+    @property
+    def StartTime(self) -> float:
+        return self._props()["start_time"]
+
+    @property
+    def Duration(self) -> float:
+        return self._props()["duration"]
+
+    @property
+    def ColorSpace(self) -> ColorSpace:
+        return ColorSpace(self._props()["color_space"])
+
+    @property
+    def ColorRange(self) -> ColorRange:
+        return ColorRange(self._props()["color_range"])
+
+    @property
+    def Format(self) -> PixelFormat:
+        return PixelFormat(self._props()["format"])
+
+    @property
+    def IsVFR(self) -> bool:
+        return self._props()["is_vfr"]
+
+    @property
+    def IsAccelerated(self) -> bool:
+        """Always False: decode runs on host CPU; device work is the
+        transform pipeline (see SURVEY.md architecture mapping)."""
+        return False
+
+    @property
+    def Stream(self) -> int:
+        return self._stream.handle
+
+    @property
+    def Mode(self) -> DecodeMode:
+        return DecodeMode(self._props()["mode"])
+
+    def SetMode(self, mode: DecodeMode) -> None:
+        self._dec.set_mode(int(mode))
+
+    @property
+    def Metadata(self) -> dict:
+        return self._dec.metadata()
+
+    @property
+    def MotionVectors(self) -> List[MotionVector]:
+        out = []
+        for t in self._dec.motion_vectors():
+            out.append(MotionVector(
+                source=t[0], w=t[1], h=t[2], src_x=t[3], src_y=t[4],
+                dst_x=t[5], dst_y=t[6], motion_x=t[7], motion_y=t[8],
+                motion_scale=t[9]))
+        return out
+
+    @property
+    def DisplayRotation(self) -> float:
+        return self._dec.display_rotation()

@@ -16,16 +16,23 @@ filter-scaling for anti-aliased downscaling.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from ..core.enums import PixelFormat
 
+#: NPP-parity Lanczos-3: corner-aligned phase, no filter scaling — matches
+#: nppiResize NPPI_INTER_LANCZOS bit-closely (PSNR ~70 on the reference
+#: goldens).
 LANCZOS = "lanczos"
 BILINEAR = "bilinear"
 NEAREST = "nearest"
+#: Anti-aliased, pixel-center variants (PIL-style) — higher quality for
+#: large downscales; use in ML preprocessing pipelines.
+LANCZOS_AA = "lanczos_aa"
+BILINEAR_AA = "bilinear_aa"
 
 #: Formats PySurfaceResizer accepts (parity: TaskResizeSurface.cpp:293-309).
 SUPPORTED_FORMATS = (
@@ -53,15 +60,31 @@ def _bilinear(x: np.ndarray) -> np.ndarray:
 
 @functools.lru_cache(maxsize=256)
 def resize_weights(n_in: int, n_out: int, method: str = LANCZOS,
-                   antialias: bool = True,
-                   tex_coords: bool = False) -> np.ndarray:
+                   antialias: Optional[bool] = None,
+                   phase: Optional[str] = None) -> np.ndarray:
     """Dense [n_out, n_in] resampling matrix, rows normalized to 1.
 
-    ``tex_coords=True`` reproduces the reference UD kernel's CUDA texture
-    sampling convention (ResizeUtils.cu:36-37: sample at ``x/scale`` which
-    tex2D shifts by -0.5) instead of pixel-center mapping.
+    phase:
+      - "corner": src = i*scale — NPP nppiResize convention (validated
+        against the reference goldens: Lanczos-3 + corner + no antialias
+        reproduces NPPI_INTER_LANCZOS at PSNR ~70).
+      - "center": src = (i+0.5)*scale - 0.5 — PIL/OpenCV convention.
+      - "tex":    src = i*scale - 0.5 — the UD CUDA kernel's tex2D
+        convention (ResizeUtils.cu:36-37).
     """
-    if n_in == n_out and not tex_coords:
+    if method == LANCZOS_AA:
+        method = LANCZOS
+        antialias = True if antialias is None else antialias
+        phase = phase or "center"
+    elif method == BILINEAR_AA:
+        method = BILINEAR
+        antialias = True if antialias is None else antialias
+        phase = phase or "center"
+    if antialias is None:
+        antialias = False
+    phase = phase or "corner"
+
+    if n_in == n_out and phase != "tex":
         return np.eye(n_out, dtype=np.float32)
     scale = n_in / n_out
     if method == NEAREST:
@@ -76,8 +99,10 @@ def resize_weights(n_in: int, n_out: int, method: str = LANCZOS,
     else:
         raise ValueError(f"Unknown resize method {method!r}")
     fscale = max(1.0, scale) if antialias else 1.0
-    if tex_coords:
+    if phase == "tex":
         centers = np.arange(n_out) * scale - 0.5
+    elif phase == "corner":
+        centers = np.arange(n_out) * scale
     else:
         centers = (np.arange(n_out) + 0.5) * scale - 0.5  # src coords
     radius = support * fscale

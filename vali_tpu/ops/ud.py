@@ -52,9 +52,9 @@ def _tex_resize(plane: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Bilinear resample in float32 using the UD kernel's tex coords."""
     n, h, w = plane.shape
     wh = jnp.asarray(resize_weights(h, out_h, BILINEAR, antialias=False,
-                                    tex_coords=True))
+                                    phase="tex"))
     ww = jnp.asarray(resize_weights(w, out_w, BILINEAR, antialias=False,
-                                    tex_coords=True))
+                                    phase="tex"))
     img = plane.astype(jnp.float32)
     tmp = jnp.einsum("oh,nhw->now", wh, img,
                      preferred_element_type=jnp.float32)
