@@ -1,0 +1,160 @@
+"""Fused preprocess + multi-stream pipeline + multi-chip sharding tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+import vali_tpu as vali
+from vali_tpu.core.enums import ColorRange, ColorSpace, PixelFormat
+from vali_tpu.ops import fused
+from vali_tpu.ops.resize import BILINEAR_AA, LANCZOS_AA
+
+GT = "/root/reference/tests/data/test.mp4"
+RNG = np.random.default_rng(11)
+
+
+def psnr(a, b, peak=255.0):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    mse = ((a - b) ** 2).mean()
+    return float("inf") if mse == 0 else 10 * np.log10(peak**2 / mse)
+
+
+def test_fused_preprocess_matches_two_stage():
+    """The fused NV12->RGB->resize pass must match convert-then-resize
+    within resampling tolerance."""
+    import jax.numpy as jnp
+
+    from vali_tpu.ops import csc, resize
+
+    B, H, W = 2, 96, 128
+    DH, DW = 48, 64
+    # smooth content: chroma-siting convention differences stay small on
+    # smooth fields but explode on random noise
+    yy, xx = np.mgrid[0:H * 3 // 2, 0:W]
+    smooth = (128 + 80 * np.sin(yy / 17.0) * np.cos(xx / 23.0))
+    nv12 = np.broadcast_to(smooth, (B, H * 3 // 2, W)).astype(np.uint8)
+
+    out = fused.fused_preprocess(
+        (jnp.asarray(nv12),), PixelFormat.NV12, W, H, DW, DH,
+        ColorSpace.BT_709, ColorRange.MPEG, method=BILINEAR_AA)
+    got = np.asarray(out)
+
+    # two-stage reference: csc (nearest chroma upsample) then resize
+    rgb = csc.convert_batch((jnp.asarray(nv12),), PixelFormat.NV12,
+                            PixelFormat.RGB, W, H,
+                            vali.ColorspaceConversionContext(
+                                ColorSpace.BT_709, ColorRange.MPEG))
+    small = resize.resize_batch(rgb, PixelFormat.RGB, W, H, DW, DH,
+                                method=BILINEAR_AA)
+    want = np.asarray(small[0]).reshape(B, DH, DW, 3)
+    # fused path uses true bilinear chroma siting vs the two-stage nearest
+    # upsample: equal up to chroma interpolation differences
+    assert psnr(got, want) > 30
+
+
+def test_fused_preprocess_float_normalize():
+    import jax.numpy as jnp
+
+    B, H, W = 1, 64, 64
+    nv12 = np.full((B, H * 3 // 2, W), 128, dtype=np.uint8)
+    out = fused.fused_preprocess(
+        (jnp.asarray(nv12),), PixelFormat.NV12, W, H, 32, 32,
+        ColorSpace.BT_709, ColorRange.MPEG, out_dtype=jnp.float32,
+        normalize=((0.485, 0.456, 0.406), (0.229, 0.224, 0.225)))
+    arr = np.asarray(out)
+    assert arr.dtype == np.float32
+    # gray 128 narrow-range -> ~0.511 normalized -> (0.511-0.485)/0.229
+    assert abs(arr[..., 0].mean() - (0.511 - 0.485) / 0.229) < 0.05
+
+
+def test_fused_preprocess_planar_output():
+    import jax.numpy as jnp
+
+    nv12 = RNG.integers(0, 256, (2, 96, 128), dtype=np.uint8)
+    out = fused.fused_preprocess(
+        (jnp.asarray(nv12),), PixelFormat.NV12, 128, 64, 32, 32,
+        planar=True)
+    assert out.shape == (2, 3, 32, 32)
+
+
+def test_fused_preprocess_yuv420_input():
+    import jax.numpy as jnp
+
+    B, H, W = 2, 64, 96
+    planes = (RNG.integers(0, 256, (B, H, W), np.uint8),
+              RNG.integers(0, 256, (B, H // 2, W // 2), np.uint8),
+              RNG.integers(0, 256, (B, H // 2, W // 2), np.uint8))
+    out = fused.fused_preprocess(
+        tuple(jnp.asarray(p) for p in planes), PixelFormat.YUV420,
+        W, H, 32, 32)
+    assert out.shape == (B, 32, 32, 3)
+
+
+@pytest.mark.skipif(not os.path.exists(GT), reason="no reference data")
+def test_multistream_pipeline():
+    from vali_tpu.pipeline.multistream import MultiStreamPipeline
+
+    n_streams = 3
+    pipe = MultiStreamPipeline([GT] * n_streams, dst_w=64, dst_h=64,
+                               gpu_id=0, batch_size=n_streams,
+                               method=LANCZOS_AA)
+    total = 0
+    batches = 0
+    seen_streams = set()
+    for batch, ids in pipe:
+        assert batch.shape[1:] == (64, 64, 3)
+        total += batch.shape[0]
+        batches += 1
+        seen_streams.update(ids)
+        if batches >= 8:
+            pipe.stop()
+            break
+    assert total >= 8 * n_streams
+    assert seen_streams == set(range(n_streams))
+
+
+@pytest.mark.skipif(not os.path.exists(GT), reason="no reference data")
+def test_multistream_pipeline_drains_to_eos():
+    from vali_tpu.pipeline.multistream import MultiStreamPipeline
+
+    pipe = MultiStreamPipeline([GT, GT], dst_w=32, dst_h=32, gpu_id=0,
+                               batch_size=2)
+    total = sum(batch.shape[0] for batch, _ in pipe)
+    assert total == 2 * 96  # both streams fully decoded
+
+
+def test_sharded_preprocess_virtual_mesh():
+    import jax
+
+    from vali_tpu.parallel.mesh import (make_mesh, shard_planes,
+                                        sharded_preprocess)
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs multi-device mesh")
+    mesh = make_mesh(spatial=2)
+    B, H, W = 8, 48, 64
+    nv12 = RNG.integers(0, 256, (B, H * 3 // 2, W), dtype=np.uint8)
+    planes = shard_planes((nv12,), mesh)
+    fn = sharded_preprocess(mesh, PixelFormat.NV12, W, H, 32, 32)
+    out = fn(planes)
+    assert out.shape == (B, 32, 32, 3)
+    np.asarray(out)  # gatherable
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__ as ge
+    import jax
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+    import jax
+
+    n = min(8, len(jax.devices()))
+    ge.dryrun_multichip(n)

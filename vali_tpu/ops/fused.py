@@ -1,0 +1,143 @@
+"""Fused batched video preprocess: CSC + chroma upsample + resize, one pass.
+
+This is the north-star kernel of the TPU build (BASELINE.json): batches of
+decoded NV12/YUV420 frames -> model-ready RGB tensors in a single fused XLA
+computation. Where the reference chains NPP kernels per frame
+(ConvertSurface + ResizeSurface, one CUDA launch each per frame), here the
+whole batch is expressed as matmul resampling (MXU) with the 3x3 color
+matrix folded in, so XLA emits one fused pass per batch:
+
+    rgb[n,o,p,c] = M[c,:] . [ (Wy_h y Wy_w^T)[n,o,p] - y_off,
+                              (Wc_h u Wc_w^T)[n,o,p] - 128,
+                              (Wc_h v Wc_w^T)[n,o,p] - 128 ]
+
+The chroma weight matrices go straight from quarter-resolution planes to the
+destination grid — upsample and resize never materialize an intermediate
+(the reference's UD kernel insight, ResizeUtils.cu, generalized to any
+filter).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.enums import ColorRange, ColorSpace, PixelFormat
+from . import colors
+from .csc import nv12_split
+from .resize import LANCZOS_AA, resize_weights
+
+
+def _chroma_weights(n_in: int, n_out: int, full_res: int, method: str):
+    """Weights mapping a subsampled chroma axis (n_in = full_res/2) directly
+    onto the n_out destination grid.
+
+    Chroma sample i sits at full-res position 2i + 0.5 (4:2:0 siting);
+    destination pixel o samples full-res position (o+0.5)*scale - 0.5.
+    Solving in chroma coordinates gives center (pos - 0.5) / 2.
+    """
+    scale = full_res / n_out
+    dst_pos = (np.arange(n_out) + 0.5) * scale - 0.5
+    centers = (dst_pos - 0.5) / 2.0
+    # Evaluate a Lanczos-3/bilinear kernel with antialias for the
+    # chroma->dst ratio.
+    from .resize import _bilinear, _lanczos
+
+    cscale = (full_res / 2) / n_out
+    fscale = max(1.0, cscale)
+    if method.startswith("lanczos"):
+        kern = lambda x: _lanczos(x, 3.0)
+    else:
+        kern = _bilinear
+    pos = np.arange(n_in)[None, :]
+    w = kern((pos - centers[:, None]) / fscale)
+    s = w.sum(axis=1, keepdims=True)
+    return (w / np.where(s == 0.0, 1.0, s)).astype(np.float32)
+
+
+def fused_preprocess(
+    planes: Tuple[jnp.ndarray, ...],
+    src_fmt: PixelFormat,
+    src_w: int,
+    src_h: int,
+    dst_w: int,
+    dst_h: int,
+    space: ColorSpace = ColorSpace.BT_709,
+    crange: ColorRange = ColorRange.MPEG,
+    out_dtype=jnp.uint8,
+    planar: bool = False,
+    method: str = LANCZOS_AA,
+    normalize: Optional[Tuple[Tuple[float, float, float],
+                              Tuple[float, float, float]]] = None,
+) -> jnp.ndarray:
+    """Batched fused NV12/YUV420 -> resized RGB.
+
+    planes: storage-layout batched planes of ``src_fmt``.
+    normalize: optional (mean, std) per channel applied after scaling to
+    [0,1] — fuses the model's input normalization into the same pass.
+    Returns [N, dst_h, dst_w, 3] (or [N, 3, dst_h, dst_w] when planar).
+    """
+    src_fmt = PixelFormat(src_fmt)
+    bit_depth = 8
+    if src_fmt in (PixelFormat.NV12, PixelFormat.P10, PixelFormat.P12):
+        bit_depth = {PixelFormat.NV12: 8, PixelFormat.P10: 10,
+                     PixelFormat.P12: 12}[src_fmt]
+        y, u, v = nv12_split(planes[0], src_h)
+    elif src_fmt in (PixelFormat.YUV420, PixelFormat.YUV420_10bit):
+        bit_depth = 10 if src_fmt == PixelFormat.YUV420_10bit else 8
+        y, u, v = planes
+    else:
+        raise ValueError(f"fused_preprocess does not support {src_fmt.name}")
+
+    mo = colors.yuv2rgb_matrix(space, crange)
+    if mo is None:
+        raise ValueError(f"Unsupported cc combo {space}/{crange}")
+    m, y_off = mo
+    m = m.astype(np.float32)
+    scale = float(1 << (bit_depth - 8)) if src_fmt not in (
+        PixelFormat.P10, PixelFormat.P12) else float(1 << 8)
+    # P10/P12 store MSB-aligned 16-bit: offsets scale by 256.
+    c_off = 128.0 * scale
+    y_offset = y_off * scale
+
+    wy_h = jnp.asarray(resize_weights(src_h, dst_h, method))
+    wy_w = jnp.asarray(resize_weights(src_w, dst_w, method))
+    wc_h = jnp.asarray(_chroma_weights(src_h // 2, dst_h, src_h, method))
+    wc_w = jnp.asarray(_chroma_weights(src_w // 2, dst_w, src_w, method))
+
+    def resample(p, wh, ww):
+        t = jnp.einsum("oh,nhw->now", wh, p.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        return jnp.einsum("now,pw->nop", t, ww,
+                          preferred_element_type=jnp.float32)
+
+    yr = resample(y, wy_h, wy_w) - y_offset
+    ur = resample(u, wc_h, wc_w) - c_off
+    vr = resample(v, wc_h, wc_w) - c_off
+
+    r = m[0, 0] * yr + m[0, 1] * ur + m[0, 2] * vr
+    g = m[1, 0] * yr + m[1, 1] * ur + m[1, 2] * vr
+    b = m[2, 0] * yr + m[2, 1] * ur + m[2, 2] * vr
+    rgb = jnp.stack([r, g, b], axis=-1)
+
+    if np.dtype(out_dtype) == np.uint8:
+        maxv = 255.0 * (scale if bit_depth == 8 else 1.0)
+        rgb = jnp.clip(jnp.round(rgb / (scale if scale != 1.0 else 1.0)),
+                       0.0, 255.0).astype(jnp.uint8)
+    else:
+        # float output scaled to [0,1]
+        denom = float((1 << bit_depth) - 1) * (
+            256.0 / float((1 << bit_depth) - 1)
+            if src_fmt in (PixelFormat.P10, PixelFormat.P12) else 1.0)
+        if src_fmt in (PixelFormat.P10, PixelFormat.P12):
+            denom = 65535.0
+        rgb = (rgb / denom).astype(out_dtype)
+        if normalize is not None:
+            mean = jnp.asarray(normalize[0], dtype=out_dtype)
+            std = jnp.asarray(normalize[1], dtype=out_dtype)
+            rgb = (rgb - mean) / std
+    if planar:
+        rgb = jnp.moveaxis(rgb, -1, 1)
+    return rgb

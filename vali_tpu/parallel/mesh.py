@@ -1,0 +1,80 @@
+"""Multi-chip sharding of the batched video pipeline.
+
+The reference scales by running independent decoder/encoder instances per
+GPU (SURVEY.md §2.4); the TPU build scales the *device* side the XLA way:
+pick a mesh, annotate shardings, let the compiler insert collectives over
+ICI. Axes:
+
+  - "data":    frames/streams (pure data parallel — no communication)
+  - "spatial": image height (spatial partitioning for large frames; the
+    resize matmuls contract over H, so XLA turns this into
+    reduce-scatter/all-gather pairs on ICI)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.enums import ColorRange, ColorSpace, PixelFormat
+from ..ops.fused import fused_preprocess
+from ..ops.resize import LANCZOS_AA
+
+
+def make_mesh(data: int = 0, spatial: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (data, spatial) mesh. data=0 means "all devices / spatial"."""
+    devices = list(devices if devices is not None else jax.devices())
+    if data <= 0:
+        data = len(devices) // spatial
+    if data * spatial != len(devices):
+        devices = devices[: data * spatial]
+    arr = np.array(devices).reshape(data, spatial)
+    return Mesh(arr, ("data", "spatial"))
+
+
+def shard_planes(planes, mesh: Mesh):
+    """Place batched planes on the mesh: batch over data, rows over
+    spatial."""
+    sharding = NamedSharding(mesh, P("data", "spatial", None))
+    return tuple(jax.device_put(p, sharding) for p in planes)
+
+
+def sharded_preprocess(
+    mesh: Mesh,
+    src_fmt: PixelFormat,
+    src_w: int,
+    src_h: int,
+    dst_w: int,
+    dst_h: int,
+    space: ColorSpace = ColorSpace.BT_709,
+    crange: ColorRange = ColorRange.MPEG,
+    out_dtype=jnp.uint8,
+    planar: bool = False,
+    method: str = LANCZOS_AA,
+):
+    """Compile the fused preprocess across the mesh.
+
+    Inputs are expected sharded [B@data, H@spatial, W]; output is
+    [B@data, dst_h, dst_w, 3] (spatial gathered — dst is small).
+    """
+    in_spec = P("data", "spatial", None)
+    out_spec = P("data", None, None, None) if not planar else P(
+        "data", None, None, None)
+
+    def fn(planes):
+        return fused_preprocess(planes, src_fmt, src_w, src_h, dst_w, dst_h,
+                                space, crange, out_dtype, planar, method)
+
+    n_planes = 1 if src_fmt in (PixelFormat.NV12, PixelFormat.P10,
+                                PixelFormat.P12) else 3
+    return jax.jit(
+        fn,
+        in_shardings=(tuple(NamedSharding(mesh, in_spec)
+                            for _ in range(n_planes)),),
+        out_shardings=NamedSharding(mesh, out_spec),
+    )

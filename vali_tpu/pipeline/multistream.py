@@ -1,0 +1,188 @@
+"""Multi-stream batched decode -> TPU preprocess pipeline.
+
+The TPU-native replacement for the reference's N-independent-decoder
+pattern (SURVEY.md §2.4: instance-level concurrency, 64-stream north star).
+Architecture:
+
+  N demux/decode threads (GIL released in the native engine)
+      -> per-stream host frame ring
+      -> batch assembler (double-buffered pinned staging)
+      -> one jitted fused CSC+resize pass per batch on the TPU
+      -> async device futures handed to the consumer
+
+Decode runs on host cores and overlaps with device compute; the TPU sees
+one large batched kernel per tick instead of 64 small ones — the design
+the hardware wants (SURVEY.md §7.6).
+"""
+
+from __future__ import annotations
+
+import functools
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.enums import ColorRange, ColorSpace, PixelFormat
+from ..engine.decoder import PyDecoder
+from ..memory.host import host_frame_to_planes
+from ..ops.fused import fused_preprocess
+from ..ops.resize import LANCZOS_AA
+from ..utils.device import get_device
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "src_fmt", "src_w", "src_h", "dst_w", "dst_h", "space", "crange",
+    "out_dtype", "planar", "method"))
+def _preprocess_jit(planes, *, src_fmt, src_w, src_h, dst_w, dst_h, space,
+                    crange, out_dtype, planar, method):
+    return fused_preprocess(planes, src_fmt, src_w, src_h, dst_w, dst_h,
+                            space, crange, out_dtype, planar, method)
+
+
+class _StreamWorker(threading.Thread):
+    """Decodes one stream into an output queue of host frames."""
+
+    def __init__(self, stream_id: int, source, opts, frames_per_batch: int,
+                 out_q: "queue.Queue", stop_event: threading.Event):
+        super().__init__(daemon=True, name=f"vali-decode-{stream_id}")
+        self.stream_id = stream_id
+        self.source = source
+        self.opts = dict(opts)
+        self.out_q = out_q
+        self.stop_event = stop_event
+        self.error: Optional[Exception] = None
+
+    def run(self):
+        try:
+            dec = PyDecoder(self.source, self.opts, gpu_id=-1)
+            frame = np.zeros(dec.HostFrameSize, dtype=np.uint8)
+            while not self.stop_event.is_set():
+                ok, info = dec.DecodeSingleFrame(frame)
+                if not ok:
+                    break
+                self.out_q.put((self.stream_id, frame.copy()))
+        except Exception as e:  # surfaced by the pipeline
+            self.error = e
+        finally:
+            self.out_q.put((self.stream_id, None))
+
+
+class MultiStreamPipeline:
+    """Decode N streams and yield batched, preprocessed device tensors.
+
+    Yields (batch, stream_ids): ``batch`` is a [B, dst_h, dst_w, 3] jax
+    array on the target device (uint8, or float32 when ``normalize`` /
+    ``out_dtype=float32``); ``stream_ids`` names the source of each row.
+    """
+
+    def __init__(self, sources: Sequence, dst_w: int, dst_h: int,
+                 gpu_id: int = 0, opts: Optional[dict] = None,
+                 batch_size: Optional[int] = None,
+                 space: ColorSpace = ColorSpace.BT_709,
+                 crange: ColorRange = ColorRange.MPEG,
+                 out_dtype=jnp.uint8, planar: bool = False,
+                 method: str = LANCZOS_AA,
+                 queue_depth: int = 4):
+        if not sources:
+            raise ValueError("Need at least one source")
+        self.sources = list(sources)
+        self.dst_w, self.dst_h = dst_w, dst_h
+        self.device = get_device(gpu_id)
+        self.batch_size = batch_size or len(self.sources)
+        self.space, self.crange = space, crange
+        self.out_dtype = out_dtype
+        self.planar = planar
+        self.method = method
+
+        probe = PyDecoder(self.sources[0], opts or {}, gpu_id=-1)
+        self.src_w, self.src_h = probe.Width, probe.Height
+        self.src_fmt = probe.Format
+        del probe
+
+        self._frame_q: "queue.Queue" = queue.Queue(
+            maxsize=queue_depth * self.batch_size)
+        self._stop = threading.Event()
+        self._workers = [
+            _StreamWorker(i, src, opts or {}, self.batch_size,
+                          self._frame_q, self._stop)
+            for i, src in enumerate(self.sources)
+        ]
+        self._started = False
+        self._live = 0
+
+    def start(self) -> "MultiStreamPipeline":
+        if not self._started:
+            for w in self._workers:
+                w.start()
+            self._live = len(self._workers)
+            self._started = True
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        # drain so workers blocked on put() can exit
+        try:
+            while True:
+                self._frame_q.get_nowait()
+        except queue.Empty:
+            pass
+
+    def _assemble(self) -> Optional[Tuple[np.ndarray, List[int]]]:
+        frames: List[np.ndarray] = []
+        ids: List[int] = []
+        while len(frames) < self.batch_size and self._live > 0:
+            stream_id, frame = self._frame_q.get()
+            if frame is None:
+                self._live -= 1
+                continue
+            frames.append(frame)
+            ids.append(stream_id)
+        if not frames:
+            return None
+        return np.stack(frames), ids
+
+    def __iter__(self) -> Iterator[Tuple[jax.Array, List[int]]]:
+        self.start()
+        while True:
+            item = self._assemble()
+            if item is None:
+                for w in self._workers:
+                    if w.error is not None:
+                        raise w.error
+                return
+            batch_host, ids = item
+            planes = self._split(batch_host)
+            planes = tuple(jax.device_put(p, self.device) for p in planes)
+            out = _preprocess_jit(
+                planes, src_fmt=self.src_fmt, src_w=self.src_w,
+                src_h=self.src_h, dst_w=self.dst_w, dst_h=self.dst_h,
+                space=self.space, crange=self.crange,
+                out_dtype=self.out_dtype, planar=self.planar,
+                method=self.method)
+            yield out, ids
+
+    def _split(self, batch_host: np.ndarray) -> Tuple[np.ndarray, ...]:
+        """[B, host_frame_bytes] -> batched storage-layout planes."""
+        b = batch_host.shape[0]
+        per_frame = [host_frame_to_planes(batch_host[i], self.src_fmt,
+                                          self.src_w, self.src_h)
+                     for i in range(b)]
+        return tuple(np.stack([pf[j] for pf in per_frame])
+                     for j in range(len(per_frame[0])))
+
+
+def preprocess_batch(planes, src_fmt: PixelFormat, src_w: int, src_h: int,
+                     dst_w: int, dst_h: int,
+                     space: ColorSpace = ColorSpace.BT_709,
+                     crange: ColorRange = ColorRange.MPEG,
+                     out_dtype=jnp.uint8, planar: bool = False,
+                     method: str = LANCZOS_AA) -> jax.Array:
+    """One-shot jitted fused preprocess over already-batched planes."""
+    return _preprocess_jit(
+        tuple(planes), src_fmt=PixelFormat(src_fmt), src_w=src_w,
+        src_h=src_h, dst_w=dst_w, dst_h=dst_h, space=space, crange=crange,
+        out_dtype=out_dtype, planar=planar, method=method)
