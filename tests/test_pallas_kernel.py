@@ -1,0 +1,80 @@
+"""Pallas banded-preprocess kernel tests (interpret mode on CPU).
+
+The real-hardware check runs in bench.py; these validate the weight
+construction and kernel math against the XLA fused op via the Pallas
+interpreter, which works on the CPU test backend.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vali_tpu.core.enums import ColorRange, ColorSpace, PixelFormat
+from vali_tpu.ops import fused
+from vali_tpu.ops.pallas_fused import (_banded_h_weights,
+                                       _chroma_w_weights_interleaved,
+                                       pallas_nv12_preprocess,
+                                       required_pad_rows)
+
+RNG = np.random.default_rng(5)
+
+
+def test_banded_weights_rows_sum_to_one():
+    from vali_tpu.ops.pallas_fused import TILE
+
+    n_out = 64
+    starts, blocks, win, max_end = _banded_h_weights(192, n_out,
+                                                     "lanczos_aa")
+    assert blocks.shape == ((n_out + TILE - 1) // TILE, TILE, win)
+    flat = blocks.reshape(-1, win)[:n_out]
+    assert np.allclose(flat.sum(axis=1), 1.0, atol=1e-5)
+    assert (starts % 32 == 0).all()
+
+
+def test_banded_weights_alignment_and_bounds():
+    starts, blocks, win, max_end = _banded_h_weights(
+        540, 224, "lanczos_aa", row_offset=1080, chroma_of=1080)
+    assert (starts % 32 == 0).all()
+    assert (starts >= 1024).all()  # aligned below the chroma offset is ok
+    assert max_end >= 1080 + 540
+
+
+def test_chroma_interleaved_w_weights():
+    w = _chroma_w_weights_interleaved(64, 16, "lanczos_aa")
+    assert w.shape == (64, 32)
+    # U columns only touch even rows, V only odd
+    assert np.all(w[1::2, :16] == 0.0)
+    assert np.all(w[0::2, 16:] == 0.0)
+    assert np.allclose(w[:, :16].sum(axis=0), 1.0, atol=1e-5)
+
+
+def test_required_pad_rows_1080p():
+    pad = required_pad_rows(1920, 1080, 224)
+    assert 0 <= pad <= 256
+
+
+@pytest.mark.parametrize("shape", [(2, 96, 256, 32, 64)])
+def test_pallas_kernel_interpret_matches_xla(shape):
+    B, H, W, DH, DW = shape
+    nv12 = jnp.asarray(RNG.integers(0, 256, (B, H * 3 // 2, W),
+                                    dtype=np.uint8))
+    out = np.asarray(pallas_nv12_preprocess(
+        nv12, src_w=W, src_h=H, dst_w=DW, dst_h=DH, interpret=True))
+    ref = np.moveaxis(np.asarray(fused.fused_preprocess(
+        (nv12,), PixelFormat.NV12, W, H, DW, DH,
+        ColorSpace.BT_709, ColorRange.MPEG)), -1, 1)
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    # On real TPU the kernel is within 1 LSB of the f32 XLA path (verified
+    # in bench/verify runs); the CPU interpreter emulates bf16 with
+    # slightly different rounding, so allow a few LSB here.
+    assert diff.max() <= 4
+    assert diff.mean() < 1.0
+
+
+def test_preprocess_batch_pallas_flag_cpu_falls_back():
+    from vali_tpu.pipeline.multistream import preprocess_batch
+
+    nv12 = jnp.asarray(RNG.integers(0, 256, (1, 48, 64), dtype=np.uint8))
+    out = preprocess_batch((nv12,), PixelFormat.NV12, 64, 32, 16, 16)
+    assert out.shape == (1, 16, 16, 3)

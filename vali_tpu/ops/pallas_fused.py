@@ -1,0 +1,256 @@
+"""Pallas TPU kernel: banded fused NV12 -> RGB -> resize preprocess.
+
+The XLA version (ops/fused.py) expresses resampling as DENSE weight
+matmuls: for 1080p -> 224 the H-pass burns 224x1080x1920 MACs even though
+a Lanczos-3 row only touches ~50 input rows. This kernel exploits the
+bandedness — the structural optimization XLA cannot see:
+
+  - H-pass: per 8-output-row tile, a [8, WIN] x [WIN, W] matmul over just
+    a WIN-row window of the VMEM-resident frame. Window starts are
+    32-aligned (Mosaic's uint8 sublane tiling) with zero weights on
+    out-of-plane taps; FLOPs drop ~10-17x vs dense.
+  - W-pass: one [DH, W] x [W, DW] matmul per channel at full MXU
+    occupancy, bfloat16 in / f32 accumulate.
+  - Chroma deinterleaving is folded into the W-pass weight matrix: the
+    interleaved UV rows stay packed and a [W, 2*DW] matrix with
+    parity-masked taps emits U and V side by side — no strided loads.
+  - CSC and quantization fuse at the tail; output is planar [3, DH, DW].
+
+The input frame may need a few extra rows below the chroma plane
+(32-aligned windows can overrun the plane tail with zero weights); the
+wrapper pads automatically and the pipeline pre-pads staging buffers.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.enums import ColorRange, ColorSpace
+from . import colors
+from .resize import LANCZOS_AA, _bilinear, _lanczos
+
+TILE = 32    # output rows per banded H-pass step
+ALIGN = 32   # uint8 sublane tile: dynamic row offsets must be 32-aligned
+
+
+def _banded_h_weights(n_in: int, n_out: int, method: str,
+                      row_offset: int = 0,
+                      chroma_of: Optional[int] = None):
+    """Blocked banded H-pass weights with 32-aligned absolute starts.
+
+    Returns (starts [n_tiles] int32 — absolute frame rows,
+             blocks [n_tiles, TILE, WIN] f32, win, max_end).
+    """
+    if chroma_of is not None:
+        # 4:2:0 siting: chroma i sits at full-res 2i + 0.5
+        scale = chroma_of / n_out
+        dst_pos = (np.arange(n_out) + 0.5) * scale - 0.5
+        centers = (dst_pos - 0.5) / 2.0
+        cscale = (chroma_of / 2) / n_out
+    else:
+        scale = n_in / n_out
+        centers = (np.arange(n_out) + 0.5) * scale - 0.5
+        cscale = scale
+    if method.startswith("lanczos"):
+        kern, support = (lambda x: _lanczos(x, 3.0)), 3.0
+    else:
+        kern, support = _bilinear, 1.0
+    fscale = max(1.0, cscale)
+    radius = support * fscale
+
+    n_tiles = (n_out + TILE - 1) // TILE
+    span = (TILE - 1) * cscale + 2 * radius + 2
+    win = max(ALIGN, int(math.ceil((span + ALIGN) / ALIGN)) * ALIGN)
+
+    starts = np.zeros(n_tiles, dtype=np.int32)
+    blocks = np.zeros((n_tiles, TILE, win), dtype=np.float32)
+    max_end = 0
+    for t in range(n_tiles):
+        rows = np.arange(t * TILE, min((t + 1) * TILE, n_out))
+        c = centers[rows]
+        lo = int(np.floor(c.min() - radius))
+        abs_start = max(0, ((row_offset + lo) // ALIGN) * ALIGN)
+        starts[t] = abs_start
+        max_end = max(max_end, abs_start + win)
+        local = abs_start - row_offset + np.arange(win)[None, :]
+        w = kern((local - c[:, None]) / fscale)
+        in_range = (local >= 0) & (local < n_in)
+        w = w * in_range
+        s = w.sum(axis=1, keepdims=True)
+        w = w / np.where(s == 0.0, 1.0, s)
+        blocks[t, :len(rows)] = w
+    return starts, blocks, win, max_end
+
+
+def _w_weights(n_in: int, n_out: int, method: str) -> np.ndarray:
+    from .resize import resize_weights
+
+    m = "lanczos_aa" if method.startswith("lanczos") else "bilinear_aa"
+    return resize_weights(n_in, n_out, m).T.copy()  # [n_in, n_out]
+
+
+def _chroma_w_weights_interleaved(full_w: int, n_out: int,
+                                  method: str) -> np.ndarray:
+    """[W, 2*DW] weights consuming an interleaved UV row directly:
+    columns [:DW] produce U (even source lanes), [DW:] produce V (odd)."""
+    n_in = full_w // 2
+    scale = full_w / n_out
+    dst_pos = (np.arange(n_out) + 0.5) * scale - 0.5
+    centers = (dst_pos - 0.5) / 2.0
+    cscale = (full_w / 2) / n_out
+    fscale = max(1.0, cscale)
+    if method.startswith("lanczos"):
+        kern = lambda x: _lanczos(x, 3.0)
+    else:
+        kern = _bilinear
+    pos = np.arange(n_in)[:, None]
+    w = kern((pos - centers[None, :]) / fscale)  # [n_in, n_out]
+    s = w.sum(axis=0, keepdims=True)
+    w = (w / np.where(s == 0.0, 1.0, s)).astype(np.float32)
+    out = np.zeros((full_w, 2 * n_out), dtype=np.float32)
+    out[0::2, :n_out] = w  # U taps on even lanes
+    out[1::2, n_out:] = w  # V taps on odd lanes
+    return out
+
+
+def required_pad_rows(src_w: int, src_h: int, dst_h: int,
+                      method: str = LANCZOS_AA) -> int:
+    """Extra rows (beyond H*3/2) the kernel input must carry."""
+    _, _, _, y_end = _banded_h_weights(src_h, dst_h, method)
+    _, _, _, c_end = _banded_h_weights(src_h // 2, dst_h, method,
+                                       row_offset=src_h, chroma_of=src_h)
+    return max(0, max(y_end, c_end) - src_h * 3 // 2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("src_w", "src_h", "dst_w", "dst_h", "space", "crange",
+                     "out_dtype", "method", "interpret"))
+def pallas_nv12_preprocess(
+    nv12: jax.Array,  # [B, >= H*3/2 (+pad), W] uint8
+    *,
+    src_w: int,
+    src_h: int,
+    dst_w: int,
+    dst_h: int,
+    space: ColorSpace = ColorSpace.BT_709,
+    crange: ColorRange = ColorRange.MPEG,
+    out_dtype=jnp.uint8,
+    method: str = LANCZOS_AA,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused NV12 batch -> planar RGB [B, 3, dst_h, dst_w]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = nv12.shape[0]
+    H, W, DH, DW = src_h, src_w, dst_h, dst_w
+    assert nv12.shape[2] == W
+
+    y_starts, y_blocks, y_win, y_end = _banded_h_weights(H, DH, method)
+    c_starts, c_blocks, c_win, c_end = _banded_h_weights(
+        H // 2, DH, method, row_offset=H, chroma_of=H)
+    rows_needed = max(H * 3 // 2, y_end, c_end)
+    if nv12.shape[1] < rows_needed:
+        nv12 = jnp.pad(nv12, ((0, 0), (0, rows_needed - nv12.shape[1]),
+                              (0, 0)))
+    rows = nv12.shape[1]
+
+    wyw = jnp.asarray(_w_weights(W, DW, method)).astype(jnp.bfloat16)
+    wcw = jnp.asarray(_chroma_w_weights_interleaved(W, DW, method)).astype(
+        jnp.bfloat16)
+    n_tiles = y_blocks.shape[0]
+
+    mo = colors.yuv2rgb_matrix(space, crange)
+    if mo is None:
+        raise ValueError(f"Unsupported cc combo {space}/{crange}")
+    m, y_off = mo
+    m = m.astype(np.float32)
+
+    is_u8 = np.dtype(out_dtype) == np.uint8
+
+    def _to_bf16(x):
+        return x.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+
+    def kernel(ystart_ref, cstart_ref, frame_ref, yblk_ref, cblk_ref,
+               wyw_ref, wcw_ref, out_ref, yh_ref, ch_ref):
+        # --- banded H pass: luma + interleaved chroma ------------------
+        def h_tile(t, _):
+            ys = pl.multiple_of(ystart_ref[t], ALIGN)
+            cs = pl.multiple_of(cstart_ref[t], ALIGN)
+            ywin = _to_bf16(frame_ref[0, pl.ds(ys, y_win), :])
+            yh_ref[pl.ds(t * TILE, TILE), :] = jnp.dot(
+                yblk_ref[t].astype(jnp.bfloat16), ywin,
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            cwin = _to_bf16(frame_ref[0, pl.ds(cs, c_win), :])
+            ch_ref[pl.ds(t * TILE, TILE), :] = jnp.dot(
+                cblk_ref[t].astype(jnp.bfloat16), cwin,
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles, h_tile, 0)
+
+        # --- dense W pass at full MXU occupancy ------------------------
+        yw = jnp.dot(yh_ref[:DH, :], wyw_ref[...],
+                     preferred_element_type=jnp.float32)        # [DH, DW]
+        cw = jnp.dot(ch_ref[:DH, :], wcw_ref[...],
+                     preferred_element_type=jnp.float32)        # [DH, 2DW]
+        u = cw[:, :DW] - 128.0
+        v = cw[:, DW:] - 128.0
+        yv = yw - y_off
+
+        r = m[0, 0] * yv + m[0, 1] * u + m[0, 2] * v
+        g = m[1, 0] * yv + m[1, 1] * u + m[1, 2] * v
+        b = m[2, 0] * yv + m[2, 1] * u + m[2, 2] * v
+
+        if is_u8:
+            for idx, ch in ((0, r), (1, g), (2, b)):
+                out_ref[0, idx] = jnp.clip(jnp.round(ch), 0.0, 255.0).astype(
+                    jnp.int32).astype(jnp.uint8)
+        else:
+            for idx, ch in ((0, r), (1, g), (2, b)):
+                out_ref[0, idx] = (ch / 255.0).astype(out_ref.dtype)
+
+    dh_pad = ((DH + TILE - 1) // TILE) * TILE
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, rows, W), lambda b, ys, cs: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # y_blocks
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # c_blocks
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wyw
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wcw
+        ],
+        out_specs=pl.BlockSpec((1, 3, DH, DW),
+                               lambda b, ys, cs: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((dh_pad, W), jnp.bfloat16),  # yh
+            pltpu.VMEM((dh_pad, W), jnp.bfloat16),  # ch
+        ],
+    )
+
+    flops = B * (n_tiles * TILE * (y_win + c_win) * W * 2
+                 + DH * W * (DW + 2 * DW) * 2)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 3, DH, DW), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=int(nv12.size) + B * 3 * DH * DW,
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(y_starts), jnp.asarray(c_starts), nv12,
+      jnp.asarray(y_blocks), jnp.asarray(c_blocks), wyw, wcw)
+    return out
