@@ -310,3 +310,18 @@ def test_hevc10_decode():
     assert ok
     vals = frame.view(np.uint16)
     assert vals.max() <= 1023  # 10-bit range
+
+
+def test_preferred_width_stream_selection():
+    """HLS ABR-style stream pick (parity: FindStreamByWidth,
+    TaskDecodeFrame.cpp:174-184) using the multires clip."""
+    rec = gt("multires")
+    default_dec = vali.PyDecoder(rec["uri"], {}, gpu_id=-1)
+    assert default_dec.Width == rec["width"]
+
+    dec = vali.PyDecoder(rec["uri"], {"preferred_width": "424"}, gpu_id=-1)
+    assert dec.Width == 424
+    assert dec.StreamIndex != default_dec.StreamIndex
+    frame = np.zeros(dec.HostFrameSize, dtype=np.uint8)
+    ok, _ = dec.DecodeSingleFrame(frame)
+    assert ok

@@ -13,7 +13,18 @@ from __future__ import annotations
 import enum
 
 
-class PixelFormat(enum.IntEnum):
+class _ReprEnum(enum.IntEnum):
+    """IntEnum printing as ``ClassName.MEMBER`` (parity with pybind11 enums;
+    python >= 3.11 IntEnum would otherwise print the bare integer, which
+    breaks e.g. golden filenames built from ``str(fmt)``)."""
+
+    def __str__(self) -> str:
+        return f"{type(self).__name__}.{self.name}"
+
+    __repr__ = __str__
+
+
+class PixelFormat(_ReprEnum):
     """Surface pixel formats (reference MemoryInterfaces.hpp:29-46)."""
 
     UNDEFINED = 0
@@ -34,7 +45,7 @@ class PixelFormat(enum.IntEnum):
     GRAY12 = 15
 
 
-class ColorSpace(enum.IntEnum):
+class ColorSpace(_ReprEnum):
     """YUV<->RGB conversion standard (reference MemoryInterfaces.hpp:48-52)."""
 
     BT_601 = 0
@@ -42,7 +53,7 @@ class ColorSpace(enum.IntEnum):
     UNSPEC = 2
 
 
-class ColorRange(enum.IntEnum):
+class ColorRange(_ReprEnum):
     """Narrow (MPEG) vs full (JPEG) range (MemoryInterfaces.hpp:54-58)."""
 
     MPEG = 0
@@ -50,12 +61,12 @@ class ColorRange(enum.IntEnum):
     UDEF = 2
 
 
-class TaskExecStatus(enum.IntEnum):
+class TaskExecStatus(_ReprEnum):
     TASK_EXEC_SUCCESS = 0
     TASK_EXEC_FAIL = 1
 
 
-class TaskExecInfo(enum.IntEnum):
+class TaskExecInfo(_ReprEnum):
     """Detailed op outcome taxonomy (reference TC_CORE.hpp:40-52)."""
 
     SUCCESS = 0
@@ -71,21 +82,21 @@ class TaskExecInfo(enum.IntEnum):
     SRC_DST_FMT_MISMATCH = 10
 
 
-class DecodeMode(enum.IntEnum):
+class DecodeMode(_ReprEnum):
     """Decoder frame-delivery mode (reference Tasks.hpp / PyDecoder)."""
 
     ALL_FRAMES = 0
     KEY_FRAMES = 1
 
 
-class SeekMode(enum.IntEnum):
+class SeekMode(_ReprEnum):
     """Seek criterion used internally by SeekContext."""
 
     BY_FRAME = 0
     BY_TIMESTAMP = 1
 
 
-class FfmpegLogLevel(enum.IntEnum):
+class FfmpegLogLevel(_ReprEnum):
     """Maps to FFmpeg AV_LOG_* levels (reference VALI.cpp:196-214)."""
 
     PANIC = 0
@@ -97,7 +108,7 @@ class FfmpegLogLevel(enum.IntEnum):
     DEBUG = 48
 
 
-class DLDeviceType(enum.IntEnum):
+class DLDeviceType(_ReprEnum):
     """DLPack device types relevant to interop (dlpack/dlpack.h)."""
 
     kDLCPU = 1
@@ -106,7 +117,7 @@ class DLDeviceType(enum.IntEnum):
     kDLCUDAManaged = 13
 
 
-class NV_ENC_CAPS(enum.IntEnum):
+class NV_ENC_CAPS(_ReprEnum):
     """Encoder capability keys (parity with reference VALI.cpp NV_ENC_CAPS).
 
     The TPU build encodes on the host via libavcodec/x264/x265; capability
