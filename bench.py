@@ -7,13 +7,12 @@ The chip-side number is the banded Pallas fused CSC+resize kernel over
 separately (this container has a single CPU core — decode scales with
 cores, the chip-side number is the framework's ceiling).
 
-Timing method (the axon tunnel adds ~35 ms RPC latency per fetch, and XLA
-loop-invariant code motion deletes repeated identical calls, so neither
-naive per-call timing nor plain chaining is sound):
-  1. run a K-iteration on-device fori_loop whose body perturbs the input
-     (+k, a full HBM pass) and runs the kernel;
-  2. run the same loop WITHOUT the kernel (perturb + checksum only);
-  3. per-batch kernel time = (t1 - t2) / K.  Min over reps.
+Timing method — two-point slope. The axon tunnel adds ~35 ms RPC latency
+per fetch and XLA's loop-invariant code motion deletes repeated identical
+calls, so: run an on-device fori_loop whose carried input gets a 1-byte
+in-place perturbation per iteration (defeats LICM at ~0.03 ms cost,
+measured and subtracted), time it at two chain lengths, and take the
+slope. This cancels RTT and warmup exactly.
 """
 
 import json
@@ -21,37 +20,53 @@ import time
 
 import numpy as np
 
-CHAIN = 32
-REPS = 4
+K_SHORT = 8
+K_LONG = 40
+REPS = 5
 
 
-def _bench_loop(kernel_fn, x, include_kernel: bool):
+def _make_loop(kernel_fn, K, consume):
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def run(x):
-        def body(k, acc):
-            xk = x + k.astype(jnp.uint8)
-            if include_kernel:
-                out = kernel_fn(xk)
-                return acc + jnp.sum(out.astype(jnp.int32))
-            return acc + jnp.sum(xk[:, 0, :1].astype(jnp.int32))
-        return jax.lax.fori_loop(0, CHAIN, body, jnp.int32(0))
+        def body(k, carry):
+            acc, xx = carry
+            patch = (k % 199 + 1).astype(jnp.uint8).reshape(1, 1, 1)
+            xx = jax.lax.dynamic_update_slice(xx, patch, (0, 0, 0))
+            return (acc + consume(kernel_fn, xx), xx)
 
-    float(run(x))  # compile + warm
-    best = float("inf")
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        float(run(x))
-        best = min(best, time.perf_counter() - t0)
-    return best
+        acc, _ = jax.lax.fori_loop(0, K, body, (jnp.int32(0), x))
+        return acc
+
+    return run
+
+
+def _slope(kernel_fn, x, consume):
+    times = {}
+    for K in (K_SHORT, K_LONG):
+        fn = _make_loop(kernel_fn, K, consume)
+        float(fn(x))  # compile + warm
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            float(fn(x))
+            best = min(best, time.perf_counter() - t0)
+        times[K] = best
+    return (times[K_LONG] - times[K_SHORT]) / (K_LONG - K_SHORT)
 
 
 def _time_kernel(kernel_fn, x):
-    t_full = _bench_loop(kernel_fn, x, True)
-    t_base = _bench_loop(kernel_fn, x, False)
-    return max((t_full - t_base) / CHAIN, 1e-9)
+    import jax.numpy as jnp
+
+    with_kernel = _slope(
+        kernel_fn, x,
+        lambda f, xx: jnp.sum(f(xx).astype(jnp.int32)))
+    baseline = _slope(
+        kernel_fn, x,
+        lambda f, xx: xx[0, 0, 0].astype(jnp.int32))
+    return max(with_kernel - baseline, 1e-9)
 
 
 def main():

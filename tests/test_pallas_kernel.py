@@ -78,3 +78,20 @@ def test_preprocess_batch_pallas_flag_cpu_falls_back():
     nv12 = jnp.asarray(RNG.integers(0, 256, (1, 48, 64), dtype=np.uint8))
     out = preprocess_batch((nv12,), PixelFormat.NV12, 64, 32, 16, 16)
     assert out.shape == (1, 16, 16, 3)
+
+
+def test_pallas_yuv420_kernel_interpret_matches_xla():
+    from vali_tpu.ops.pallas_fused import pallas_yuv420_preprocess
+
+    B, H, W, DH, DW = 2, 96, 256, 32, 64
+    y = jnp.asarray(RNG.integers(0, 256, (B, H, W), dtype=np.uint8))
+    u = jnp.asarray(RNG.integers(0, 256, (B, H // 2, W // 2), np.uint8))
+    v = jnp.asarray(RNG.integers(0, 256, (B, H // 2, W // 2), np.uint8))
+    out = np.asarray(pallas_yuv420_preprocess(
+        y, u, v, src_w=W, src_h=H, dst_w=DW, dst_h=DH, interpret=True))
+    ref = np.moveaxis(np.asarray(fused.fused_preprocess(
+        (y, u, v), PixelFormat.YUV420, W, H, DW, DH,
+        ColorSpace.BT_709, ColorRange.MPEG)), -1, 1)
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert diff.max() <= 4
+    assert diff.mean() < 1.0

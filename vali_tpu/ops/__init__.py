@@ -1,0 +1,12 @@
+"""Batched functional ops (the TPU-native compute layer).
+
+Import the submodules directly for the full API:
+
+  - ``ops.csc``          23-pair color-space / layout conversions
+  - ``ops.resize``       matmul-based Lanczos/bilinear resampling
+  - ``ops.rotate``       rotation
+  - ``ops.ud``           fused upsample-downscale-convert (UDSurface parity)
+  - ``ops.fused``        single-pass CSC+resize(+normalize) preprocess
+  - ``ops.pallas_fused`` the banded Pallas TPU kernel for the NV12 hot path
+  - ``ops.colors``       colorimetry matrices as data
+"""

@@ -151,7 +151,9 @@ def pallas_nv12_preprocess(
 
     B = nv12.shape[0]
     H, W, DH, DW = src_h, src_w, dst_h, dst_w
-    assert nv12.shape[2] == W
+    if nv12.shape[1] < H * 3 // 2 or nv12.shape[2] != W:
+        raise ValueError(
+            f"NV12 plane shape {nv12.shape} does not match {W}x{H}")
 
     y_starts, y_blocks, y_win, y_end = _banded_h_weights(H, DH, method)
     c_starts, c_blocks, c_win, c_end = _banded_h_weights(
@@ -252,5 +254,176 @@ def pallas_nv12_preprocess(
             transcendentals=0),
         interpret=interpret,
     )(jnp.asarray(y_starts), jnp.asarray(c_starts), nv12,
+      jnp.asarray(y_blocks), jnp.asarray(c_blocks), wyw, wcw)
+    return out
+
+
+def _plain_w_weights_half(full_w: int, n_out: int, method: str) -> np.ndarray:
+    """[W/2, DW] chroma W-pass weights for planar (non-interleaved) chroma."""
+    n_in = full_w // 2
+    scale = full_w / n_out
+    dst_pos = (np.arange(n_out) + 0.5) * scale - 0.5
+    centers = (dst_pos - 0.5) / 2.0
+    cscale = (full_w / 2) / n_out
+    fscale = max(1.0, cscale)
+    if method.startswith("lanczos"):
+        kern = lambda x: _lanczos(x, 3.0)
+    else:
+        kern = _bilinear
+    pos = np.arange(n_in)[:, None]
+    w = kern((pos - centers[None, :]) / fscale)
+    s = w.sum(axis=0, keepdims=True)
+    return (w / np.where(s == 0.0, 1.0, s)).astype(np.float32)
+
+
+def required_pad_rows_yuv420(src_w: int, src_h: int, dst_h: int,
+                             method: str = LANCZOS_AA):
+    """(luma_pad, chroma_pad) extra rows for the planar-YUV420 kernel."""
+    _, _, _, y_end = _banded_h_weights(src_h, dst_h, method)
+    _, _, _, c_end = _banded_h_weights(src_h // 2, dst_h, method,
+                                       chroma_of=src_h)
+    return max(0, y_end - src_h), max(0, c_end - src_h // 2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("src_w", "src_h", "dst_w", "dst_h", "space", "crange",
+                     "out_dtype", "method", "interpret"))
+def pallas_yuv420_preprocess(
+    y: jax.Array,  # [B, >= H (+pad), W] uint8
+    u: jax.Array,  # [B, >= H/2 (+pad), W/2] uint8
+    v: jax.Array,
+    *,
+    src_w: int,
+    src_h: int,
+    dst_w: int,
+    dst_h: int,
+    space: ColorSpace = ColorSpace.BT_709,
+    crange: ColorRange = ColorRange.MPEG,
+    out_dtype=jnp.uint8,
+    method: str = LANCZOS_AA,
+    interpret: bool = False,
+) -> jax.Array:
+    """Planar I420 batch -> planar RGB [B, 3, dst_h, dst_w].
+
+    Same banded design as the NV12 kernel; planar chroma needs no
+    interleave trick, the half-width planes resample directly.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = y.shape[0]
+    H, W, DH, DW = src_h, src_w, dst_h, dst_w
+    HW = W // 2
+    if (y.shape[1] < H or y.shape[2] != W or u.shape[1] < H // 2
+            or u.shape[2] != HW or u.shape != v.shape):
+        raise ValueError(
+            f"Plane shapes {y.shape}/{u.shape}/{v.shape} do not match "
+            f"YUV420 {W}x{H}")
+
+    y_starts, y_blocks, y_win, y_end = _banded_h_weights(H, DH, method)
+    c_starts, c_blocks, c_win, c_end = _banded_h_weights(
+        H // 2, DH, method, chroma_of=H)
+    if y.shape[1] < y_end:
+        y = jnp.pad(y, ((0, 0), (0, y_end - y.shape[1]), (0, 0)))
+    if u.shape[1] < c_end:
+        u = jnp.pad(u, ((0, 0), (0, c_end - u.shape[1]), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, c_end - v.shape[1]), (0, 0)))
+    y_rows, c_rows = y.shape[1], u.shape[1]
+
+    wyw = jnp.asarray(_w_weights(W, DW, method)).astype(jnp.bfloat16)
+    wcw = jnp.asarray(_plain_w_weights_half(W, DW, method)).astype(
+        jnp.bfloat16)
+    n_tiles = y_blocks.shape[0]
+
+    mo = colors.yuv2rgb_matrix(space, crange)
+    if mo is None:
+        raise ValueError(f"Unsupported cc combo {space}/{crange}")
+    m, y_off = mo
+    m = m.astype(np.float32)
+    is_u8 = np.dtype(out_dtype) == np.uint8
+
+    def _to_bf16(x):
+        return x.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+
+    def kernel(ystart_ref, cstart_ref, y_ref, u_ref, v_ref, yblk_ref,
+               cblk_ref, wyw_ref, wcw_ref, out_ref, yh_ref, uh_ref, vh_ref):
+        def h_tile(t, _):
+            ys = pl.multiple_of(ystart_ref[t], ALIGN)
+            cs = pl.multiple_of(cstart_ref[t], ALIGN)
+            yblk = yblk_ref[t].astype(jnp.bfloat16)
+            cblk = cblk_ref[t].astype(jnp.bfloat16)
+            yh_ref[pl.ds(t * TILE, TILE), :] = jnp.dot(
+                yblk, _to_bf16(y_ref[0, pl.ds(ys, y_win), :]),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            uh_ref[pl.ds(t * TILE, TILE), :] = jnp.dot(
+                cblk, _to_bf16(u_ref[0, pl.ds(cs, c_win), :]),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            vh_ref[pl.ds(t * TILE, TILE), :] = jnp.dot(
+                cblk, _to_bf16(v_ref[0, pl.ds(cs, c_win), :]),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles, h_tile, 0)
+
+        yw = jnp.dot(yh_ref[:DH, :], wyw_ref[...],
+                     preferred_element_type=jnp.float32)
+        uw = jnp.dot(uh_ref[:DH, :], wcw_ref[...],
+                     preferred_element_type=jnp.float32) - 128.0
+        vw = jnp.dot(vh_ref[:DH, :], wcw_ref[...],
+                     preferred_element_type=jnp.float32) - 128.0
+        yv = yw - y_off
+
+        r = m[0, 0] * yv + m[0, 1] * uw + m[0, 2] * vw
+        g = m[1, 0] * yv + m[1, 1] * uw + m[1, 2] * vw
+        b = m[2, 0] * yv + m[2, 1] * uw + m[2, 2] * vw
+        if is_u8:
+            for idx, ch in ((0, r), (1, g), (2, b)):
+                out_ref[0, idx] = jnp.clip(jnp.round(ch), 0.0, 255.0).astype(
+                    jnp.int32).astype(jnp.uint8)
+        else:
+            for idx, ch in ((0, r), (1, g), (2, b)):
+                out_ref[0, idx] = (ch / 255.0).astype(out_ref.dtype)
+
+    dh_pad = ((DH + TILE - 1) // TILE) * TILE
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, y_rows, W), lambda b, ys, cs: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_rows, HW), lambda b, ys, cs: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_rows, HW), lambda b, ys, cs: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, DH, DW),
+                               lambda b, ys, cs: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((dh_pad, W), jnp.bfloat16),
+            pltpu.VMEM((dh_pad, HW), jnp.bfloat16),
+            pltpu.VMEM((dh_pad, HW), jnp.bfloat16),
+        ],
+    )
+
+    flops = B * (n_tiles * TILE * (y_win * W + 2 * c_win * HW) * 2
+                 + DH * (W * DW + 2 * HW * DW) * 2)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 3, DH, DW), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=int(y.size + u.size + v.size) + B * 3 * DH * DW,
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(y_starts), jnp.asarray(c_starts), y, u, v,
       jnp.asarray(y_blocks), jnp.asarray(c_blocks), wyw, wcw)
     return out

@@ -44,7 +44,8 @@ def _preprocess_jit(planes, *, src_fmt, src_w, src_h, dst_w, dst_h, space,
 
 
 def _pallas_usable(src_fmt, space, crange) -> bool:
-    """The banded Pallas kernel covers the NV12 fast path on real TPUs."""
+    """The banded Pallas kernels cover NV12 and planar YUV420 on real
+    TPUs."""
     import jax
 
     try:
@@ -54,7 +55,7 @@ def _pallas_usable(src_fmt, space, crange) -> bool:
         return False
     from ..ops import colors
 
-    return (PixelFormat(src_fmt) == PixelFormat.NV12
+    return (PixelFormat(src_fmt) in (PixelFormat.NV12, PixelFormat.YUV420)
             and colors.yuv2rgb_matrix(space, crange) is not None)
 
 
@@ -211,6 +212,14 @@ def preprocess_batch(planes, src_fmt: PixelFormat, src_w: int, src_h: int,
         out = pallas_nv12_preprocess(
             planes[0], src_w=src_w, src_h=src_h, dst_w=dst_w, dst_h=dst_h,
             space=space, crange=crange, out_dtype=out_dtype, method=method)
+        return out if planar else jnp.moveaxis(out, 1, -1)
+    if use_pallas and src_fmt == PixelFormat.YUV420:
+        from ..ops.pallas_fused import pallas_yuv420_preprocess
+
+        out = pallas_yuv420_preprocess(
+            planes[0], planes[1], planes[2], src_w=src_w, src_h=src_h,
+            dst_w=dst_w, dst_h=dst_h, space=space, crange=crange,
+            out_dtype=out_dtype, method=method)
         return out if planar else jnp.moveaxis(out, 1, -1)
     return _preprocess_jit(
         tuple(planes), src_fmt=src_fmt, src_w=src_w,
