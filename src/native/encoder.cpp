@@ -243,6 +243,29 @@ void VideoEncoder::Open() {
   if (it != m_opts.end()) {
     av_dict_set(&priv, "rc-lookahead", it->second.c_str(), 0);
   }
+  // NVENC spatial AQ -> x264/x265 variance AQ; temporal AQ -> mb-tree.
+  it = m_opts.find("aq");
+  if (it != m_opts.end()) {
+    av_dict_set(&priv, "aq-mode", "1", 0);
+  }
+  it = m_opts.find("temporalaq");
+  if (it != m_opts.end() && !m_is_hevc) {
+    av_dict_set(&priv, "mbtree", "1", 0);
+  }
+  // NVENC multipass -> single-shot software equivalent: extend lookahead.
+  it = m_opts.find("multipass");
+  if (it != m_opts.end() && it->second != "0" &&
+      m_opts.find("lookahead") == m_opts.end()) {
+    av_dict_set(&priv, "rc-lookahead", "32", 0);
+  }
+  if (m_verbose) {
+    for (const char* ignored : {"ldkfs", "max_res", "numrefl1"}) {
+      if (m_opts.count(ignored)) {
+        std::cerr << "vali-tpu encoder: option '" << ignored
+                  << "' has no software equivalent, ignored\n";
+      }
+    }
+  }
   // SEI passthrough: enable user-data-unregistered side data emission.
   av_dict_set(&priv, "udu_sei", "1", 0);
   // Quiet x265's banner unless verbose.

@@ -158,3 +158,17 @@ def test_graft_entry_dryrun():
 
     n = min(8, len(jax.devices()))
     ge.dryrun_multichip(n)
+
+
+@pytest.mark.skipif(not os.path.exists(GT), reason="no reference data")
+def test_multistream_sync_mode():
+    """sync_streams=True yields one frame per live stream per batch."""
+    from vali_tpu.pipeline.multistream import MultiStreamPipeline
+
+    pipe = MultiStreamPipeline([GT, GT, GT], dst_w=32, dst_h=32, gpu_id=0,
+                               sync_streams=True)
+    batches = 0
+    for batch, ids in pipe:
+        assert sorted(ids) == [0, 1, 2]  # exactly one frame per stream
+        batches += 1
+    assert batches == 96  # lock-step over the full clip

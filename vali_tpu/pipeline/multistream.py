@@ -62,7 +62,7 @@ def _pallas_usable(src_fmt, space, crange) -> bool:
 class _StreamWorker(threading.Thread):
     """Decodes one stream into an output queue of host frames."""
 
-    def __init__(self, stream_id: int, source, opts, frames_per_batch: int,
+    def __init__(self, stream_id: int, source, opts,
                  out_q: "queue.Queue", stop_event: threading.Event):
         super().__init__(daemon=True, name=f"vali-decode-{stream_id}")
         self.stream_id = stream_id
@@ -102,7 +102,12 @@ class MultiStreamPipeline:
                  crange: ColorRange = ColorRange.MPEG,
                  out_dtype=jnp.uint8, planar: bool = False,
                  method: str = LANCZOS_AA,
-                 queue_depth: int = 4):
+                 queue_depth: int = 4,
+                 sync_streams: bool = False):
+        """``sync_streams=True`` assembles batches with exactly one frame
+        per live stream (lock-step across streams, e.g. for synchronized
+        multi-camera rigs); the default takes frames in arrival order for
+        maximum throughput."""
         if not sources:
             raise ValueError("Need at least one source")
         self.sources = list(sources)
@@ -113,22 +118,36 @@ class MultiStreamPipeline:
         self.out_dtype = out_dtype
         self.planar = planar
         self.method = method
+        self.sync_streams = sync_streams
 
         probe = PyDecoder(self.sources[0], opts or {}, gpu_id=-1)
         self.src_w, self.src_h = probe.Width, probe.Height
         self.src_fmt = probe.Format
         del probe
 
-        self._frame_q: "queue.Queue" = queue.Queue(
-            maxsize=queue_depth * self.batch_size)
         self._stop = threading.Event()
-        self._workers = [
-            _StreamWorker(i, src, opts or {}, self.batch_size,
-                          self._frame_q, self._stop)
-            for i, src in enumerate(self.sources)
-        ]
+        if sync_streams:
+            self._queues: List["queue.Queue"] = [
+                queue.Queue(maxsize=queue_depth)
+                for _ in range(len(self.sources))
+            ]
+            self._workers = [
+                _StreamWorker(i, src, opts or {}, self._queues[i],
+                              self._stop)
+                for i, src in enumerate(self.sources)
+            ]
+            self._frame_q = None
+        else:
+            self._frame_q = queue.Queue(
+                maxsize=queue_depth * self.batch_size)
+            self._queues = []
+            self._workers = [
+                _StreamWorker(i, src, opts or {}, self._frame_q, self._stop)
+                for i, src in enumerate(self.sources)
+            ]
         self._started = False
         self._live = 0
+        self._alive_mask: List[bool] = [True] * len(self.sources)
 
     def start(self) -> "MultiStreamPipeline":
         if not self._started:
@@ -141,22 +160,36 @@ class MultiStreamPipeline:
     def stop(self) -> None:
         self._stop.set()
         # drain so workers blocked on put() can exit
-        try:
-            while True:
-                self._frame_q.get_nowait()
-        except queue.Empty:
-            pass
+        for q in ([self._frame_q] if self._frame_q else self._queues):
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
     def _assemble(self) -> Optional[Tuple[np.ndarray, List[int]]]:
         frames: List[np.ndarray] = []
         ids: List[int] = []
-        while len(frames) < self.batch_size and self._live > 0:
-            stream_id, frame = self._frame_q.get()
-            if frame is None:
-                self._live -= 1
-                continue
-            frames.append(frame)
-            ids.append(stream_id)
+        if self.sync_streams:
+            # lock-step: exactly one frame per live stream
+            for sid, q in enumerate(self._queues):
+                if not self._alive_mask[sid]:
+                    continue
+                _, frame = q.get()
+                if frame is None:
+                    self._alive_mask[sid] = False
+                    self._live -= 1
+                    continue
+                frames.append(frame)
+                ids.append(sid)
+        else:
+            while len(frames) < self.batch_size and self._live > 0:
+                stream_id, frame = self._frame_q.get()
+                if frame is None:
+                    self._live -= 1
+                    continue
+                frames.append(frame)
+                ids.append(stream_id)
         if not frames:
             return None
         return np.stack(frames), ids
