@@ -234,3 +234,103 @@ def test_frame_converter_size_mismatch():
     ok, info = conv.Run(np.zeros(10, np.uint8), np.zeros(W * H * 3, np.uint8))
     assert not ok
     assert info == vali.TaskExecInfo.SRC_DST_SIZE_MISMATCH
+
+
+def test_cpu_vs_tpu_converter_cross_validation():
+    """Two independent implementations of YUV420->RGB (BT601 MPEG) must
+    agree: libswscale (native) vs the XLA converter. This mirrors the
+    reference's NVDEC-vs-CPU PSNR methodology."""
+    y = RNG.integers(16, 236, (H, W), dtype=np.uint8)
+    u = RNG.integers(16, 241, (H // 2, W // 2), dtype=np.uint8)
+    v = RNG.integers(16, 241, (H // 2, W // 2), dtype=np.uint8)
+    src = np.concatenate([y.reshape(-1), u.reshape(-1), v.reshape(-1)])
+    cc = vali.ColorspaceConversionContext(vali.ColorSpace.BT_601,
+                                          vali.ColorRange.MPEG)
+
+    # CPU path
+    conv = vali.PyFrameConverter(W, H, F.YUV420, F.RGB)
+    cpu_rgb = np.zeros(W * H * 3, np.uint8)
+    ok, _ = conv.Run(src, cpu_rgb, cc)
+    assert ok
+
+    # device path
+    surf = vali.Surface.from_numpy(src, F.YUV420, width=W, height=H)
+    dst = vali.Surface.Make(F.RGB, W, H)
+    cvt = vali.PySurfaceConverter(gpu_id=0)
+    ok, _ = cvt.Run(surf, dst, cc)
+    assert ok
+    tpu_rgb = dst.to_numpy().reshape(-1)
+
+    # chroma interpolation differs (swscale interpolates, NPP-parity path
+    # replicates), so compare luma-dominated PSNR like the reference does
+    mse = ((cpu_rgb.astype(np.float64) - tpu_rgb.astype(np.float64))**2).mean()
+    psnr = 10 * np.log10(255**2 / max(mse, 1e-12))
+    assert psnr > 20.0, psnr  # random chroma; smooth content scores >40
+
+
+def test_cpu_vs_tpu_converter_smooth_content():
+    """On smooth content the two implementations agree to PSNR > 40."""
+    yy, xx = np.mgrid[0:H, 0:W]
+    y = (110 + 60 * np.sin(yy / 23.0) * np.cos(xx / 31.0)).astype(np.uint8)
+    u = np.full((H // 2, W // 2), 120, np.uint8)
+    v = np.full((H // 2, W // 2), 140, np.uint8)
+    src = np.concatenate([y.reshape(-1), u.reshape(-1), v.reshape(-1)])
+    cc = vali.ColorspaceConversionContext(vali.ColorSpace.BT_601,
+                                          vali.ColorRange.MPEG)
+    conv = vali.PyFrameConverter(W, H, F.YUV420, F.RGB)
+    cpu_rgb = np.zeros(W * H * 3, np.uint8)
+    assert conv.Run(src, cpu_rgb, cc)[0]
+    surf = vali.Surface.from_numpy(src, F.YUV420, width=W, height=H)
+    dst = vali.Surface.Make(F.RGB, W, H)
+    assert vali.PySurfaceConverter(gpu_id=0).Run(surf, dst, cc)[0]
+    tpu_rgb = dst.to_numpy().reshape(-1)
+    mse = ((cpu_rgb.astype(np.float64) - tpu_rgb.astype(np.float64))**2).mean()
+    psnr = 10 * np.log10(255**2 / max(mse, 1e-12))
+    assert psnr > 40.0, psnr
+
+
+def test_encoder_append_mode():
+    enc = vali.PyNvEncoder({"s": f"{W}x{H}", "gop": "1"}, gpu_id=0,
+                           format=F.NV12)
+    packet = np.zeros(0, dtype=np.uint8)
+    sizes = []
+    for i in range(3):
+        assert enc.EncodeSingleSurface(nv12_surface(100 + i * 30), packet,
+                                       append=True)
+        sizes.append(packet.size)
+    # append accumulates monotonically
+    assert sizes == sorted(sizes)
+    flush = np.zeros(0, dtype=np.uint8)
+    enc.Flush(flush)
+    es = packet.tobytes() + flush.tobytes()
+    import tempfile, os
+
+    with tempfile.NamedTemporaryFile(suffix=".h264", delete=False) as f:
+        f.write(es)
+        path = f.name
+    try:
+        dec = vali.PyDecoder(path, {}, gpu_id=-1)
+        frame = np.zeros(dec.HostFrameSize, np.uint8)
+        n = 0
+        while dec.DecodeSingleFrame(frame)[0]:
+            n += 1
+        assert n == 3
+    finally:
+        os.unlink(path)
+
+
+def test_cpu_converter_nv12_rgb():
+    """BASELINE config 1 path: PyFrameConverter NV12->RGB on CPU."""
+    y = np.tile(np.linspace(16, 235, W).astype(np.uint8), (H, 1))
+    uv = np.full((H // 2, W), 128, np.uint8)
+    src = np.concatenate([y.reshape(-1), uv.reshape(-1)])
+    conv = vali.PyFrameConverter(W, H, F.NV12, F.RGB)
+    dst = np.zeros(W * H * 3, np.uint8)
+    cc = vali.ColorspaceConversionContext(vali.ColorSpace.BT_709,
+                                          vali.ColorRange.MPEG)
+    ok, info = conv.Run(src, dst, cc)
+    assert ok, info
+    want = np.clip(1.164 * (y.astype(np.float64) - 16), 0, 255)
+    got = dst.reshape(H, W, 3).astype(np.float64)
+    for c in range(3):
+        assert np.abs(got[..., c] - want).max() <= 2.0
