@@ -81,3 +81,4 @@ typedef struct _object PyObject;
 int vali_register_encoder(PyObject* module);
 int vali_register_frameconv(PyObject* module);
 int vali_register_jpeg(PyObject* module);
+int vali_register_jpeg_coefficients(PyObject* module);

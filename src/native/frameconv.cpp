@@ -56,7 +56,7 @@ Info FrameConverter::Convert(const uint8_t* src, size_t src_size,
 
   m_sws = sws_getCachedContext(m_sws, m_width, m_height, m_src_av, m_width,
                                m_height, m_dst_av,
-                               SWS_BILINEAR | SWS_FULL_CHR_H_INT, nullptr,
+                               SWS_BILINEAR | SWS_FULL_CHR_H_INT | SWS_ACCURATE_RND, nullptr,
                                nullptr, nullptr);
   if (!m_sws) {
     msg = "Failed to create swscale context";

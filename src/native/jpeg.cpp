@@ -1,5 +1,6 @@
 #include "jpeg.hpp"
 
+#include <algorithm>
 #include <csetjmp>
 #include <cstring>
 
@@ -189,6 +190,121 @@ Info JpegEncoder::Encode(const uint8_t* data, size_t size, int width,
   jpeg_finish_compress(&cinfo);
   jpeg_destroy_compress(&cinfo);
 
+  out.assign(outbuf, outbuf + outsize);
+  free(outbuf);
+  return Info::SUCCESS;
+}
+
+}  // namespace vali
+
+namespace vali {
+
+Info jpeg_encode_coefficients(const int16_t* y, int y_bh, int y_bw,
+                              const int16_t* cb, const int16_t* cr,
+                              int c_bh, int c_bw, int width, int height,
+                              bool subsample420, int quality,
+                              std::vector<uint8_t>& out, std::string& msg) {
+  jpeg_compress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+
+  unsigned char* outbuf = nullptr;
+  unsigned long outsize = 0;
+
+  if (setjmp(jerr.setjmp_buffer)) {
+    msg = jerr.message;
+    jpeg_destroy_compress(&cinfo);
+    if (outbuf) free(outbuf);
+    return Info::FAIL;
+  }
+
+  jpeg_create_compress(&cinfo);
+  jpeg_mem_dest(&cinfo, &outbuf, &outsize);
+
+  const bool gray = (cb == nullptr || cr == nullptr);
+  cinfo.image_width = width;
+  cinfo.image_height = height;
+  cinfo.input_components = gray ? 1 : 3;
+  cinfo.in_color_space = gray ? JCS_GRAYSCALE : JCS_YCbCr;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  jpeg_set_colorspace(&cinfo, gray ? JCS_GRAYSCALE : JCS_YCbCr);
+  if (!gray) {
+    cinfo.comp_info[0].h_samp_factor = subsample420 ? 2 : 1;
+    cinfo.comp_info[0].v_samp_factor = subsample420 ? 2 : 1;
+    cinfo.comp_info[1].h_samp_factor = 1;
+    cinfo.comp_info[1].v_samp_factor = 1;
+    cinfo.comp_info[2].h_samp_factor = 1;
+    cinfo.comp_info[2].v_samp_factor = 1;
+  }
+
+  // Component geometry: computed here the same way libjpeg's master
+  // control will (jpeg_write_coefficients re-derives them from the image
+  // dims + sampling factors).
+  const int num_comps = cinfo.num_components;
+  jvirt_barray_ptr coef_arrays[3] = {nullptr, nullptr, nullptr};
+  const int16_t* srcs[3] = {y, cb, cr};
+  int src_bh[3] = {y_bh, c_bh, c_bh};
+  int src_bw[3] = {y_bw, c_bw, c_bw};
+
+  // per-component block dims as libjpeg computes them
+  int max_h = 1, max_v = 1;
+  for (int c = 0; c < num_comps; c++) {
+    max_h = std::max(max_h, cinfo.comp_info[c].h_samp_factor);
+    max_v = std::max(max_v, cinfo.comp_info[c].v_samp_factor);
+  }
+  for (int c = 0; c < num_comps; c++) {
+    jpeg_component_info* comp = &cinfo.comp_info[c];
+    long wb = (static_cast<long>(width) * comp->h_samp_factor + 8L * max_h
+               - 1) / (8L * max_h);
+    long hb = (static_cast<long>(height) * comp->v_samp_factor + 8L * max_v
+               - 1) / (8L * max_v);
+    comp->width_in_blocks = static_cast<JDIMENSION>(wb);
+    comp->height_in_blocks = static_cast<JDIMENSION>(hb);
+    JDIMENSION awb = static_cast<JDIMENSION>(
+        ((wb + comp->h_samp_factor - 1) / comp->h_samp_factor)
+        * comp->h_samp_factor);
+    JDIMENSION ahb = static_cast<JDIMENSION>(
+        ((hb + comp->v_samp_factor - 1) / comp->v_samp_factor)
+        * comp->v_samp_factor);
+    coef_arrays[c] = (*cinfo.mem->request_virt_barray)(
+        reinterpret_cast<j_common_ptr>(&cinfo), JPOOL_IMAGE, TRUE, awb, ahb,
+        static_cast<JDIMENSION>(comp->v_samp_factor));
+  }
+
+  jpeg_write_coefficients(&cinfo, coef_arrays);
+
+  for (int c = 0; c < num_comps; c++) {
+    jpeg_component_info* comp = &cinfo.comp_info[c];
+    const int16_t* src = srcs[c];
+    // Fill every allocated (MCU-padded) block, clamping to the source
+    // grid; dummy blocks replicate the edge block, which keeps the DC
+    // predictor smooth.
+    JDIMENSION awb = static_cast<JDIMENSION>(
+        ((comp->width_in_blocks + comp->h_samp_factor - 1)
+         / comp->h_samp_factor) * comp->h_samp_factor);
+    JDIMENSION ahb = static_cast<JDIMENSION>(
+        ((comp->height_in_blocks + comp->v_samp_factor - 1)
+         / comp->v_samp_factor) * comp->v_samp_factor);
+    for (JDIMENSION row = 0; row < ahb; row++) {
+      JBLOCKARRAY buf = (*cinfo.mem->access_virt_barray)(
+          reinterpret_cast<j_common_ptr>(&cinfo), coef_arrays[c], row, 1,
+          TRUE);
+      for (JDIMENSION col = 0; col < awb; col++) {
+        int srow = std::min<int>(row, src_bh[c] - 1);
+        int scol = std::min<int>(col, src_bw[c] - 1);
+        const int16_t* block = src
+            + (static_cast<size_t>(srow) * src_bw[c] + scol) * DCTSIZE2;
+        for (int k = 0; k < DCTSIZE2; k++) {
+          buf[0][col][k] = static_cast<JCOEF>(block[k]);
+        }
+      }
+    }
+  }
+
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
   out.assign(outbuf, outbuf + outsize);
   free(outbuf);
   return Info::SUCCESS;

@@ -28,3 +28,17 @@ class JpegEncoder {
 };
 
 }  // namespace vali
+
+namespace vali {
+
+/// Write a JPEG from pre-computed quantized DCT coefficients (the TPU
+/// handles CSC/subsample/DCT/quant; host does entropy coding only via
+/// jpeg_write_coefficients — the jpegtran path).
+/// y/cb/cr: [bh, bw, 64] int16 natural-order blocks (cb/cr null for gray).
+Info jpeg_encode_coefficients(const int16_t* y, int y_bh, int y_bw,
+                              const int16_t* cb, const int16_t* cr,
+                              int c_bh, int c_bw, int width, int height,
+                              bool subsample420, int quality,
+                              std::vector<uint8_t>& out, std::string& msg);
+
+}  // namespace vali

@@ -373,3 +373,75 @@ int vali_register_jpeg(PyObject* m) {
                        (initproc)Jpeg_init, (destructor)Jpeg_dealloc,
                        Jpeg_methods, "libjpeg encoder");
 }
+
+// --------------------------------------------------------------------------
+// TPU-assisted JPEG: entropy-code device-produced DCT coefficients
+// --------------------------------------------------------------------------
+
+extern "C" {
+// (declared in jpeg.hpp within namespace vali)
+}
+
+static PyObject* native_encode_jpeg_coefficients(PyObject*, PyObject* args,
+                                                 PyObject* kwds) {
+  static const char* kwlist[] = {"y", "cb", "cr", "width", "height",
+                                 "subsample420", "quality", "y_bh", "y_bw",
+                                 "c_bh", "c_bw", nullptr};
+  PyObject* y_obj;
+  PyObject* cb_obj = Py_None;
+  PyObject* cr_obj = Py_None;
+  int width, height, subsample420, quality, y_bh, y_bw, c_bh = 0, c_bw = 0;
+  if (!PyArg_ParseTupleAndKeywords(
+          args, kwds, "OOOiipiii|ii", const_cast<char**>(kwlist), &y_obj,
+          &cb_obj, &cr_obj, &width, &height, &subsample420, &quality, &y_bh,
+          &y_bw, &c_bh, &c_bw)) {
+    return nullptr;
+  }
+  Py_buffer yv = {}, cbv = {}, crv = {};
+  if (PyObject_GetBuffer(y_obj, &yv, PyBUF_SIMPLE) < 0) return nullptr;
+  const int16_t* cb_ptr = nullptr;
+  const int16_t* cr_ptr = nullptr;
+  if (cb_obj != Py_None && cr_obj != Py_None) {
+    if (PyObject_GetBuffer(cb_obj, &cbv, PyBUF_SIMPLE) < 0) {
+      PyBuffer_Release(&yv);
+      return nullptr;
+    }
+    if (PyObject_GetBuffer(cr_obj, &crv, PyBUF_SIMPLE) < 0) {
+      PyBuffer_Release(&yv);
+      PyBuffer_Release(&cbv);
+      return nullptr;
+    }
+    cb_ptr = static_cast<const int16_t*>(cbv.buf);
+    cr_ptr = static_cast<const int16_t*>(crv.buf);
+  }
+  std::vector<uint8_t> out;
+  std::string msg;
+  Info info;
+  Py_BEGIN_ALLOW_THREADS
+  info = vali::jpeg_encode_coefficients(
+      static_cast<const int16_t*>(yv.buf), y_bh, y_bw, cb_ptr, cr_ptr, c_bh,
+      c_bw, width, height, subsample420 != 0, quality, out, msg);
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&yv);
+  if (cb_ptr) {
+    PyBuffer_Release(&cbv);
+    PyBuffer_Release(&crv);
+  }
+  if (info != Info::SUCCESS) {
+    return Py_BuildValue("(is)", static_cast<int>(info), msg.c_str());
+  }
+  PyObject* bytes = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(out.data()), out.size());
+  return Py_BuildValue("(iN)", static_cast<int>(info), bytes);
+}
+
+static PyMethodDef jpeg_coef_methods[] = {
+    {"encode_jpeg_coefficients",
+     (PyCFunction)native_encode_jpeg_coefficients,
+     METH_VARARGS | METH_KEYWORDS,
+     "Entropy-code device-produced quantized DCT coefficients into a JPEG."},
+    {nullptr, nullptr, 0, nullptr}};
+
+int vali_register_jpeg_coefficients(PyObject* m) {
+  return PyModule_AddFunctions(m, jpeg_coef_methods);
+}

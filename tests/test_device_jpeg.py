@@ -1,0 +1,117 @@
+"""TPU-assisted JPEG encode tests (device DCT + host entropy coding)."""
+
+import numpy as np
+import pytest
+
+import vali_tpu as vali
+from vali_tpu.engine.jpeg import jpeg_encode_device
+from vali_tpu.ops.jpeg import dct_matrix, quant_tables
+
+F = vali.PixelFormat
+H, W = 96, 128
+RNG = np.random.default_rng(9)
+
+
+def smooth_rgb():
+    yy, xx = np.mgrid[0:H, 0:W]
+    return np.stack([
+        128 + 90 * np.sin(yy / 19.0) * np.cos(xx / 13.0),
+        128 + 90 * np.cos(yy / 17.0),
+        128 + 90 * np.sin(xx / 23.0),
+    ], -1).astype(np.uint8)
+
+
+def decode_jpeg(blob):
+    import os
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".jpg", delete=False) as f:
+        f.write(bytes(blob))
+        path = f.name
+    try:
+        dec = vali.PyDecoder(path, {}, gpu_id=-1)
+        frame = np.zeros(dec.HostFrameSize, np.uint8)
+        ok, _ = dec.DecodeSingleFrame(frame)
+        assert ok
+        conv = vali.PyFrameConverter(dec.Width, dec.Height, dec.Format,
+                                     F.RGB)
+        rgb = np.zeros(dec.Width * dec.Height * 3, np.uint8)
+        cc = vali.ColorspaceConversionContext(vali.ColorSpace.BT_601,
+                                              vali.ColorRange.JPEG)
+        ok, _ = conv.Run(frame, rgb, cc)
+        assert ok
+        return rgb.reshape(dec.Height, dec.Width, 3)
+    finally:
+        os.unlink(path)
+
+
+def psnr(a, b):
+    mse = ((np.asarray(a, np.float64) - np.asarray(b, np.float64))**2).mean()
+    return 10 * np.log10(255**2 / max(mse, 1e-12))
+
+
+def test_dct_matrix_orthonormal():
+    d = dct_matrix().astype(np.float64)
+    assert np.allclose(d @ d.T, np.eye(8), atol=1e-6)
+
+
+def test_quant_tables_match_ijg():
+    # quality 50 returns the Annex K base tables unscaled
+    ql, qc = quant_tables(50)
+    assert ql[0, 0] == 16 and qc[0, 0] == 17
+    ql90, _ = quant_tables(90)
+    assert ql90[0, 0] == 3  # (16*20+50)//100
+    ql10, _ = quant_tables(10)
+    assert ql10[0, 0] == 80  # (16*500+50)//100
+
+
+def test_device_jpeg_rgb_roundtrip():
+    img = smooth_rgb()
+    surf = vali.Surface.from_numpy(img, F.RGB)
+    blobs = jpeg_encode_device([surf, surf], quality=90)
+    assert len(blobs) == 2
+    assert bytes(blobs[0][:3]) == b"\xff\xd8\xff"
+    decoded = decode_jpeg(blobs[0])
+    assert psnr(decoded, img) > 38.0
+
+
+def test_device_jpeg_matches_host_quality():
+    """Device-DCT JPEGs should decode to images of similar fidelity and
+    size to pure-host libjpeg at the same quality."""
+    img = smooth_rgb()
+    surf = vali.Surface.from_numpy(img, F.RGB)
+    dev = jpeg_encode_device([surf], quality=85)[0]
+    host_enc = vali.PyNvJpegEncoder(gpu_id=0)
+    host = host_enc.Run(host_enc.Context(85, F.RGB), [surf])[0][0]
+    p_dev = psnr(decode_jpeg(dev), img)
+    p_host = psnr(decode_jpeg(host), img)
+    assert abs(p_dev - p_host) < 3.0, (p_dev, p_host)
+    assert 0.5 < len(dev) / len(host) < 2.0
+
+
+def test_device_jpeg_grayscale():
+    y = RNG.integers(0, 256, (H, W), dtype=np.uint8)
+    surf = vali.Surface.from_numpy(y, F.Y)
+    blobs = jpeg_encode_device([surf], quality=90)
+    assert bytes(blobs[0][:2]) == b"\xff\xd8"
+
+
+def test_device_jpeg_yuv420():
+    planes = [RNG.integers(0, 256, (H, W), np.uint8),
+              np.full((H // 2, W // 2), 100, np.uint8),
+              np.full((H // 2, W // 2), 160, np.uint8)]
+    surf = vali.Surface.from_numpy(planes, F.YUV420)
+    blobs = jpeg_encode_device([surf], quality=85)
+    assert bytes(blobs[0][:2]) == b"\xff\xd8"
+    decoded = decode_jpeg(blobs[0])
+    assert decoded.shape == (H, W, 3)
+
+
+def test_device_jpeg_odd_size():
+    """Non-multiple-of-8/16 geometry must produce a valid JPEG."""
+    img = smooth_rgb()[:90, :100]
+    surf = vali.Surface.from_numpy(np.ascontiguousarray(img), F.RGB)
+    blobs = jpeg_encode_device([surf], quality=85)
+    decoded = decode_jpeg(blobs[0])
+    assert decoded.shape == (90, 100, 3)
+    assert psnr(decoded, img) > 35.0

@@ -62,3 +62,61 @@ class PyNvJpegEncoder:
                     return ([], TaskExecInfo(info))
                 out.append(np.frombuffer(payload, dtype=np.uint8))
         return (out, TaskExecInfo.SUCCESS)
+
+
+def jpeg_encode_device(surfaces, quality: int = 85,
+                       subsample420: bool = True):
+    """TPU-assisted batch JPEG encode (SURVEY §7 stretch goal).
+
+    The device runs color conversion, chroma subsampling, 8x8 DCT and
+    quantization for the WHOLE batch in one fused XLA computation
+    (ops/jpeg.py); the host only entropy-codes the quantized coefficients
+    via libjpeg's jpeg_write_coefficients. Accepts RGB/BGR/RGB_PLANAR/Y/
+    YUV444/YUV420 surfaces of equal geometry; returns a list of numpy JPEG
+    byte arrays.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.jpeg import jpeg_transform_batch
+
+    if not surfaces:
+        return []
+    native = load_native()
+    fmt = surfaces[0].Format
+    w, h = surfaces[0].Width, surfaces[0].Height
+    for s in surfaces:
+        if s.Format != fmt or s.Width != w or s.Height != h:
+            raise ValueError("All surfaces must share format and geometry")
+
+    n_planes = len(surfaces[0].plane_arrays())
+    batched = tuple(
+        jnp.stack([s.plane_arrays()[j] for s in surfaces])
+        for j in range(n_planes))
+    is420 = (subsample420 or fmt == PixelFormat.YUV420) and \
+        fmt != PixelFormat.YUV444
+    y_c, cb_c, cr_c = jpeg_transform_batch(
+        batched, src_fmt=int(fmt), width=w, height=h, quality=quality,
+        subsample420=is420)
+
+    y_np = np.asarray(y_c)
+    cb_np = np.asarray(cb_c) if cb_c is not None else None
+    cr_np = np.asarray(cr_c) if cr_c is not None else None
+
+    out = []
+    for i in range(y_np.shape[0]):
+        kwargs = dict(width=w, height=h, subsample420=is420,
+                      quality=quality, y_bh=y_np.shape[1],
+                      y_bw=y_np.shape[2])
+        if cb_np is not None:
+            kwargs.update(c_bh=cb_np.shape[1], c_bw=cb_np.shape[2])
+            info, payload = native.encode_jpeg_coefficients(
+                np.ascontiguousarray(y_np[i]),
+                np.ascontiguousarray(cb_np[i]),
+                np.ascontiguousarray(cr_np[i]), **kwargs)
+        else:
+            info, payload = native.encode_jpeg_coefficients(
+                np.ascontiguousarray(y_np[i]), None, None, **kwargs)
+        if TaskExecInfo(info) != TaskExecInfo.SUCCESS:
+            raise RuntimeError(f"JPEG entropy coding failed: {payload}")
+        out.append(np.frombuffer(payload, dtype=np.uint8))
+    return out
