@@ -29,7 +29,11 @@ def main():
     rgb = vali.Surface.Make(vali.PixelFormat.RGB, dec.Width, dec.Height,
                             gpu_id=gpu_id)
     cvt = vali.PySurfaceConverter(gpu_id=gpu_id)
-    cc = vali.ColorspaceConversionContext(dec.ColorSpace, dec.ColorRange)
+    # The YUV420->RGB pair supports BT_601 only (NPP dispatch parity;
+    # the reference's GPU path sees NV12 where BT_709 exists).
+    space = (dec.ColorSpace if dec.Format == vali.PixelFormat.NV12
+             else vali.ColorSpace.BT_601)
+    cc = vali.ColorspaceConversionContext(space, dec.ColorRange)
 
     pkt = vali.PacketData()
     n = 0

@@ -16,7 +16,11 @@ def main():
 
     dec = vali.PyDecoder(uri, {}, gpu_id=0)
     cvt = vali.PySurfaceConverter(gpu_id=0)
-    cc = vali.ColorspaceConversionContext(dec.ColorSpace, dec.ColorRange)
+    # The YUV420->RGB pair supports BT_601 only (NPP dispatch parity;
+    # the reference's GPU path sees NV12 where BT_709 exists).
+    space = (dec.ColorSpace if dec.Format == vali.PixelFormat.NV12
+             else vali.ColorSpace.BT_601)
+    cc = vali.ColorspaceConversionContext(space, dec.ColorRange)
     jpeg = vali.PyNvJpegEncoder(gpu_id=0)
     ctx = jpeg.Context(90, vali.PixelFormat.RGB)
 

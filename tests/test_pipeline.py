@@ -172,3 +172,36 @@ def test_multistream_sync_mode():
         assert sorted(ids) == [0, 1, 2]  # exactly one frame per stream
         batches += 1
     assert batches == 96  # lock-step over the full clip
+
+
+def test_sharded_pallas_preprocess_cpu_mesh():
+    """shard_map'd Pallas kernel over the data axis (interpret on CPU)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs multi-device mesh")
+    # interpret-mode pallas inside shard_map on the CPU backend
+    from vali_tpu.ops.pallas_fused import (pallas_nv12_preprocess,
+                                           required_pad_rows)
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    B, H, W, DH, DW = 8, 96, 256, 32, 64
+    pad = required_pad_rows(W, H, DH)
+    nv12 = jnp.asarray(RNG.integers(0, 256, (B, H * 3 // 2 + pad, W),
+                                    dtype=np.uint8))
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4,), ("data",))
+
+    def local_fn(shard):
+        return pallas_nv12_preprocess(
+            shard, src_w=W, src_h=H, dst_w=DW, dst_h=DH, interpret=True)
+
+    fn = jax.jit(shard_map(local_fn, mesh=mesh, in_specs=P("data", None, None),
+                           out_specs=P("data", None, None, None),
+                           check_rep=False))
+    out = np.asarray(fn(nv12))
+    ref = np.asarray(pallas_nv12_preprocess(
+        nv12, src_w=W, src_h=H, dst_w=DW, dst_h=DH, interpret=True))
+    assert np.array_equal(out, ref)

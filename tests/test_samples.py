@@ -1,0 +1,69 @@
+"""Smoke-run every sample script (keeps samples/ from rotting).
+
+Runs each via subprocess on the CPU backend against the reference clip.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CLIP = "/root/reference/tests/data/test.mp4"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(CLIP), reason="reference test data not available")
+
+ENV = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+
+
+def run_sample(name, *args, timeout=180):
+    proc = subprocess.run(
+        [sys.executable, os.path.join("samples", name), *args],
+        cwd=REPO, env=ENV, capture_output=True, text=True, timeout=timeout)
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+    return proc.stdout
+
+
+def test_sample_decode():
+    out = run_sample("sample_decode.py", CLIP)
+    assert "decoded 96 frames" in out
+
+
+def test_sample_seek():
+    out = run_sample("sample_seek.py", CLIP)
+    assert "seek 1.5s" in out
+
+
+def test_sample_transcode(tmp_path):
+    out_path = str(tmp_path / "out.h264")
+    out = run_sample("sample_transcode.py", CLIP, out_path, "320", "180")
+    assert "transcoded 96 frames" in out
+    assert os.path.getsize(out_path) > 1000
+
+
+def test_sample_jpeg():
+    out = run_sample("sample_jpeg.py", CLIP, "2")
+    assert out.count(".jpg") >= 2
+
+
+def test_sample_device_info():
+    out = run_sample("get_device_info.py")
+    assert "accelerators:" in out
+    assert "codec" in out
+
+
+def test_sample_network():
+    out = run_sample("sample_decode_from_network.py", CLIP)
+    assert "decoded 60 frames" in out
+
+
+def test_sample_multistream():
+    out = run_sample("sample_multistream.py", CLIP, "2", timeout=300)
+    assert "fps end-to-end" in out
+
+
+def test_sample_segmentation():
+    out = run_sample("sample_segmentation.py", CLIP, "1", timeout=300)
+    assert "segmented" in out

@@ -78,3 +78,35 @@ def sharded_preprocess(
                             for _ in range(n_planes)),),
         out_shardings=NamedSharding(mesh, out_spec),
     )
+
+
+def sharded_pallas_preprocess(mesh: Mesh, src_w: int, src_h: int,
+                              dst_w: int, dst_h: int,
+                              space: ColorSpace = ColorSpace.BT_709,
+                              crange: ColorRange = ColorRange.MPEG,
+                              out_dtype=None, planar: bool = True):
+    """Multi-chip wrapper for the banded Pallas NV12 kernel: the batch is
+    sharded over the mesh's "data" axis and each chip runs the kernel on
+    its local shard (embarrassingly parallel — no collectives). Input must
+    be [B, H*3/2(+pad), W] with B divisible by the data-axis size."""
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.pallas_fused import pallas_nv12_preprocess
+
+    if out_dtype is None:
+        out_dtype = jnp.uint8
+    data_axes = ("data",)
+
+    def local_fn(nv12_shard):
+        out = pallas_nv12_preprocess(
+            nv12_shard, src_w=src_w, src_h=src_h, dst_w=dst_w, dst_h=dst_h,
+            space=space, crange=crange, out_dtype=out_dtype)
+        return out if planar else jnp.moveaxis(out, 1, -1)
+
+    sharded = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=P("data", None, None),
+        out_specs=P("data", None, None, None),
+        check_rep=False)
+    return jax.jit(sharded)
