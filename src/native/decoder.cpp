@@ -67,13 +67,19 @@ VideoDecoder::VideoDecoder(const char* url, OptMap opts, const IoHooks* io,
                                 &open_opts);
   if (open_opts) av_dict_free(&open_opts);
   if (res < 0) {
-    // fmt_ctx freed by avformat_open_input on failure
-    m_io_ctx = nullptr;
+    // fmt_ctx is freed by avformat_open_input on failure; the custom IO
+    // context stays caller-owned (AVFMT_FLAG_CUSTOM_IO) so free it here.
+    if (m_io_ctx) {
+      av_freep(&m_io_ctx->buffer);
+      avio_context_free(&m_io_ctx);
+    }
+    if (m_options) av_dict_free(&m_options);
     throw std::runtime_error("Can't open source " + std::string(url ? url : "")
                              + ": " + av_err_str(res));
   }
   m_fmt_ctx = fmt_ctx;
 
+  try {
   m_timeout->Reset();
   res = avformat_find_stream_info(m_fmt_ctx, nullptr);
   throw_on_av_error(res, "Can't find stream information");
@@ -101,6 +107,19 @@ VideoDecoder::VideoDecoder(const char* url, OptMap opts, const IoHooks* io,
 
   m_frame = av_frame_alloc();
   if (!m_frame) throw std::runtime_error("Failed to allocate frame");
+  } catch (...) {
+    // Destructors don't run when a constructor throws: release everything
+    // acquired so far before propagating.
+    if (m_frame) av_frame_free(&m_frame);
+    if (m_avc_ctx) avcodec_free_context(&m_avc_ctx);
+    if (m_fmt_ctx) avformat_close_input(&m_fmt_ctx);
+    if (m_io_ctx) {
+      av_freep(&m_io_ctx->buffer);
+      avio_context_free(&m_io_ctx);
+    }
+    if (m_options) av_dict_free(&m_options);
+    throw;
+  }
 }
 
 VideoDecoder::~VideoDecoder() {

@@ -95,7 +95,12 @@ VideoEncoder::VideoEncoder(OptMap opts, PixFmt fmt, bool verbose)
       m_width <= 0 || m_height <= 0) {
     throw std::runtime_error("Invalid frame size: " + it->second);
   }
-  Open();
+  try {
+    Open();
+  } catch (...) {
+    Close();  // ctor throw: destructor won't run
+    throw;
+  }
 }
 
 VideoEncoder::~VideoEncoder() { Close(); }

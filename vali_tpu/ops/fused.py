@@ -96,9 +96,13 @@ def fused_preprocess(
         raise ValueError(f"Unsupported cc combo {space}/{crange}")
     m, y_off = mo
     m = m.astype(np.float32)
-    scale = float(1 << (bit_depth - 8)) if src_fmt not in (
-        PixelFormat.P10, PixelFormat.P12) else float(1 << 8)
-    # P10/P12 store MSB-aligned 16-bit: offsets scale by 256.
+    # "scale" maps an 8-bit-referenced value (offsets, output range) into
+    # the input's stored units: LSB 10/12-bit formats store v10 = v8 * 4,
+    # P10/P12 store MSB-aligned 16-bit (v16 = v8 * 256).
+    if src_fmt in (PixelFormat.P10, PixelFormat.P12):
+        scale = 256.0
+    else:
+        scale = float(1 << (bit_depth - 8))
     c_off = 128.0 * scale
     y_offset = y_off * scale
 
@@ -123,17 +127,11 @@ def fused_preprocess(
     rgb = jnp.stack([r, g, b], axis=-1)
 
     if np.dtype(out_dtype) == np.uint8:
-        maxv = 255.0 * (scale if bit_depth == 8 else 1.0)
-        rgb = jnp.clip(jnp.round(rgb / (scale if scale != 1.0 else 1.0)),
-                       0.0, 255.0).astype(jnp.uint8)
+        # rgb is in the input's stored units; divide back to 8-bit range
+        rgb = jnp.clip(jnp.round(rgb / scale), 0.0, 255.0).astype(jnp.uint8)
     else:
-        # float output scaled to [0,1]
-        denom = float((1 << bit_depth) - 1) * (
-            256.0 / float((1 << bit_depth) - 1)
-            if src_fmt in (PixelFormat.P10, PixelFormat.P12) else 1.0)
-        if src_fmt in (PixelFormat.P10, PixelFormat.P12):
-            denom = 65535.0
-        rgb = (rgb / denom).astype(out_dtype)
+        # float output scaled to [0, 1]
+        rgb = (rgb / (scale * 255.0)).astype(out_dtype)
         if normalize is not None:
             mean = jnp.asarray(normalize[0], dtype=out_dtype)
             std = jnp.asarray(normalize[1], dtype=out_dtype)

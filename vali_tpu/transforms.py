@@ -73,8 +73,7 @@ class _SurfaceOp:
         return self._stream.handle
 
     def _finish(self, dst: Surface, arrays, sync: bool):
-        batched = [a for a in arrays]
-        dst._replace_arrays([a[0] for a in batched])
+        dst._replace_arrays([a[0] for a in arrays])
         self._stream.record_arrays(dst.plane_arrays())
         if sync:
             dst.block_until_ready()
