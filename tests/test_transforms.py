@@ -188,3 +188,40 @@ def test_converter_nv12_rgb_pipeline_psnr():
     want = np.clip(1.164 * (y.astype(np.float64) - 16), 0, 255)
     for c in range(3):
         assert np.abs(rgb[..., c] - want).max() <= 1.0
+
+
+def test_resize_yuv422_and_yuv444():
+    for fmt in (F.YUV444,):
+        surf, _ = make_filled(fmt)
+        dst = vali.Surface.Make(fmt, W // 2, H // 2)
+        rsz = vali.PySurfaceResizer(fmt, gpu_id=0)
+        ok, info = rsz.Run(surf, dst)
+        assert ok, info
+
+
+def test_rotate_yuv422_and_gray12():
+    surf, arrays = make_filled(F.YUV422)
+    dst = vali.Surface.Make(F.YUV422, H, W)
+    rot = vali.PySurfaceRotator(gpu_id=0)
+    ok, info = rot.Run(surf, dst, 90.0)
+    assert ok, info
+    assert np.array_equal(dst.plane_arrays()[0][...],
+                          np.rot90(arrays[0], k=1))
+
+    g12, arrays12 = make_filled(F.GRAY12)
+    dst12 = vali.Surface.Make(F.GRAY12, H, W)
+    ok, info = rot.Run(g12, dst12, 90.0)
+    assert ok, info
+    assert np.array_equal(dst12.to_numpy(), np.rot90(arrays12[0], k=1))
+
+
+def test_cpu_converter_planar_rgb_swizzle():
+    """RGB_PLANAR <-> YUV444 via swscale's GBRP with plane-pointer
+    swizzling (no copies)."""
+    rgbp = RNG.integers(0, 255, (3, H, W), dtype=np.uint8)
+    conv = vali.PyFrameConverter(W, H, F.RGB_PLANAR, F.RGB)
+    dst = np.zeros(W * H * 3, np.uint8)
+    ok, info = conv.Run(rgbp.reshape(-1), dst)
+    assert ok, info
+    want = np.moveaxis(rgbp, 0, -1).reshape(-1)
+    assert np.array_equal(dst, want)
