@@ -161,6 +161,12 @@ void VideoDecoder::OpenCodec() {
    * reconstruct PTS values (parity: TaskDecodeFrame.cpp:441-446). */
   m_avc_ctx->pkt_timebase = stream->time_base;
 
+  /* Default to auto threading (libavcodec's default is single-threaded);
+   * a user-supplied "threads" AVOption still overrides via the dict. */
+  if (!av_dict_get(m_options, "threads", nullptr, 0)) {
+    m_avc_ctx->thread_count = 0;
+  }
+
   AVDictionary* copts = nullptr;
   av_dict_copy(&copts, m_options, 0);
   res = avcodec_open2(m_avc_ctx, codec, &copts);

@@ -170,6 +170,9 @@ void VideoEncoder::Open() {
   }
   m_ctx->pix_fmt = m_enc_pix_fmt;
 
+  // Auto codec threading (avctx default is 1 = single-threaded x264).
+  m_ctx->thread_count = 0;
+
   int fps = 30;
   it = m_opts.find("fps");
   if (it != m_opts.end()) fps = std::stoi(it->second);

