@@ -352,3 +352,47 @@ def test_pts_monotonic_1080p():
         last = pkt.pts
         n += 1
     assert n >= rec["num_frames"] - 1
+
+
+def test_seek_with_surface_and_pkt_data():
+    dec, _ = make_decoder("basic", gpu_id=0)
+    surf = vali.Surface.Make(dec.Format, dec.Width, dec.Height, gpu_id=0)
+    pkt = vali.PacketData()
+    ok, info = dec.DecodeSingleSurface(
+        surf, pkt, seek_ctx=vali.SeekContext(seek_frame=30))
+    assert ok, info
+    assert round(pkt.pts * dec.Timebase * dec.Framerate) == 30
+
+
+def test_seek_rejected_on_non_seekable_reader():
+    """Custom IO without .seek must reject seek with NOT_SUPPORTED
+    (parity: TaskDecodeFrame.cpp:948-954)."""
+    rec = gt("basic")
+    data = open(rec["uri"], "rb").read()
+
+    class ReadOnly:
+        def __init__(self, b):
+            self._b = b
+            self._pos = 0
+
+        def read(self, n):
+            chunk = self._b[self._pos:self._pos + n]
+            self._pos += len(chunk)
+            return chunk
+
+    dec = vali.PyDecoder(ReadOnly(data), {}, gpu_id=-1)
+    frame = np.zeros(dec.HostFrameSize, dtype=np.uint8)
+    ok, info = dec.DecodeSingleFrame(
+        frame, seek_ctx=vali.SeekContext(seek_frame=10))
+    assert not ok
+    assert info == vali.TaskExecInfo.NOT_SUPPORTED
+    # plain decode still works
+    ok, info = dec.DecodeSingleFrame(frame)
+    assert ok
+
+
+def test_metadata_contents():
+    dec, _ = make_decoder("rotation_90_deg")
+    md = dec.Metadata
+    # mp4 containers carry at least a brand tag
+    assert any(md.get(k) for k in ("context", "video_stream"))

@@ -95,3 +95,18 @@ def test_pallas_yuv420_kernel_interpret_matches_xla():
     diff = np.abs(out.astype(int) - ref.astype(int))
     assert diff.max() <= 4
     assert diff.mean() < 1.0
+
+
+def test_pallas_p10_kernel_interpret_matches_xla():
+    """uint16 MSB-aligned input (P10) computes in f32 in the kernel."""
+    B, H, W, DH, DW = 2, 96, 256, 32, 64
+    p10 = jnp.asarray(
+        (RNG.integers(0, 1024, (B, H * 3 // 2, W)) << 6).astype(np.uint16))
+    out = np.asarray(pallas_nv12_preprocess(
+        p10, src_w=W, src_h=H, dst_w=DW, dst_h=DH, out_dtype=jnp.float32,
+        interpret=True))
+    ref = np.moveaxis(np.asarray(fused.fused_preprocess(
+        (p10,), PixelFormat.P10, W, H, DW, DH,
+        ColorSpace.BT_709, ColorRange.MPEG, out_dtype=jnp.float32)), -1, 1)
+    # both normalized to ~[0,1]; compare absolutely
+    assert np.abs(out - ref).max() < 2e-3

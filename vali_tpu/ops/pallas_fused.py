@@ -133,7 +133,8 @@ def required_pad_rows(src_w: int, src_h: int, dst_h: int,
     static_argnames=("src_w", "src_h", "dst_w", "dst_h", "space", "crange",
                      "out_dtype", "method", "interpret"))
 def pallas_nv12_preprocess(
-    nv12: jax.Array,  # [B, >= H*3/2 (+pad), W] uint8
+    nv12: jax.Array,  # [B, >= H*3/2 (+pad), W] uint8 (NV12) / uint16 (P10,
+                      # P12: MSB-aligned 16-bit, like NVDEC P010/P012)
     *,
     src_w: int,
     src_h: int,
@@ -145,7 +146,11 @@ def pallas_nv12_preprocess(
     method: str = LANCZOS_AA,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused NV12 batch -> planar RGB [B, 3, dst_h, dst_w]."""
+    """Fused NV12/P10/P12 batch -> planar RGB [B, 3, dst_h, dst_w].
+
+    uint8 inputs compute in bfloat16 (1-LSB-exact after rounding); uint16
+    inputs compute in float32 to preserve the 10/12 significant bits.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -154,6 +159,9 @@ def pallas_nv12_preprocess(
     if nv12.shape[1] < H * 3 // 2 or nv12.shape[2] != W:
         raise ValueError(
             f"NV12 plane shape {nv12.shape} does not match {W}x{H}")
+    hbd = np.dtype(nv12.dtype) == np.uint16  # MSB-aligned high bit depth
+    cdt = jnp.float32 if hbd else jnp.bfloat16
+    scale = 256.0 if hbd else 1.0
 
     y_starts, y_blocks, y_win, y_end = _banded_h_weights(H, DH, method)
     c_starts, c_blocks, c_win, c_end = _banded_h_weights(
@@ -164,9 +172,9 @@ def pallas_nv12_preprocess(
                               (0, 0)))
     rows = nv12.shape[1]
 
-    wyw = jnp.asarray(_w_weights(W, DW, method)).astype(jnp.bfloat16)
+    wyw = jnp.asarray(_w_weights(W, DW, method)).astype(cdt)
     wcw = jnp.asarray(_chroma_w_weights_interleaved(W, DW, method)).astype(
-        jnp.bfloat16)
+        cdt)
     n_tiles = y_blocks.shape[0]
 
     mo = colors.yuv2rgb_matrix(space, crange)
@@ -177,8 +185,8 @@ def pallas_nv12_preprocess(
 
     is_u8 = np.dtype(out_dtype) == np.uint8
 
-    def _to_bf16(x):
-        return x.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+    def _to_compute(x):
+        return x.astype(jnp.int32).astype(jnp.float32).astype(cdt)
 
     def kernel(ystart_ref, cstart_ref, frame_ref, yblk_ref, cblk_ref,
                wyw_ref, wcw_ref, out_ref, yh_ref, ch_ref):
@@ -186,14 +194,14 @@ def pallas_nv12_preprocess(
         def h_tile(t, _):
             ys = pl.multiple_of(ystart_ref[t], ALIGN)
             cs = pl.multiple_of(cstart_ref[t], ALIGN)
-            ywin = _to_bf16(frame_ref[0, pl.ds(ys, y_win), :])
+            ywin = _to_compute(frame_ref[0, pl.ds(ys, y_win), :])
             yh_ref[pl.ds(t * TILE, TILE), :] = jnp.dot(
-                yblk_ref[t].astype(jnp.bfloat16), ywin,
-                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-            cwin = _to_bf16(frame_ref[0, pl.ds(cs, c_win), :])
+                yblk_ref[t].astype(cdt), ywin,
+                preferred_element_type=jnp.float32).astype(cdt)
+            cwin = _to_compute(frame_ref[0, pl.ds(cs, c_win), :])
             ch_ref[pl.ds(t * TILE, TILE), :] = jnp.dot(
-                cblk_ref[t].astype(jnp.bfloat16), cwin,
-                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+                cblk_ref[t].astype(cdt), cwin,
+                preferred_element_type=jnp.float32).astype(cdt)
             return 0
 
         jax.lax.fori_loop(0, n_tiles, h_tile, 0)
@@ -203,9 +211,9 @@ def pallas_nv12_preprocess(
                      preferred_element_type=jnp.float32)        # [DH, DW]
         cw = jnp.dot(ch_ref[:DH, :], wcw_ref[...],
                      preferred_element_type=jnp.float32)        # [DH, 2DW]
-        u = cw[:, :DW] - 128.0
-        v = cw[:, DW:] - 128.0
-        yv = yw - y_off
+        u = cw[:, :DW] - 128.0 * scale
+        v = cw[:, DW:] - 128.0 * scale
+        yv = yw - y_off * scale
 
         r = m[0, 0] * yv + m[0, 1] * u + m[0, 2] * v
         g = m[1, 0] * yv + m[1, 1] * u + m[1, 2] * v
@@ -213,11 +221,13 @@ def pallas_nv12_preprocess(
 
         if is_u8:
             for idx, ch in ((0, r), (1, g), (2, b)):
-                out_ref[0, idx] = jnp.clip(jnp.round(ch), 0.0, 255.0).astype(
+                out_ref[0, idx] = jnp.clip(jnp.round(ch / scale), 0.0,
+                                           255.0).astype(
                     jnp.int32).astype(jnp.uint8)
         else:
             for idx, ch in ((0, r), (1, g), (2, b)):
-                out_ref[0, idx] = (ch / 255.0).astype(out_ref.dtype)
+                out_ref[0, idx] = (ch / (255.0 * scale)).astype(
+                    out_ref.dtype)
 
     dh_pad = ((DH + TILE - 1) // TILE) * TILE
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -235,8 +245,8 @@ def pallas_nv12_preprocess(
                                lambda b, ys, cs: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((dh_pad, W), jnp.bfloat16),  # yh
-            pltpu.VMEM((dh_pad, W), jnp.bfloat16),  # ch
+            pltpu.VMEM((dh_pad, W), cdt),  # yh
+            pltpu.VMEM((dh_pad, W), cdt),  # ch
         ],
     )
 
@@ -342,6 +352,7 @@ def pallas_yuv420_preprocess(
     m, y_off = mo
     m = m.astype(np.float32)
     is_u8 = np.dtype(out_dtype) == np.uint8
+    scale = 1.0  # planar kernel is 8-bit only
 
     def _to_bf16(x):
         return x.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
@@ -379,11 +390,13 @@ def pallas_yuv420_preprocess(
         b = m[2, 0] * yv + m[2, 1] * uw + m[2, 2] * vw
         if is_u8:
             for idx, ch in ((0, r), (1, g), (2, b)):
-                out_ref[0, idx] = jnp.clip(jnp.round(ch), 0.0, 255.0).astype(
+                out_ref[0, idx] = jnp.clip(jnp.round(ch / scale), 0.0,
+                                           255.0).astype(
                     jnp.int32).astype(jnp.uint8)
         else:
             for idx, ch in ((0, r), (1, g), (2, b)):
-                out_ref[0, idx] = (ch / 255.0).astype(out_ref.dtype)
+                out_ref[0, idx] = (ch / (255.0 * scale)).astype(
+                    out_ref.dtype)
 
     dh_pad = ((DH + TILE - 1) // TILE) * TILE
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -55,7 +55,8 @@ def _pallas_usable(src_fmt, space, crange) -> bool:
         return False
     from ..ops import colors
 
-    return (PixelFormat(src_fmt) in (PixelFormat.NV12, PixelFormat.YUV420)
+    return (PixelFormat(src_fmt) in (PixelFormat.NV12, PixelFormat.YUV420,
+                                     PixelFormat.P10, PixelFormat.P12)
             and colors.yuv2rgb_matrix(space, crange) is not None)
 
 
@@ -239,7 +240,8 @@ def preprocess_batch(planes, src_fmt: PixelFormat, src_w: int, src_h: int,
     src_fmt = PixelFormat(src_fmt)
     if use_pallas is None:
         use_pallas = _pallas_usable(src_fmt, space, crange)
-    if use_pallas and src_fmt == PixelFormat.NV12:
+    if use_pallas and src_fmt in (PixelFormat.NV12, PixelFormat.P10,
+                                  PixelFormat.P12):
         from ..ops.pallas_fused import pallas_nv12_preprocess
 
         out = pallas_nv12_preprocess(
