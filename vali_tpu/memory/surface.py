@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.enums import DLDeviceType, PixelFormat
+from ..core.enums import PixelFormat
 from ..core.formats import FormatInfo, format_info
 from ..utils.device import get_device
 from . import registry

@@ -15,7 +15,7 @@ tests port over.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -18,7 +18,7 @@ from typing import Optional, Tuple
 import jax
 import numpy as np
 
-from .core.details import ColorspaceConversionContext, TaskExecDetails
+from .core.details import ColorspaceConversionContext
 from .core.enums import ColorRange, ColorSpace, PixelFormat, TaskExecInfo
 from .memory.host import host_frame_to_planes, planes_to_host_frame
 from .memory.surface import Surface
