@@ -210,6 +210,7 @@ VideoDecoder::Status VideoDecoder::ReadPacket() {
       return ST_ERROR;
     }
 
+    m_num_pkt_read++;
     bool is_video = pkt->stream_index == m_stream_idx;
     bool is_key = pkt->flags & AV_PKT_FLAG_KEY;
     bool wanted = (m_mode == 1) ? (is_video && is_key) : is_video;
@@ -246,6 +247,7 @@ VideoDecoder::Status VideoDecoder::SendPacket() {
   } else if (res < 0) {
     return ST_ERROR;
   } else if (pop) {
+    m_num_pkt_sent++;
     AVPacket* p = m_pkt_queue.front();
     m_pkt_queue.pop();
     av_packet_free(&p);
@@ -264,6 +266,7 @@ VideoDecoder::Status VideoDecoder::ReceiveFrame() {
   } else if (res < 0) {
     return ST_ERROR;
   }
+  m_num_frm_recv++;
 
   bool res_change = (m_last_w > 0) &&
                     ((m_last_w != Width()) || (m_last_h != Height()));

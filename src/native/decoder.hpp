@@ -80,6 +80,9 @@ class VideoDecoder {
     return m_motion_vectors;
   }
   std::map<std::string, std::map<std::string, std::string>> Metadata() const;
+  uint64_t PacketsRead() const { return m_num_pkt_read; }
+  uint64_t PacketsSent() const { return m_num_pkt_sent; }
+  uint64_t FramesReceived() const { return m_num_frm_recv; }
   bool GetStreamParams(int idx, StreamParamsC& out) const;
 
  private:
@@ -110,6 +113,11 @@ class VideoDecoder {
   std::vector<AVMotionVector> m_motion_vectors;
   double m_rotation = 0.0;
   bool m_has_rotation = false;
+
+  // Debug counters (parity: TaskDecodeFrame.cpp:150-164)
+  uint64_t m_num_pkt_read = 0;
+  uint64_t m_num_pkt_sent = 0;
+  uint64_t m_num_frm_recv = 0;
 
   int m_stream_idx = -1;
   int m_last_w = -1;

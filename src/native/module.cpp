@@ -219,6 +219,9 @@ PyObject* Decoder_props(DecoderObject* self, PyObject*) {
   set("format", PyLong_FromLong(static_cast<int>(d->Format())));
   set("is_vfr", PyBool_FromLong(d->IsVFR() ? 1 : 0));
   set("mode", PyLong_FromLong(d->Mode()));
+  set("num_pkt_read", PyLong_FromUnsignedLongLong(d->PacketsRead()));
+  set("num_pkt_sent", PyLong_FromUnsignedLongLong(d->PacketsSent()));
+  set("num_frm_recv", PyLong_FromUnsignedLongLong(d->FramesReceived()));
   return dict;
 }
 

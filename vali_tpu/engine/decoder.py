@@ -321,3 +321,11 @@ class PyDecoder:
     @property
     def DisplayRotation(self) -> float:
         return self._dec.display_rotation()
+
+    @property
+    def Stats(self) -> dict:
+        """Internal pipeline counters (parity: the reference's debug
+        counters m_num_pkt_read/sent/frm_recv, TaskDecodeFrame.cpp:150)."""
+        p = self._props()
+        return {k: p[k] for k in ("num_pkt_read", "num_pkt_sent",
+                                  "num_frm_recv")}
