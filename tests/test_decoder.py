@@ -396,3 +396,28 @@ def test_metadata_contents():
     md = dec.Metadata
     # mp4 containers carry at least a brand tag
     assert any(md.get(k) for k in ("context", "video_stream"))
+
+
+def test_sequential_decode_after_seek():
+    """After a seek, plain decode continues from the next frame."""
+    dec, _ = make_decoder("basic")
+    frame = np.zeros(dec.HostFrameSize, dtype=np.uint8)
+    pkt = vali.PacketData()
+    ok, _ = dec.DecodeSingleFrame(
+        frame, pkt, seek_ctx=vali.SeekContext(seek_frame=40))
+    assert ok
+    ok, _ = dec.DecodeSingleFrame(frame, pkt)
+    assert ok
+    assert round(pkt.pts * dec.Timebase * dec.Framerate) == 41
+
+
+def test_seek_to_zero():
+    dec, _ = make_decoder("basic")
+    frame = np.zeros(dec.HostFrameSize, dtype=np.uint8)
+    for _ in range(10):
+        dec.DecodeSingleFrame(frame)
+    pkt = vali.PacketData()
+    ok, _ = dec.DecodeSingleFrame(
+        frame, pkt, seek_ctx=vali.SeekContext(seek_frame=0))
+    assert ok
+    assert pkt.pts * dec.Timebase < 1.0 / dec.Framerate
