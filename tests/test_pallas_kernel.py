@@ -110,3 +110,26 @@ def test_pallas_p10_kernel_interpret_matches_xla():
         ColorSpace.BT_709, ColorRange.MPEG, out_dtype=jnp.float32)), -1, 1)
     # both normalized to ~[0,1]; compare absolutely
     assert np.abs(out - ref).max() < 2e-3
+
+
+@pytest.mark.parametrize("geom", [
+    (62, 130, 30, 34),     # odd-ish dims, upscale H
+    (480, 640, 224, 224),  # 480p -> 224
+    (64, 64, 64, 64),      # identity
+    (720, 1280, 90, 160),  # 8x downscale
+    (36, 100, 100, 36),    # upscale one axis, downscale other
+])
+def test_pallas_geometry_sweep(geom):
+    """Random-ish geometries: banded windows, alignment and padding must
+    hold for any (even-dim) shape, matching the XLA path."""
+    H, W, DH, DW = geom
+    nv12 = jnp.asarray(RNG.integers(0, 256, (1, H * 3 // 2, W),
+                                    dtype=np.uint8))
+    out = np.asarray(pallas_nv12_preprocess(
+        nv12, src_w=W, src_h=H, dst_w=DW, dst_h=DH, interpret=True))
+    ref = np.moveaxis(np.asarray(fused.fused_preprocess(
+        (nv12,), PixelFormat.NV12, W, H, DW, DH,
+        ColorSpace.BT_709, ColorRange.MPEG)), -1, 1)
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert diff.max() <= 4, (geom, diff.max())
+    assert diff.mean() < 1.0, (geom, diff.mean())

@@ -205,3 +205,74 @@ def test_sharded_pallas_preprocess_cpu_mesh():
     ref = np.asarray(pallas_nv12_preprocess(
         nv12, src_w=W, src_h=H, dst_w=DW, dst_h=DH, interpret=True))
     assert np.array_equal(out, ref)
+
+
+def test_full_transcode_4k_hevc_path(tmp_path):
+    """BASELINE config 3: 4K HEVC decode -> resize -> rotate -> NV12
+    repack -> encode. The 4K HEVC source is synthesized with our own
+    encoder (no 4K fixture ships with the reference)."""
+    import vali_tpu as vali
+
+    W4K, H4K, N = 3840, 2160, 4
+    enc = vali.PyNvEncoder(
+        {"s": f"{W4K}x{H4K}", "codec": "hevc", "preset": "P1",
+         "bitrate": "8M", "gop": "2"}, gpu_id=0, format=vali.PixelFormat.NV12)
+    up = vali.PyFrameUploader(gpu_id=0)
+    packet = np.zeros(0, dtype=np.uint8)
+    chunks = []
+    yy, xx = np.mgrid[0:H4K, 0:W4K].astype(np.float32)
+    for i in range(N):
+        y = (110 + 80 * np.sin(yy / 97 + i) * np.cos(xx / 131)).astype(
+            np.uint8)
+        uv = np.full((H4K // 2, W4K), 128, np.uint8)
+        surf = vali.Surface.Make(vali.PixelFormat.NV12, W4K, H4K)
+        assert up.Run(np.concatenate([y.reshape(-1), uv.reshape(-1)]),
+                      surf)[0]
+        if enc.EncodeSingleSurface(surf, packet) and packet.size:
+            chunks.append(packet.tobytes())
+    flush = np.zeros(0, dtype=np.uint8)
+    if enc.Flush(flush) and flush.size:
+        chunks.append(flush.tobytes())
+    src_path = tmp_path / "src4k.h265"
+    src_path.write_bytes(b"".join(chunks))
+
+    # transcode: decode -> resize 1080p -> rotate 180 -> NV12 -> encode h264
+    dec = vali.PyDecoder(str(src_path), {}, gpu_id=0)
+    assert (dec.Width, dec.Height) == (W4K, H4K)
+    rsz = vali.PySurfaceResizer(dec.Format, gpu_id=0)
+    rot = vali.PySurfaceRotator(gpu_id=0)
+    cvt = vali.PySurfaceConverter(gpu_id=0)
+    out_enc = vali.PyNvEncoder({"s": "1920x1080", "bitrate": "4M"},
+                               gpu_id=0, format=vali.PixelFormat.NV12)
+    src = vali.Surface.Make(dec.Format, W4K, H4K, gpu_id=0)
+    small = vali.Surface.Make(dec.Format, 1920, 1080, gpu_id=0)
+    rotated = vali.Surface.Make(dec.Format, 1920, 1080, gpu_id=0)
+    nv12 = vali.Surface.Make(vali.PixelFormat.NV12, 1920, 1080, gpu_id=0)
+    out_chunks = []
+    n = 0
+    while True:
+        ok, info = dec.DecodeSingleSurface(src)
+        if not ok:
+            break
+        assert rsz.Run(src, small)[0]
+        assert rot.Run(small, rotated, 180.0)[0]
+        assert cvt.Run(rotated, nv12)[0]
+        pkt = np.zeros(0, dtype=np.uint8)
+        out_enc.EncodeSingleSurface(nv12, pkt)
+        if pkt.size:
+            out_chunks.append(pkt.tobytes())
+        n += 1
+    flush = np.zeros(0, dtype=np.uint8)
+    if out_enc.Flush(flush) and flush.size:
+        out_chunks.append(flush.tobytes())
+    assert n == N
+
+    out_path = tmp_path / "out1080.h264"
+    out_path.write_bytes(b"".join(out_chunks))
+    redec = vali.PyDecoder(str(out_path), {}, gpu_id=-1)
+    assert (redec.Width, redec.Height) == (1920, 1080)
+    frame = np.zeros(redec.HostFrameSize, dtype=np.uint8)
+    m = 0
+    while redec.DecodeSingleFrame(frame)[0]:
+        m += 1
+    assert m == N
