@@ -290,6 +290,10 @@ Info VideoDecoder::DecodeNext(std::string& msg) {
     return Info::SUCCESS;
   }
 
+  if (!m_codec_open || !m_frame) {
+    msg = "decoder not open (probe-only instance?)";
+    return Info::FAIL;
+  }
   if (m_end_decode) {
     msg = "decode finished";
     return Info::FAIL;
@@ -336,6 +340,10 @@ int64_t VideoDecoder::TsFromFrameNumber(int64_t frame_num) const {
 
 Info VideoDecoder::Seek(int64_t frame_num, double ts_sec, bool by_number,
                         std::string& msg) {
+  if (!m_codec_open || !m_frame) {
+    msg = "decoder not open (probe-only instance?)";
+    return Info::FAIL;
+  }
   if ((m_fmt_ctx->flags & AVFMT_FLAG_CUSTOM_IO) && !m_custom_io_seekable) {
     msg = "Seek operation is not supported by AVIOContext.";
     return Info::NOT_SUPPORTED;
