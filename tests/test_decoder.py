@@ -421,3 +421,19 @@ def test_seek_to_zero():
         frame, pkt, seek_ctx=vali.SeekContext(seek_frame=0))
     assert ok
     assert pkt.pts * dec.Timebase < 1.0 / dec.Framerate
+
+
+def test_seek_big_timestamp_accuracy():
+    """parity: reference test_seek_big_timestamp — landing within 1% of a
+    large target timestamp on the long generated clip."""
+    dec, rec = make_decoder("generated")
+    frame = np.zeros(dec.HostFrameSize, dtype=np.uint8)
+    pkt = vali.PacketData()
+    duration = rec["num_frames"] / rec["framerate"]
+    for frac in (0.5, 0.9):
+        target = duration * frac
+        ok, info = dec.DecodeSingleFrame(
+            frame, pkt, seek_ctx=vali.SeekContext(seek_ts=target))
+        assert ok, info
+        landed = pkt.pts * dec.Timebase
+        assert abs(landed - target) / target < 0.01, (target, landed)
