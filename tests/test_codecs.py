@@ -374,3 +374,33 @@ def test_encoder_10bit_roundtrip(tmp_path):
     assert len(means) == len(fills)
     for got, want in zip(means, fills):
         assert abs(got - want) < 8.0
+
+
+def test_encoder_reconfigure_resolution_change(tmp_path):
+    """Resolution change via Reconfigure(reset_encoder=True) — the
+    reference's dynamic-res NVENC feature mapped onto encoder reopen."""
+    enc = vali.PyNvEncoder({"s": f"{W}x{H}", "gop": "1"}, gpu_id=0,
+                           format=F.NV12)
+    pkt = np.zeros(0, dtype=np.uint8)
+    assert enc.EncodeSingleSurface(nv12_surface(90), pkt)
+    # without reset: refused
+    assert not enc.Reconfigure({"s": "160x120"}, reset_encoder=False)
+    # with reset: takes effect
+    assert enc.Reconfigure({"s": "160x120"}, reset_encoder=True,
+                           force_idr=True)
+    assert (enc.Width, enc.Height) == (160, 120)
+    y = np.full((120, 160), 70, np.uint8)
+    uv = np.full((60, 160), 128, np.uint8)
+    surf = vali.Surface.Make(F.NV12, 160, 120)
+    up = vali.PyFrameUploader(gpu_id=0)
+    assert up.Run(np.concatenate([y.reshape(-1), uv.reshape(-1)]), surf)[0]
+    pkt2 = np.zeros(0, dtype=np.uint8)
+    assert enc.EncodeSingleSurface(surf, pkt2)
+    flush = np.zeros(0, dtype=np.uint8)
+    enc.Flush(flush)
+    data = pkt2.tobytes() + flush.tobytes()
+    assert data
+    p = tmp_path / "small.h264"
+    p.write_bytes(data)
+    redec = vali.PyDecoder(str(p), {}, gpu_id=-1)
+    assert (redec.Width, redec.Height) == (160, 120)

@@ -437,3 +437,30 @@ def test_seek_big_timestamp_accuracy():
         assert ok, info
         landed = pkt.pts * dec.Timebase
         assert abs(landed - target) / target < 0.01, (target, landed)
+
+
+def test_concurrent_decoders_threads():
+    """N decoders decode concurrently on threads (the reference's
+    instance-level concurrency pattern; GIL released in the engine)."""
+    import threading
+
+    rec = gt("basic")
+    counts = [0] * 4
+    errors = []
+
+    def work(i):
+        try:
+            dec = vali.PyDecoder(rec["uri"], {}, gpu_id=-1)
+            frame = np.zeros(dec.HostFrameSize, dtype=np.uint8)
+            while dec.DecodeSingleFrame(frame)[0]:
+                counts[i] += 1
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    assert counts == [rec["num_frames"]] * 4
