@@ -276,3 +276,47 @@ def test_full_transcode_4k_hevc_path(tmp_path):
     while redec.DecodeSingleFrame(frame)[0]:
         m += 1
     assert m == N
+
+
+def test_fused_preprocess_yuv420_10bit():
+    """10-bit LSB planar input (what the decoder yields for HEVC10)."""
+    import jax.numpy as jnp
+
+    B, H, W = 1, 64, 96
+    planes = (RNG.integers(0, 1024, (B, H, W)).astype(np.uint16),
+              np.full((B, H // 2, W // 2), 512, np.uint16),
+              np.full((B, H // 2, W // 2), 512, np.uint16))
+    out = fused.fused_preprocess(
+        tuple(jnp.asarray(p) for p in planes), PixelFormat.YUV420_10bit,
+        W, H, 32, 32, ColorSpace.BT_709, ColorRange.MPEG,
+        out_dtype=jnp.float32)
+    arr = np.asarray(out)
+    assert arr.shape == (B, 32, 32, 3)
+    assert np.isfinite(arr).all()
+    # neutral chroma, mid luma -> all channels near (y/4-16)*1.164/255
+    y8 = planes[0].astype(np.float64) / 4.0
+    expect = np.clip(1.164 * (y8.mean() - 16), 0, 255) / 255.0
+    assert abs(arr.mean() - expect) < 0.05
+
+
+@pytest.mark.skipif(not os.path.exists(
+    "/root/reference/tests/data/test_hevc10.mkv"),
+    reason="no reference data")
+def test_pipeline_hevc10_stream():
+    """End-to-end 10-bit pipeline: HEVC10 decode -> fused preprocess."""
+    import jax.numpy as jnp
+
+    from vali_tpu.pipeline.multistream import MultiStreamPipeline
+
+    pipe = MultiStreamPipeline(
+        ["/root/reference/tests/data/test_hevc10.mkv"], dst_w=64, dst_h=64,
+        gpu_id=0, out_dtype=jnp.float32)
+    batches = 0
+    for batch, ids in pipe:
+        assert batch.shape[1:] == (64, 64, 3)
+        assert np.isfinite(np.asarray(batch)).all()
+        batches += 1
+        if batches >= 4:
+            pipe.stop()
+            break
+    assert batches >= 4
