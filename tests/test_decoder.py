@@ -464,3 +464,18 @@ def test_concurrent_decoders_threads():
         t.join(timeout=120)
     assert not errors, errors
     assert counts == [rec["num_frames"]] * 4
+
+
+def test_decode_all_surfaces_count():
+    """parity: test_decode_all_surfaces — full-stream decode through the
+    device-surface path."""
+    dec, rec = make_decoder("basic", gpu_id=0)
+    surf = vali.Surface.Make(dec.Format, dec.Width, dec.Height, gpu_id=0)
+    n = 0
+    while True:
+        ok, info = dec.DecodeSingleSurface(surf)
+        if not ok:
+            assert info == vali.TaskExecInfo.END_OF_STREAM
+            break
+        n += 1
+    assert n == rec["num_frames"]
