@@ -346,6 +346,10 @@ Info VideoEncoder::DrainPackets(std::string& msg) {
 Info VideoEncoder::EncodeFrame(const uint8_t* data, size_t size,
                                bool force_idr, const uint8_t* sei,
                                size_t sei_size, std::string& msg) {
+  if (!m_ctx) {
+    msg = "encoder not open (failed Reconfigure?)";
+    return Info::FAIL;
+  }
   if (!data) return Flush(msg);
   if (size < FrameSize()) {
     msg = "Input frame too small";
@@ -376,6 +380,10 @@ Info VideoEncoder::EncodeFrame(const uint8_t* data, size_t size,
 }
 
 Info VideoEncoder::Flush(std::string& msg) {
+  if (!m_ctx) {
+    msg = "encoder not open (failed Reconfigure?)";
+    return Info::FAIL;
+  }
   if (!m_flushed) {
     int res = avcodec_send_frame(m_ctx, nullptr);
     if (res < 0 && res != AVERROR_EOF) {

@@ -36,6 +36,8 @@ from . import colors
 from .resize import LANCZOS_AA, _bilinear, _lanczos
 
 TILE = 32    # output rows per banded H-pass step
+# (TILE sweep on v5e: 8 -> 1.05ms, 32 -> 0.41ms, 64 -> 0.46ms, 128 -> 0.86ms
+#  per 64x1080p batch; 32 balances MXU occupancy vs window overlap+VMEM)
 ALIGN = 32   # uint8 sublane tile: dynamic row offsets must be 32-aligned
 
 
