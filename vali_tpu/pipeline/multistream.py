@@ -61,27 +61,39 @@ def _pallas_usable(src_fmt, space, crange) -> bool:
 
 
 class _StreamWorker(threading.Thread):
-    """Decodes one stream into an output queue of host frames."""
+    """Decodes one stream into an output queue of host frames.
+
+    Frames are decoded straight into recycled buffers from ``buf_pool``
+    (no per-frame copy); the consumer returns them to the pool after the
+    batch is staged.
+    """
 
     def __init__(self, stream_id: int, source, opts,
-                 out_q: "queue.Queue", stop_event: threading.Event):
+                 out_q: "queue.Queue", stop_event: threading.Event,
+                 buf_pool: "queue.Queue"):
         super().__init__(daemon=True, name=f"vali-decode-{stream_id}")
         self.stream_id = stream_id
         self.source = source
         self.opts = dict(opts)
         self.out_q = out_q
         self.stop_event = stop_event
+        self.buf_pool = buf_pool
         self.error: Optional[Exception] = None
 
     def run(self):
         try:
             dec = PyDecoder(self.source, self.opts, gpu_id=-1)
-            frame = np.zeros(dec.HostFrameSize, dtype=np.uint8)
             while not self.stop_event.is_set():
-                ok, info = dec.DecodeSingleFrame(frame)
+                try:
+                    # poll so stop() can't strand a worker on an empty pool
+                    buf = self.buf_pool.get(timeout=0.2)
+                except queue.Empty:
+                    continue
+                ok, info = dec.DecodeSingleFrame(buf)
                 if not ok:
+                    self.buf_pool.put(buf)
                     break
-                self.out_q.put((self.stream_id, frame.copy()))
+                self.out_q.put((self.stream_id, buf))
         except Exception as e:  # surfaced by the pipeline
             self.error = e
         finally:
@@ -127,6 +139,14 @@ class MultiStreamPipeline:
         del probe
 
         self._stop = threading.Event()
+        # recycled decode buffers: enough for all queue slots + in-flight
+        pool_size = (queue_depth + 2) * max(len(self.sources),
+                                            self.batch_size)
+        probe_size = PyDecoder(self.sources[0], opts or {},
+                               gpu_id=-1).HostFrameSize
+        self._buf_pool: "queue.Queue" = queue.Queue()
+        for _ in range(pool_size):
+            self._buf_pool.put(np.zeros(probe_size, dtype=np.uint8))
         if sync_streams:
             self._queues: List["queue.Queue"] = [
                 queue.Queue(maxsize=queue_depth)
@@ -134,7 +154,7 @@ class MultiStreamPipeline:
             ]
             self._workers = [
                 _StreamWorker(i, src, opts or {}, self._queues[i],
-                              self._stop)
+                              self._stop, self._buf_pool)
                 for i, src in enumerate(self.sources)
             ]
             self._frame_q = None
@@ -143,7 +163,8 @@ class MultiStreamPipeline:
                 maxsize=queue_depth * self.batch_size)
             self._queues = []
             self._workers = [
-                _StreamWorker(i, src, opts or {}, self._frame_q, self._stop)
+                _StreamWorker(i, src, opts or {}, self._frame_q, self._stop,
+                              self._buf_pool)
                 for i, src in enumerate(self.sources)
             ]
         self._started = False
@@ -193,7 +214,7 @@ class MultiStreamPipeline:
                 ids.append(stream_id)
         if not frames:
             return None
-        return np.stack(frames), ids
+        return frames, ids
 
     def __iter__(self) -> Iterator[Tuple[jax.Array, List[int]]]:
         self.start()
@@ -204,7 +225,10 @@ class MultiStreamPipeline:
                     if w.error is not None:
                         raise w.error
                 return
-            batch_host, ids = item
+            frames, ids = item
+            batch_host = np.stack(frames)
+            for buf in frames:  # recycle decode buffers
+                self._buf_pool.put(buf)
             planes = self._split(batch_host)
             planes = tuple(jax.device_put(p, self.device) for p in planes)
             out = preprocess_batch(
