@@ -28,7 +28,6 @@ import numpy as np
 
 from ..core.enums import ColorRange, ColorSpace, PixelFormat
 from ..engine.decoder import PyDecoder
-from ..memory.host import host_frame_to_planes
 from ..ops.fused import fused_preprocess
 from ..ops.resize import LANCZOS_AA
 from ..utils.device import get_device
@@ -239,13 +238,22 @@ class MultiStreamPipeline:
             yield out, ids
 
     def _split(self, batch_host: np.ndarray) -> Tuple[np.ndarray, ...]:
-        """[B, host_frame_bytes] -> batched storage-layout planes."""
+        """[B, host_frame_bytes] -> batched storage-layout planes.
+
+        Pure views over the staged batch: single-plane formats (NV12, P10,
+        packed RGB...) cost zero copies; multi-plane formats produce
+        strided views that device_put consumes directly."""
+        from ..core.formats import format_info
+
+        info = format_info(self.src_fmt)
         b = batch_host.shape[0]
-        per_frame = [host_frame_to_planes(batch_host[i], self.src_fmt,
-                                          self.src_w, self.src_h)
-                     for i in range(b)]
-        return tuple(np.stack([pf[j] for pf in per_frame])
-                     for j in range(len(per_frame[0])))
+        flat = batch_host.view(info.dtype).reshape(b, -1)
+        planes = []
+        off = 0
+        for (h, w) in info.plane_dims(self.src_w, self.src_h):
+            planes.append(flat[:, off:off + h * w].reshape(b, h, w))
+            off += h * w
+        return tuple(planes)
 
 
 def preprocess_batch(planes, src_fmt: PixelFormat, src_w: int, src_h: int,
