@@ -195,3 +195,16 @@ def test_seek_context():
         vali.SeekContext(seek_frame=1, seek_ts=1.0)
     with pytest.raises(ValueError):
         vali.SeekContext(seek_frame=-1)
+
+
+def test_tracing_scopes():
+    from vali_tpu.utils import tracing
+
+    with tracing.op_scope("TestOp"):
+        pass
+    tracing.enable(False)
+    try:
+        with tracing.op_scope("TestOpOff"):
+            pass
+    finally:
+        tracing.enable(True)
