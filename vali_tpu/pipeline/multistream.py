@@ -180,11 +180,13 @@ class MultiStreamPipeline:
 
     def stop(self) -> None:
         self._stop.set()
-        # drain so workers blocked on put() can exit
+        # drain so workers blocked on put() can exit; recycle their buffers
         for q in ([self._frame_q] if self._frame_q else self._queues):
             try:
                 while True:
-                    q.get_nowait()
+                    _, frame = q.get_nowait()
+                    if frame is not None:
+                        self._buf_pool.put(frame)
             except queue.Empty:
                 pass
 
