@@ -115,11 +115,15 @@ class MultiStreamPipeline:
                  out_dtype=jnp.uint8, planar: bool = False,
                  method: str = LANCZOS_AA,
                  queue_depth: int = 4,
-                 sync_streams: bool = False):
+                 sync_streams: bool = False,
+                 prefetch: int = 2):
         """``sync_streams=True`` assembles batches with exactly one frame
         per live stream (lock-step across streams, e.g. for synchronized
         multi-camera rigs); the default takes frames in arrival order for
-        maximum throughput."""
+        maximum throughput. ``prefetch`` batches are staged and dispatched
+        ahead of the consumer (host staging + H2D overlap with downstream
+        compute — the double-buffering the reference gets from CUDA
+        streams)."""
         if not sources:
             raise ValueError("Need at least one source")
         self.sources = list(sources)
@@ -131,6 +135,7 @@ class MultiStreamPipeline:
         self.planar = planar
         self.method = method
         self.sync_streams = sync_streams
+        self.prefetch = max(1, int(prefetch))
 
         probe = PyDecoder(self.sources[0], opts or {}, gpu_id=-1)
         self.src_w, self.src_h = probe.Width, probe.Height
@@ -217,27 +222,62 @@ class MultiStreamPipeline:
             return None
         return frames, ids
 
+    def _stage_one(self):
+        """Assemble one batch, upload and dispatch its preprocess.
+
+        Returns (device_future, ids) or None at end of streams."""
+        item = self._assemble()
+        if item is None:
+            return None
+        frames, ids = item
+        batch_host = np.stack(frames)
+        for buf in frames:  # recycle decode buffers
+            self._buf_pool.put(buf)
+        planes = self._split(batch_host)
+        planes = tuple(jax.device_put(p, self.device) for p in planes)
+        out = preprocess_batch(
+            planes, self.src_fmt, self.src_w, self.src_h,
+            self.dst_w, self.dst_h, space=self.space,
+            crange=self.crange, out_dtype=self.out_dtype,
+            planar=self.planar, method=self.method)
+        return out, ids
+
     def __iter__(self) -> Iterator[Tuple[jax.Array, List[int]]]:
         self.start()
-        while True:
-            item = self._assemble()
-            if item is None:
-                for w in self._workers:
-                    if w.error is not None:
-                        raise w.error
-                return
-            frames, ids = item
-            batch_host = np.stack(frames)
-            for buf in frames:  # recycle decode buffers
-                self._buf_pool.put(buf)
-            planes = self._split(batch_host)
-            planes = tuple(jax.device_put(p, self.device) for p in planes)
-            out = preprocess_batch(
-                planes, self.src_fmt, self.src_w, self.src_h,
-                self.dst_w, self.dst_h, space=self.space,
-                crange=self.crange, out_dtype=self.out_dtype,
-                planar=self.planar, method=self.method)
-            yield out, ids
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+
+        def stager():
+            try:
+                while not self._stop.is_set():
+                    staged = self._stage_one()
+                    out_q.put(staged)
+                    if staged is None:
+                        return
+            except Exception as e:  # surfaced below
+                out_q.put(e)
+
+        t = threading.Thread(target=stager, daemon=True,
+                             name="vali-stager")
+        t.start()
+        try:
+            while True:
+                staged = out_q.get()
+                if staged is None:
+                    for w in self._workers:
+                        if w.error is not None:
+                            raise w.error
+                    return
+                if isinstance(staged, Exception):
+                    raise staged
+                yield staged
+        finally:
+            self._stop.set()
+            # unblock a stager waiting on out_q.put
+            try:
+                while True:
+                    out_q.get_nowait()
+            except queue.Empty:
+                pass
 
     def _split(self, batch_host: np.ndarray) -> Tuple[np.ndarray, ...]:
         """[B, host_frame_bytes] -> batched storage-layout planes.
