@@ -225,3 +225,14 @@ def test_cpu_converter_planar_rgb_swizzle():
     assert ok, info
     want = np.moveaxis(rgbp, 0, -1).reshape(-1)
     assert np.array_equal(dst, want)
+
+
+def test_rotator_nv12_not_supported():
+    """parity: reference test_PySurfaceRotator.test_unsupported_params —
+    rotating NV12 returns NOT_SUPPORTED."""
+    surf, _ = make_filled(F.NV12)
+    dst = vali.Surface.Make(F.NV12, H, W)
+    rot = vali.PySurfaceRotator(gpu_id=0)
+    ok, info = rot.Run(surf, dst, 90.0)
+    assert not ok
+    assert info == vali.TaskExecInfo.NOT_SUPPORTED
