@@ -22,7 +22,7 @@ import numpy as np
 
 K_SHORT = 8
 K_LONG = 40
-REPS = 5
+REPS = 8
 
 
 def _make_loop(kernel_fn, K, consume):
