@@ -67,3 +67,16 @@ def test_sample_multistream():
 def test_sample_segmentation():
     out = run_sample("sample_segmentation.py", CLIP, "1", timeout=300)
     assert "segmented" in out
+
+
+def test_cli_probe_and_decode():
+    proc = subprocess.run(
+        [sys.executable, "-m", "vali_tpu", "probe", CLIP],
+        cwd=REPO, env=ENV, capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0
+    assert "848x464" in proc.stdout
+    proc = subprocess.run(
+        [sys.executable, "-m", "vali_tpu", "decode", CLIP, "10"],
+        cwd=REPO, env=ENV, capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0
+    assert "decoded 10 frames" in proc.stdout

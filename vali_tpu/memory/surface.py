@@ -140,6 +140,11 @@ class Surface:
         """
         info = format_info(format)
         info.validate(width, height)
+        if gpu_id > 0xFFFF and context is None:
+            # Compat shim: reference code may pass a CUcontext positionally
+            # in the gpu_id slot (Surface.Make(fmt, w, h, context)); treat
+            # pointer-sized values as a context and use the default device.
+            context, gpu_id = gpu_id, 0
         if device is None:
             device = get_device(gpu_id)
         surf = Surface()
