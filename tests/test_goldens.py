@@ -193,3 +193,34 @@ def test_rotation_goldens():
         score = psnr(grgb, dst.to_numpy().reshape(-1))
         # JPEG golden adds its own loss; accept a looser floor
         assert score > 25.0, f"{angle} deg PSNR {score:.2f}"
+
+
+def test_resize_nv12_golden_bit_exact():
+    """parity: test_PySurfaceResizer.test_resize_nv12 — resize 16 decoded
+    frames 848x464 -> 424x232 and compare against the reference's
+    NVDEC+NPP-produced golden (tests/data/test_small.nv12).
+
+    Result: BIT-EXACT (PSNR = inf) — h264 decode is spec-exact and the
+    matmul Lanczos reproduces NPP's arithmetic including rounding.
+    """
+    gt_path = os.path.join(DATA, "test_small.nv12")
+    if not os.path.exists(gt_path):
+        pytest.skip("golden test_small.nv12 missing")
+    dec = vali.PyDecoder(os.path.join(DATA, "test.mp4"), {}, gpu_id=-1)
+    frame = np.zeros(dec.HostFrameSize, np.uint8)
+    up = vali.PyFrameUploader(gpu_id=0)
+    rsz = vali.PySurfaceResizer(vali.PixelFormat.NV12, gpu_id=0)
+    dwn = vali.PySurfaceDownloader(gpu_id=0)
+    with open(gt_path, "rb") as gt:
+        for i in range(16):
+            ok, _ = dec.DecodeSingleFrame(frame)
+            assert ok
+            nv12 = yuv420_to_nv12_host(frame, dec.Width, dec.Height)
+            src = vali.Surface.from_numpy(nv12, vali.PixelFormat.NV12,
+                                          width=dec.Width, height=dec.Height)
+            dst = vali.Surface.Make(vali.PixelFormat.NV12, 424, 232)
+            assert rsz.Run(src, dst)[0]
+            out = np.zeros(dst.HostSize, np.uint8)
+            assert dwn.Run(dst, out)[0]
+            gt_frame = np.fromfile(gt, np.uint8, dst.HostSize)
+            assert np.array_equal(out, gt_frame), f"frame {i} differs"
