@@ -133,3 +133,21 @@ def test_pallas_geometry_sweep(geom):
     diff = np.abs(out.astype(int) - ref.astype(int))
     assert diff.max() <= 4, (geom, diff.max())
     assert diff.mean() < 1.0, (geom, diff.mean())
+
+
+def test_pallas_normalize_fold():
+    """Model input normalization folds into the kernel tail (float out)."""
+    nv12 = jnp.asarray(RNG.integers(0, 256, (1, 96, 128), dtype=np.uint8))
+    norm = ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225))
+    out = np.asarray(pallas_nv12_preprocess(
+        nv12, src_w=128, src_h=64, dst_w=32, dst_h=32,
+        out_dtype=jnp.float32, normalize=norm, interpret=True))
+    ref = np.moveaxis(np.asarray(fused.fused_preprocess(
+        (nv12,), PixelFormat.NV12, 128, 64, 32, 32,
+        ColorSpace.BT_709, ColorRange.MPEG, out_dtype=jnp.float32,
+        normalize=norm)), -1, 1)
+    # interpret-mode bf16 rounding amplified by 1/std; hardware is tighter
+    assert np.abs(out - ref).max() < 0.08
+    with pytest.raises(ValueError):
+        pallas_nv12_preprocess(nv12, src_w=128, src_h=64, dst_w=32,
+                               dst_h=32, normalize=norm, interpret=True)

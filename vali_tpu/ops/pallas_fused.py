@@ -133,7 +133,7 @@ def required_pad_rows(src_w: int, src_h: int, dst_h: int,
 @functools.partial(
     jax.jit,
     static_argnames=("src_w", "src_h", "dst_w", "dst_h", "space", "crange",
-                     "out_dtype", "method", "interpret"))
+                     "out_dtype", "method", "normalize", "interpret"))
 def pallas_nv12_preprocess(
     nv12: jax.Array,  # [B, >= H*3/2 (+pad), W] uint8 (NV12) / uint16 (P10,
                       # P12: MSB-aligned 16-bit, like NVDEC P010/P012)
@@ -146,6 +146,7 @@ def pallas_nv12_preprocess(
     crange: ColorRange = ColorRange.MPEG,
     out_dtype=jnp.uint8,
     method: str = LANCZOS_AA,
+    normalize=None,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused NV12/P10/P12 batch -> planar RGB [B, 3, dst_h, dst_w].
@@ -186,6 +187,10 @@ def pallas_nv12_preprocess(
     m = m.astype(np.float32)
 
     is_u8 = np.dtype(out_dtype) == np.uint8
+    if normalize is not None and is_u8:
+        raise ValueError("normalize requires a float out_dtype")
+    norm_mean = tuple(float(v) for v in normalize[0]) if normalize else None
+    norm_std = tuple(float(v) for v in normalize[1]) if normalize else None
 
     def _to_compute(x):
         return x.astype(jnp.int32).astype(jnp.float32).astype(cdt)
@@ -228,8 +233,10 @@ def pallas_nv12_preprocess(
                     jnp.int32).astype(jnp.uint8)
         else:
             for idx, ch in ((0, r), (1, g), (2, b)):
-                out_ref[0, idx] = (ch / (255.0 * scale)).astype(
-                    out_ref.dtype)
+                val = ch / (255.0 * scale)
+                if norm_mean is not None:
+                    val = (val - norm_mean[idx]) / norm_std[idx]
+                out_ref[0, idx] = val.astype(out_ref.dtype)
 
     dh_pad = ((DH + TILE - 1) // TILE) * TILE
     grid_spec = pltpu.PrefetchScalarGridSpec(

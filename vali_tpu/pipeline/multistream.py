@@ -35,11 +35,12 @@ from ..utils.device import get_device
 
 @functools.partial(jax.jit, static_argnames=(
     "src_fmt", "src_w", "src_h", "dst_w", "dst_h", "space", "crange",
-    "out_dtype", "planar", "method"))
+    "out_dtype", "planar", "method", "normalize"))
 def _preprocess_jit(planes, *, src_fmt, src_w, src_h, dst_w, dst_h, space,
-                    crange, out_dtype, planar, method):
+                    crange, out_dtype, planar, method, normalize=None):
     return fused_preprocess(planes, src_fmt, src_w, src_h, dst_w, dst_h,
-                            space, crange, out_dtype, planar, method)
+                            space, crange, out_dtype, planar, method,
+                            normalize)
 
 
 def _pallas_usable(src_fmt, space, crange) -> bool:
@@ -304,6 +305,7 @@ def preprocess_batch(planes, src_fmt: PixelFormat, src_w: int, src_h: int,
                      crange: ColorRange = ColorRange.MPEG,
                      out_dtype=jnp.uint8, planar: bool = False,
                      method: str = LANCZOS_AA,
+                     normalize=None,
                      use_pallas: Optional[bool] = None) -> jax.Array:
     """One-shot jitted fused preprocess over already-batched planes.
 
@@ -314,13 +316,17 @@ def preprocess_batch(planes, src_fmt: PixelFormat, src_w: int, src_h: int,
     src_fmt = PixelFormat(src_fmt)
     if use_pallas is None:
         use_pallas = _pallas_usable(src_fmt, space, crange)
+    if normalize is not None:
+        normalize = (tuple(float(v) for v in normalize[0]),
+                     tuple(float(v) for v in normalize[1]))
     if use_pallas and src_fmt in (PixelFormat.NV12, PixelFormat.P10,
                                   PixelFormat.P12):
         from ..ops.pallas_fused import pallas_nv12_preprocess
 
         out = pallas_nv12_preprocess(
             planes[0], src_w=src_w, src_h=src_h, dst_w=dst_w, dst_h=dst_h,
-            space=space, crange=crange, out_dtype=out_dtype, method=method)
+            space=space, crange=crange, out_dtype=out_dtype, method=method,
+            normalize=normalize)
         return out if planar else jnp.moveaxis(out, 1, -1)
     if use_pallas and src_fmt == PixelFormat.YUV420:
         from ..ops.pallas_fused import pallas_yuv420_preprocess
@@ -333,4 +339,5 @@ def preprocess_batch(planes, src_fmt: PixelFormat, src_w: int, src_h: int,
     return _preprocess_jit(
         tuple(planes), src_fmt=src_fmt, src_w=src_w,
         src_h=src_h, dst_w=dst_w, dst_h=dst_h, space=space, crange=crange,
-        out_dtype=out_dtype, planar=planar, method=method)
+        out_dtype=out_dtype, planar=planar, method=method,
+        normalize=normalize)
