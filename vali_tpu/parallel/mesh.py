@@ -25,6 +25,21 @@ from ..ops.fused import fused_preprocess
 from ..ops.resize import LANCZOS_AA
 
 
+def _shard_map(f, mesh, in_specs, out_specs):
+    """shard_map across JAX versions: jax.shard_map (>=0.8, no check_rep)
+    or jax.experimental.shard_map (older, needs check_rep=False so
+    pallas_call bodies pass replication checking)."""
+    try:
+        from jax import shard_map
+        # check_vma=False: pallas_call outputs don't carry vma metadata
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)
+
+
 def make_mesh(data: int = 0, spatial: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
     """Build a (data, spatial) mesh. data=0 means "all devices / spatial"."""
@@ -90,7 +105,6 @@ def sharded_pallas_preprocess(mesh: Mesh, src_w: int, src_h: int,
     its local shard (embarrassingly parallel — no collectives). Input must
     be [B, H*3/2(+pad), W] with B divisible by the data-axis size."""
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
 
     from ..ops.pallas_fused import pallas_nv12_preprocess
 
@@ -104,9 +118,8 @@ def sharded_pallas_preprocess(mesh: Mesh, src_w: int, src_h: int,
             space=space, crange=crange, out_dtype=out_dtype)
         return out if planar else jnp.moveaxis(out, 1, -1)
 
-    sharded = shard_map(
+    sharded = _shard_map(
         local_fn, mesh=mesh,
         in_specs=P("data", None, None),
-        out_specs=P("data", None, None, None),
-        check_rep=False)
+        out_specs=P("data", None, None, None))
     return jax.jit(sharded)
