@@ -37,8 +37,11 @@ def test_encoder_basic_and_flush():
     produced = 0
     for i in range(8):
         surf = nv12_surface(40 + 20 * i)
-        assert enc.EncodeSingleSurface(surf, packet)
-        if packet.size:
+        ok = enc.EncodeSingleSurface(surf, packet)
+        # reference contract (PyNvEncoder.cpp:260): True iff a packet was
+        # written; False while the codec's frame-delay queue is filling
+        assert ok == bool(packet.size)
+        if ok:
             produced += 1
     packets = np.zeros(0, dtype=np.uint8)
     enc.Flush(packets)
@@ -54,8 +57,7 @@ def test_encoder_roundtrip_through_decoder(tmp_path):
     fills = [50, 80, 110, 140, 170, 200]
     packet = np.zeros(0, dtype=np.uint8)
     for fill in fills:
-        assert enc.EncodeSingleSurface(nv12_surface(fill), packet)
-        if packet.size:
+        if enc.EncodeSingleSurface(nv12_surface(fill), packet):
             chunks.append(packet.tobytes())
     flush_pkts = np.zeros(0, dtype=np.uint8)
     enc.Flush(flush_pkts)
@@ -82,10 +84,9 @@ def test_encoder_sei(tmp_path):
     packet = np.zeros(0, dtype=np.uint8)
     chunks = []
     for _ in range(3):
-        assert enc.EncodeSingleSurface(
-            nv12_surface(100), packet, sei=np.frombuffer(sei_payload,
-                                                         np.uint8))
-        if packet.size:
+        if enc.EncodeSingleSurface(
+                nv12_surface(100), packet,
+                sei=np.frombuffer(sei_payload, np.uint8)):
             chunks.append(packet.tobytes())
     flush = np.zeros(0, dtype=np.uint8)
     enc.Flush(flush)
@@ -93,6 +94,38 @@ def test_encoder_sei(tmp_path):
         chunks.append(flush.tobytes())
     es = b"".join(chunks)
     assert b"hello sei world" in es
+
+
+def test_encoder_delayed_output_contract(tmp_path):
+    """With B-frames the codec delays output; EncodeSingleSurface must
+    return False (empty packet) until the frame-delay queue fills, then
+    True with bytes — and everything decodes back after Flush (parity:
+    PyNvEncoder.cpp:260)."""
+    enc = vali.PyNvEncoder({"s": f"{W}x{H}", "bf": "2", "gop": "30",
+                            "lookahead": "4"},
+                           gpu_id=0, format=F.NV12)
+    packet = np.zeros(0, dtype=np.uint8)
+    results = []
+    chunks = []
+    n_in = 16
+    for i in range(n_in):
+        ok = enc.EncodeSingleSurface(nv12_surface(60 + 10 * i), packet)
+        assert ok == bool(packet.size)
+        results.append(ok)
+        if ok:
+            chunks.append(packet.tobytes())
+    assert not results[0], "B-frame pipeline cannot emit on first frame"
+    assert any(results), "encoder never produced a packet"
+    flush = np.zeros(0, dtype=np.uint8)
+    enc.Flush(flush)
+    es = tmp_path / "delay.h264"
+    es.write_bytes(b"".join(chunks) + flush.tobytes())
+    dec = vali.PyDecoder(str(es), {}, gpu_id=-1)
+    frame = np.zeros(dec.HostFrameSize, np.uint8)
+    n_out = 0
+    while dec.DecodeSingleFrame(frame)[0]:
+        n_out += 1
+    assert n_out == n_in
 
 
 def test_encoder_option_validation():
@@ -105,10 +138,10 @@ def test_encoder_option_validation():
 def test_encoder_reconfigure():
     enc = vali.PyNvEncoder({"s": f"{W}x{H}", "bitrate": "1M"}, gpu_id=0)
     packet = np.zeros(0, dtype=np.uint8)
-    assert enc.EncodeSingleSurface(nv12_surface(90), packet)
+    enc.EncodeSingleSurface(nv12_surface(90), packet)
     assert enc.Reconfigure({"bitrate": "3M"}, force_idr=True,
                            reset_encoder=True)
-    assert enc.EncodeSingleSurface(nv12_surface(90), packet)
+    enc.EncodeSingleSurface(nv12_surface(90), packet)
 
 
 def test_encoder_capabilities_and_params():
@@ -123,12 +156,14 @@ def test_hevc_encoder(tmp_path):
     enc = vali.PyNvEncoder({"s": f"{W}x{H}", "codec": "hevc",
                             "bitrate": "1M"}, gpu_id=0, format=F.NV12)
     packet = np.zeros(0, dtype=np.uint8)
+    chunks = []
     for _ in range(4):
-        assert enc.EncodeSingleSurface(nv12_surface(120), packet)
+        if enc.EncodeSingleSurface(nv12_surface(120), packet):
+            chunks.append(packet.tobytes())
     flush = np.zeros(0, dtype=np.uint8)
     enc.Flush(flush)
     es_path = tmp_path / "round.h265"
-    data = packet.tobytes() + flush.tobytes()
+    data = b"".join(chunks) + flush.tobytes()
     assert data
     es_path.write_bytes(data)
     dec = vali.PyDecoder(str(es_path), {}, gpu_id=-1)
@@ -298,8 +333,8 @@ def test_encoder_append_mode():
     packet = np.zeros(0, dtype=np.uint8)
     sizes = []
     for i in range(3):
-        assert enc.EncodeSingleSurface(nv12_surface(100 + i * 30), packet,
-                                       append=True)
+        enc.EncodeSingleSurface(nv12_surface(100 + i * 30), packet,
+                                append=True)
         sizes.append(packet.size)
     # append accumulates monotonically
     assert sizes == sorted(sizes)
@@ -355,8 +390,7 @@ def test_encoder_10bit_roundtrip(tmp_path):
                   np.full((H // 2, W // 2), 512, np.uint16)]
         surf = vali.Surface.Make(F.YUV420_10bit, W, H)
         assert up.Run(planes_to_host_frame(planes), surf)[0]
-        assert enc.EncodeSingleSurface(surf, packet)
-        if packet.size:
+        if enc.EncodeSingleSurface(surf, packet):
             chunks.append(packet.tobytes())
     flush = np.zeros(0, dtype=np.uint8)
     enc.Flush(flush)
@@ -382,7 +416,7 @@ def test_encoder_reconfigure_resolution_change(tmp_path):
     enc = vali.PyNvEncoder({"s": f"{W}x{H}", "gop": "1"}, gpu_id=0,
                            format=F.NV12)
     pkt = np.zeros(0, dtype=np.uint8)
-    assert enc.EncodeSingleSurface(nv12_surface(90), pkt)
+    enc.EncodeSingleSurface(nv12_surface(90), pkt)
     # without reset: refused
     assert not enc.Reconfigure({"s": "160x120"}, reset_encoder=False)
     # with reset: takes effect
@@ -395,7 +429,7 @@ def test_encoder_reconfigure_resolution_change(tmp_path):
     up = vali.PyFrameUploader(gpu_id=0)
     assert up.Run(np.concatenate([y.reshape(-1), uv.reshape(-1)]), surf)[0]
     pkt2 = np.zeros(0, dtype=np.uint8)
-    assert enc.EncodeSingleSurface(surf, pkt2)
+    enc.EncodeSingleSurface(surf, pkt2)
     flush = np.zeros(0, dtype=np.uint8)
     enc.Flush(flush)
     data = pkt2.tobytes() + flush.tobytes()

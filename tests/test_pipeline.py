@@ -116,6 +116,51 @@ def test_multistream_pipeline():
 
 
 @pytest.mark.skipif(not os.path.exists(GT), reason="no reference data")
+def test_multistream_mixed_geometry_raises():
+    """Streams with differing resolution must be rejected at construction
+    (the shared buffer pool and batch geometry are sized from stream 0)."""
+    from vali_tpu.engine.decoder import PyDecoder
+    from vali_tpu.pipeline.multistream import MultiStreamPipeline
+
+    other = "/root/reference/tests/data/pts_test_video.mkv"
+    if not os.path.exists(other):
+        pytest.skip("no second fixture")
+    a = PyDecoder(GT, {}, gpu_id=-1)
+    b = PyDecoder(other, {}, gpu_id=-1)
+    if (a.Width, a.Height, a.Format) == (b.Width, b.Height, b.Format):
+        pytest.skip("fixtures share geometry")
+    with pytest.raises(ValueError, match="differs from source 0"):
+        MultiStreamPipeline([GT, other], dst_w=64, dst_h=64, gpu_id=0)
+
+
+def test_yuv420_pallas_normalize_matches_xla():
+    """The YUV420 Pallas kernel's normalize fold must match the XLA path
+    (ADVICE r1: normalize used to be dropped silently on this path)."""
+    import jax.numpy as jnp
+    from vali_tpu.ops.pallas_fused import (pallas_yuv420_preprocess,
+                                           required_pad_rows_yuv420)
+
+    B, H, W, DH, DW = 2, 96, 256, 32, 64
+    norm = ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225))
+    planes = (RNG.integers(0, 256, (B, H, W), np.uint8),
+              RNG.integers(0, 256, (B, H // 2, W // 2), np.uint8),
+              RNG.integers(0, 256, (B, H // 2, W // 2), np.uint8))
+    ypad, cpad = required_pad_rows_yuv420(W, H, DH)
+    y = jnp.asarray(np.pad(planes[0], ((0, 0), (0, ypad), (0, 0))))
+    u = jnp.asarray(np.pad(planes[1], ((0, 0), (0, cpad), (0, 0))))
+    v = jnp.asarray(np.pad(planes[2], ((0, 0), (0, cpad), (0, 0))))
+    got = np.asarray(pallas_yuv420_preprocess(
+        y, u, v, src_w=W, src_h=H, dst_w=DW, dst_h=DH,
+        out_dtype=jnp.float32, normalize=norm, interpret=True))
+    want = np.asarray(fused.fused_preprocess(
+        tuple(jnp.asarray(p) for p in planes), PixelFormat.YUV420,
+        W, H, DW, DH, out_dtype=jnp.float32, planar=True, normalize=norm))
+    assert got.shape == want.shape == (B, 3, DH, DW)
+    # bfloat16 kernel vs float32 XLA: tolerance scaled by 1/std
+    assert np.abs(got - want).mean() < 0.05, np.abs(got - want).mean()
+
+
+@pytest.mark.skipif(not os.path.exists(GT), reason="no reference data")
 def test_multistream_pipeline_drains_to_eos():
     from vali_tpu.pipeline.multistream import MultiStreamPipeline
 

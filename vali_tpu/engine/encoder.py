@@ -124,16 +124,16 @@ class PyNvEncoder:
             return False
         data = self._enc.pop_packet()
         if data is None:
-            if sync:
-                # Synchronous semantics: the caller wants a packet now.
-                # Software encoders buffer by lookahead/b-frames; sync mode
-                # drains nothing extra here (packet arrives once the
-                # pipeline fills) — same observable behavior as NVENC's
-                # frame-delay queue.
-                _append_packet(packet, b"", append)
-                return True
-            _append_packet(packet, b"", append)
-            return True
+            # No packet available yet (codec still filling its
+            # lookahead/B-frame pipeline). The reference returns False in
+            # this case (PyNvEncoder.cpp:260) — packet bytes arrive on a
+            # later call once the frame-delay queue fills. sync=True is
+            # best-effort here: libavcodec cannot drain a single frame
+            # mid-stream without ending it, so the delay queue behaves
+            # like NVENC's async frame queue either way.
+            if not append:
+                _append_packet(packet, b"", False)
+            return False
         _append_packet(packet, data, append)
         return True
 

@@ -307,7 +307,7 @@ def required_pad_rows_yuv420(src_w: int, src_h: int, dst_h: int,
 @functools.partial(
     jax.jit,
     static_argnames=("src_w", "src_h", "dst_w", "dst_h", "space", "crange",
-                     "out_dtype", "method", "interpret"))
+                     "out_dtype", "method", "normalize", "interpret"))
 def pallas_yuv420_preprocess(
     y: jax.Array,  # [B, >= H (+pad), W] uint8
     u: jax.Array,  # [B, >= H/2 (+pad), W/2] uint8
@@ -321,6 +321,7 @@ def pallas_yuv420_preprocess(
     crange: ColorRange = ColorRange.MPEG,
     out_dtype=jnp.uint8,
     method: str = LANCZOS_AA,
+    normalize=None,
     interpret: bool = False,
 ) -> jax.Array:
     """Planar I420 batch -> planar RGB [B, 3, dst_h, dst_w].
@@ -362,6 +363,10 @@ def pallas_yuv420_preprocess(
     m = m.astype(np.float32)
     is_u8 = np.dtype(out_dtype) == np.uint8
     scale = 1.0  # planar kernel is 8-bit only
+    if normalize is not None and is_u8:
+        raise ValueError("normalize requires a float out_dtype")
+    norm_mean = tuple(float(v) for v in normalize[0]) if normalize else None
+    norm_std = tuple(float(v) for v in normalize[1]) if normalize else None
 
     def _to_bf16(x):
         return x.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
@@ -404,8 +409,10 @@ def pallas_yuv420_preprocess(
                     jnp.int32).astype(jnp.uint8)
         else:
             for idx, ch in ((0, r), (1, g), (2, b)):
-                out_ref[0, idx] = (ch / (255.0 * scale)).astype(
-                    out_ref.dtype)
+                val = ch / (255.0 * scale)
+                if norm_mean is not None:
+                    val = (val - norm_mean[idx]) / norm_std[idx]
+                out_ref[0, idx] = val.astype(out_ref.dtype)
 
     dh_pad = ((DH + TILE - 1) // TILE) * TILE
     grid_spec = pltpu.PrefetchScalarGridSpec(

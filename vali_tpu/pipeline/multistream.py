@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.enums import ColorRange, ColorSpace, PixelFormat
+from ..core.enums import ColorRange, ColorSpace, PixelFormat, TaskExecInfo
 from ..engine.decoder import PyDecoder
 from ..ops.fused import fused_preprocess
 from ..ops.resize import LANCZOS_AA
@@ -90,7 +90,10 @@ class _StreamWorker(threading.Thread):
                 except queue.Empty:
                     continue
                 ok, info = dec.DecodeSingleFrame(buf)
-                if not ok:
+                if not ok or info != TaskExecInfo.SUCCESS:
+                    # RES_CHANGE writes no pixels and the batch geometry
+                    # is fixed at construction — end this stream rather
+                    # than enqueue a stale buffer
                     self.buf_pool.put(buf)
                     break
                 self.out_q.put((self.stream_id, buf))
@@ -138,17 +141,29 @@ class MultiStreamPipeline:
         self.sync_streams = sync_streams
         self.prefetch = max(1, int(prefetch))
 
+        # probe every source: the shared buffer pool and batch geometry
+        # require uniform width/height/format across streams
         probe = PyDecoder(self.sources[0], opts or {}, gpu_id=-1)
         self.src_w, self.src_h = probe.Width, probe.Height
         self.src_fmt = probe.Format
+        probe_size = probe.HostFrameSize
         del probe
+        for i, src in enumerate(self.sources[1:], start=1):
+            p = PyDecoder(src, opts or {}, gpu_id=-1)
+            if (p.Width, p.Height, p.Format) != (self.src_w, self.src_h,
+                                                 self.src_fmt):
+                raise ValueError(
+                    f"Source {i} geometry {p.Width}x{p.Height}/"
+                    f"{PixelFormat(p.Format).name} differs from source 0 "
+                    f"{self.src_w}x{self.src_h}/"
+                    f"{PixelFormat(self.src_fmt).name}; all streams in a "
+                    f"pipeline must share resolution and pixel format")
+            del p
 
         self._stop = threading.Event()
         # recycled decode buffers: enough for all queue slots + in-flight
         pool_size = (queue_depth + 2) * max(len(self.sources),
                                             self.batch_size)
-        probe_size = PyDecoder(self.sources[0], opts or {},
-                               gpu_id=-1).HostFrameSize
         self._buf_pool: "queue.Queue" = queue.Queue()
         for _ in range(pool_size):
             self._buf_pool.put(np.zeros(probe_size, dtype=np.uint8))
@@ -334,7 +349,7 @@ def preprocess_batch(planes, src_fmt: PixelFormat, src_w: int, src_h: int,
         out = pallas_yuv420_preprocess(
             planes[0], planes[1], planes[2], src_w=src_w, src_h=src_h,
             dst_w=dst_w, dst_h=dst_h, space=space, crange=crange,
-            out_dtype=out_dtype, method=method)
+            out_dtype=out_dtype, method=method, normalize=normalize)
         return out if planar else jnp.moveaxis(out, 1, -1)
     return _preprocess_jit(
         tuple(planes), src_fmt=src_fmt, src_w=src_w,
