@@ -22,7 +22,8 @@ import numpy as np
 
 K_SHORT = 8
 K_LONG = 40
-REPS = 8
+REPS = 6      # timed repeats per chain length
+SLOPES = 5    # independent slope estimates; report the median + spread
 
 
 def _make_loop(kernel_fn, K, consume):
@@ -43,30 +44,41 @@ def _make_loop(kernel_fn, K, consume):
     return run
 
 
-def _slope(kernel_fn, x, consume):
-    times = {}
+def _slopes(kernel_fn, x, consume, n=SLOPES):
+    """n independent two-point slope estimates (compile once, interleave
+    short/long chains so tunnel drift hits both equally)."""
+    fns = {}
     for K in (K_SHORT, K_LONG):
-        fn = _make_loop(kernel_fn, K, consume)
-        float(fn(x))  # compile + warm
-        best = float("inf")
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            float(fn(x))
-            best = min(best, time.perf_counter() - t0)
-        times[K] = best
-    return (times[K_LONG] - times[K_SHORT]) / (K_LONG - K_SHORT)
+        fns[K] = _make_loop(kernel_fn, K, consume)
+        float(fns[K](x))  # compile + warm
+    out = []
+    for _ in range(n):
+        times = {}
+        for K in (K_SHORT, K_LONG):
+            best = float("inf")
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                float(fns[K](x))
+                best = min(best, time.perf_counter() - t0)
+            times[K] = best
+        out.append((times[K_LONG] - times[K_SHORT]) / (K_LONG - K_SHORT))
+    return out
 
 
 def _time_kernel(kernel_fn, x):
+    """Median per-call time and relative spread across slope estimates."""
     import jax.numpy as jnp
 
-    with_kernel = _slope(
+    with_kernel = _slopes(
         kernel_fn, x,
         lambda f, xx: jnp.sum(f(xx).astype(jnp.int32)))
-    baseline = _slope(
+    baseline = np.median(_slopes(
         kernel_fn, x,
-        lambda f, xx: xx[0, 0, 0].astype(jnp.int32))
-    return max(with_kernel - baseline, 1e-9)
+        lambda f, xx: xx[0, 0, 0].astype(jnp.int32), n=3))
+    per_call = [max(s - baseline, 1e-9) for s in with_kernel]
+    med = float(np.median(per_call))
+    spread = (max(per_call) - min(per_call)) / med if med > 0 else 0.0
+    return med, spread
 
 
 def main():
@@ -86,12 +98,12 @@ def main():
         rng.integers(0, 256, (B, H * 3 // 2 + pad, W), dtype=np.uint8))
     nv12 = jnp.asarray(np.asarray(nv12_padded)[:, :H * 3 // 2, :])
 
-    per_batch_pallas = _time_kernel(
+    per_batch_pallas, spread = _time_kernel(
         lambda x: pallas_nv12_preprocess(
             x, src_w=W, src_h=H, dst_w=DW, dst_h=DH,
             space=ColorSpace.BT_709, crange=ColorRange.MPEG),
         nv12_padded)
-    per_batch_xla = _time_kernel(
+    per_batch_xla, _ = _time_kernel(
         lambda x: fused_preprocess(
             (x,), PixelFormat.NV12, W, H, DW, DH,
             ColorSpace.BT_709, ColorRange.MPEG),
@@ -124,6 +136,7 @@ def main():
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 4000.0, 3),
         "ms_per_64frame_batch_pallas": round(per_batch_pallas * 1000, 3),
+        "pallas_slope_spread": round(spread, 3),
         "ms_per_64frame_batch_xla": round(per_batch_xla * 1000, 3),
         "hbm_gbytes_per_sec": round(gbps, 1),
         "sw_decode_fps_single_stream_848x464": round(decode_fps, 1),

@@ -29,14 +29,17 @@ def test_banded_weights_rows_sum_to_one():
     assert blocks.shape == ((n_out + TILE - 1) // TILE, TILE, win)
     flat = blocks.reshape(-1, win)[:n_out]
     assert np.allclose(flat.sum(axis=1), 1.0, atol=1e-5)
-    assert (starts % 32 == 0).all()
+    from vali_tpu.ops.pallas_fused import ALIGN
+    assert (starts % ALIGN == 0).all()
 
 
 def test_banded_weights_alignment_and_bounds():
     starts, blocks, win, max_end = _banded_h_weights(
         540, 224, "lanczos_aa", row_offset=1080, chroma_of=1080)
-    assert (starts % 32 == 0).all()
-    assert (starts >= 1024).all()  # aligned below the chroma offset is ok
+    from vali_tpu.ops.pallas_fused import ALIGN
+    assert (starts % ALIGN == 0).all()
+    # aligned start may sit slightly below the chroma offset
+    assert (starts >= 1080 - ALIGN).all()
     assert max_end >= 1080 + 540
 
 
