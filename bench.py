@@ -130,6 +130,16 @@ def main():
     except Exception:
         pass
 
+    # all five BASELINE.json configs (see bench_configs.py); skippable
+    # via VALI_BENCH_CONFIGS=0 for a fast headline-only run
+    import os
+
+    configs = {}
+    if os.environ.get("VALI_BENCH_CONFIGS", "1") != "0":
+        import bench_configs
+
+        configs = bench_configs.run_all()
+
     result = {
         "metric": "64x1080p NV12->RGB->224x224 fused CSC+resize frames/sec/chip",
         "value": round(fps, 1),
@@ -140,6 +150,7 @@ def main():
         "ms_per_64frame_batch_xla": round(per_batch_xla * 1000, 3),
         "hbm_gbytes_per_sec": round(gbps, 1),
         "sw_decode_fps_single_stream_848x464": round(decode_fps, 1),
+        "configs": configs,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

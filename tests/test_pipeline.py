@@ -161,6 +161,25 @@ def test_yuv420_pallas_normalize_matches_xla():
 
 
 @pytest.mark.skipif(not os.path.exists(GT), reason="no reference data")
+def test_multistream_mux_decode_threads():
+    """Bounded decode pool: 5 streams multiplexed over 2 threads must
+    deliver every frame of every stream and then stop cleanly."""
+    from vali_tpu.pipeline.multistream import MultiStreamPipeline
+
+    pipe = MultiStreamPipeline([GT] * 5, dst_w=32, dst_h=32, gpu_id=0,
+                               decode_threads=2)
+    assert len(pipe._workers) == 2
+    per_stream = {}
+    for batch, ids in pipe:
+        for sid in ids:
+            per_stream[sid] = per_stream.get(sid, 0) + 1
+    assert sorted(per_stream) == [0, 1, 2, 3, 4]
+    assert all(v == 96 for v in per_stream.values()), per_stream
+    pipe.stop()
+    assert all(not w.is_alive() for w in pipe._workers)
+
+
+@pytest.mark.skipif(not os.path.exists(GT), reason="no reference data")
 def test_multistream_pipeline_drains_to_eos():
     from vali_tpu.pipeline.multistream import MultiStreamPipeline
 

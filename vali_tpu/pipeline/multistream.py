@@ -103,6 +103,59 @@ class _StreamWorker(threading.Thread):
             self.out_q.put((self.stream_id, None))
 
 
+class _MuxStreamWorker(threading.Thread):
+    """Decodes SEVERAL streams round-robin on one thread.
+
+    For stream counts far above the host core count, one-thread-per-stream
+    (the reference's model, _StreamWorker) thrashes the scheduler; this
+    worker owns a group of decoders and rotates through them, keeping the
+    thread count bounded while every stream still progresses.
+    """
+
+    def __init__(self, streams, opts, out_q: "queue.Queue",
+                 stop_event: threading.Event, buf_pool: "queue.Queue"):
+        ids = [sid for sid, _ in streams]
+        super().__init__(daemon=True,
+                         name=f"vali-decode-mux-{ids[0]}-{ids[-1]}")
+        self.streams = list(streams)  # [(stream_id, source), ...]
+        self.n_streams = len(self.streams)
+        self.opts = dict(opts)
+        self.out_q = out_q
+        self.stop_event = stop_event
+        self.buf_pool = buf_pool
+        self.error: Optional[Exception] = None
+
+    def run(self):
+        ended = set()
+        live = {}
+        try:
+            for sid, src in self.streams:
+                live[sid] = PyDecoder(src, self.opts, gpu_id=-1)
+            while live and not self.stop_event.is_set():
+                for sid in list(live):
+                    if self.stop_event.is_set():
+                        break
+                    try:
+                        buf = self.buf_pool.get(timeout=0.2)
+                    except queue.Empty:
+                        continue
+                    ok, info = live[sid].DecodeSingleFrame(buf)
+                    if not ok or info != TaskExecInfo.SUCCESS:
+                        self.buf_pool.put(buf)
+                        del live[sid]
+                        self.out_q.put((sid, None))
+                        ended.add(sid)
+                        continue
+                    self.out_q.put((sid, buf))
+        except Exception as e:
+            self.error = e
+        finally:
+            for sid, _ in self.streams:  # sentinels for streams cut short
+                if sid not in ended:
+                    self.out_q.put((sid, None))
+                    ended.add(sid)
+
+
 class MultiStreamPipeline:
     """Decode N streams and yield batched, preprocessed device tensors.
 
@@ -120,14 +173,19 @@ class MultiStreamPipeline:
                  method: str = LANCZOS_AA,
                  queue_depth: int = 4,
                  sync_streams: bool = False,
-                 prefetch: int = 2):
+                 prefetch: int = 2,
+                 decode_threads: Optional[int] = None):
         """``sync_streams=True`` assembles batches with exactly one frame
         per live stream (lock-step across streams, e.g. for synchronized
         multi-camera rigs); the default takes frames in arrival order for
         maximum throughput. ``prefetch`` batches are staged and dispatched
         ahead of the consumer (host staging + H2D overlap with downstream
         compute — the double-buffering the reference gets from CUDA
-        streams)."""
+        streams). ``decode_threads`` bounds the decode thread pool: when
+        streams outnumber host cores, streams are multiplexed round-robin
+        over this many threads instead of one thread per stream (default:
+        min(n_streams, 4*cpu_count); sync_streams always uses one thread
+        per stream)."""
         if not sources:
             raise ValueError("Need at least one source")
         self.sources = list(sources)
@@ -148,7 +206,13 @@ class MultiStreamPipeline:
         self.src_fmt = probe.Format
         probe_size = probe.HostFrameSize
         del probe
+        seen = {self.sources[0]} if isinstance(self.sources[0],
+                                               (str, bytes)) else set()
         for i, src in enumerate(self.sources[1:], start=1):
+            if isinstance(src, (str, bytes)):
+                if src in seen:
+                    continue
+                seen.add(src)
             p = PyDecoder(src, opts or {}, gpu_id=-1)
             if (p.Width, p.Height, p.Format) != (self.src_w, self.src_h,
                                                  self.src_fmt):
@@ -182,11 +246,26 @@ class MultiStreamPipeline:
             self._frame_q = queue.Queue(
                 maxsize=queue_depth * self.batch_size)
             self._queues = []
-            self._workers = [
-                _StreamWorker(i, src, opts or {}, self._frame_q, self._stop,
-                              self._buf_pool)
-                for i, src in enumerate(self.sources)
-            ]
+            import os as _os
+
+            n_threads = decode_threads or min(
+                len(self.sources), 4 * (_os.cpu_count() or 1))
+            n_threads = max(1, min(n_threads, len(self.sources)))
+            if n_threads == len(self.sources):
+                self._workers = [
+                    _StreamWorker(i, src, opts or {}, self._frame_q,
+                                  self._stop, self._buf_pool)
+                    for i, src in enumerate(self.sources)
+                ]
+            else:
+                groups = [[] for _ in range(n_threads)]
+                for i, src in enumerate(self.sources):
+                    groups[i % n_threads].append((i, src))
+                self._workers = [
+                    _MuxStreamWorker(g, opts or {}, self._frame_q,
+                                     self._stop, self._buf_pool)
+                    for g in groups if g
+                ]
         self._started = False
         self._live = 0
         self._alive_mask: List[bool] = [True] * len(self.sources)
@@ -195,7 +274,9 @@ class MultiStreamPipeline:
         if not self._started:
             for w in self._workers:
                 w.start()
-            self._live = len(self._workers)
+            # one EOS sentinel arrives per STREAM (mux workers own several)
+            self._live = sum(getattr(w, "n_streams", 1)
+                             for w in self._workers)
             self._started = True
         return self
 
@@ -210,6 +291,26 @@ class MultiStreamPipeline:
                         self._buf_pool.put(frame)
             except queue.Empty:
                 pass
+        # join decode threads so interpreter teardown never kills a thread
+        # mid-FFmpeg-call (they poll the stop event every 0.2s)
+        deadline = 5.0
+        for w in self._workers:
+            if w.is_alive():
+                import time as _time
+
+                t0 = _time.monotonic()
+                while w.is_alive() and _time.monotonic() - t0 < deadline:
+                    # keep draining: a worker may be blocked on out_q.put
+                    for q in ([self._frame_q] if self._frame_q
+                              else self._queues):
+                        try:
+                            while True:
+                                _, frame = q.get_nowait()
+                                if frame is not None:
+                                    self._buf_pool.put(frame)
+                        except queue.Empty:
+                            pass
+                    w.join(timeout=0.1)
 
     def _assemble(self) -> Optional[Tuple[np.ndarray, List[int]]]:
         frames: List[np.ndarray] = []
