@@ -205,21 +205,41 @@ void VideoEncoder::Open() {
   if (it != m_opts.end()) m_ctx->refs = std::stoi(it->second);
 
   AVDictionary* priv = nullptr;
+  std::string x265_params;  // accumulated, ':'-joined, set once below
+  auto add_x265_param = [&x265_params](const std::string& p) {
+    if (!x265_params.empty()) x265_params += ":";
+    x265_params += p;
+  };
+  std::string tuning;
+  it = m_opts.find("tuning_info");
+  if (it != m_opts.end()) tuning = it->second;
+
   it = m_opts.find("preset");
   if (it != m_opts.end()) {
     const char* preset = map_preset(it->second);
     av_dict_set(&priv, "preset", preset ? preset : it->second.c_str(), 0);
   } else {
-    av_dict_set(&priv, "preset", "medium", 0);
+    // NVENC tuning_info=high_quality trades speed for quality; with no
+    // explicit preset the software equivalent is a slower x264/x265
+    // preset (parity: NvCodecCliOptions.cpp tuning_info handling).
+    av_dict_set(&priv, "preset",
+                tuning == "high_quality" ? "slow" : "medium", 0);
   }
-  it = m_opts.find("tuning_info");
-  if (it != m_opts.end()) {
-    if (it->second == "low_latency" || it->second == "ultra_low_latency") {
-      av_dict_set(&priv, "tune", "zerolatency", 0);
-    } else if (it->second == "lossless") {
-      av_dict_set(&priv, m_is_hevc ? "x265-params" : "qp",
-                  m_is_hevc ? "lossless=1" : "0", 0);
+  if (tuning == "low_latency" || tuning == "ultra_low_latency") {
+    av_dict_set(&priv, "tune", "zerolatency", 0);
+  } else if (tuning == "lossless") {
+    if (m_is_hevc) {
+      add_x265_param("lossless=1");
+    } else {
+      av_dict_set(&priv, "qp", "0", 0);
     }
+  }
+  // Repeat SPS/PPS on every IDR. libx264 already does this for annex-B
+  // elementary streams when global headers are off (our case); x265
+  // needs it requested explicitly.
+  it = m_opts.find("repeatspspps");
+  if (it != m_opts.end() && it->second != "0" && m_is_hevc) {
+    add_x265_param("repeat-headers=1");
   }
   it = m_opts.find("profile");
   if (it != m_opts.end()) av_dict_set(&priv, "profile", it->second.c_str(), 0);
@@ -260,7 +280,9 @@ void VideoEncoder::Open() {
   if (it != m_opts.end() && !m_is_hevc) {
     av_dict_set(&priv, "mbtree", "1", 0);
   }
-  // NVENC multipass -> single-shot software equivalent: extend lookahead.
+  // NVENC multipass has no single-shot software equivalent (x264/x265
+  // two-pass needs a stats file + two encodes); approximate the quality
+  // benefit by extending the rate-control lookahead window.
   it = m_opts.find("multipass");
   if (it != m_opts.end() && it->second != "0" &&
       m_opts.find("lookahead") == m_opts.end()) {
@@ -278,7 +300,10 @@ void VideoEncoder::Open() {
   av_dict_set(&priv, "udu_sei", "1", 0);
   // Quiet x265's banner unless verbose.
   if (m_is_hevc && !m_verbose) {
-    av_dict_set(&priv, "x265-params", "log-level=error", AV_DICT_APPEND);
+    add_x265_param("log-level=error");
+  }
+  if (m_is_hevc && !x265_params.empty()) {
+    av_dict_set(&priv, "x265-params", x265_params.c_str(), 0);
   }
 
   int res = avcodec_open2(m_ctx, codec, &priv);

@@ -128,6 +128,155 @@ def test_encoder_delayed_output_contract(tmp_path):
     assert n_out == n_in
 
 
+def _encode_es(opts, n_frames=12, fmt=F.NV12, fills=None):
+    """Encode n synthetic frames, return the full elementary stream."""
+    enc = vali.PyNvEncoder(opts, gpu_id=0, format=fmt)
+    packet = np.zeros(0, dtype=np.uint8)
+    chunks = []
+    for i in range(n_frames):
+        fill = (fills[i] if fills else 60 + 12 * i) % 256
+        if enc.EncodeSingleSurface(nv12_surface(fill), packet):
+            chunks.append(packet.tobytes())
+    flush = np.zeros(0, dtype=np.uint8)
+    enc.Flush(flush)
+    return b"".join(chunks) + flush.tobytes()
+
+
+def _h264_nal_types(es):
+    """NAL unit types in an annex-B H.264 stream."""
+    types = []
+    i = 0
+    while True:
+        i = es.find(b"\x00\x00\x01", i)
+        if i < 0:
+            break
+        types.append(es[i + 3] & 0x1F)
+        i += 3
+    return types
+
+
+def _h264_slice_types(es):
+    """Slice types of every VCL NAL (annex-B): 'I', 'P' or 'B'.
+
+    slice_type is the second ue(v) in the slice header (after
+    first_mb_in_slice), per H.264 7.3.3."""
+    out = []
+    i = 0
+    while True:
+        i = es.find(b"\x00\x00\x01", i)
+        if i < 0:
+            break
+        nal_type = es[i + 3] & 0x1F
+        if nal_type in (1, 5):
+            payload = es[i + 4:i + 12]
+            bits = "".join(f"{b:08b}" for b in payload)
+
+            def read_ue(pos):
+                zeros = 0
+                while bits[pos + zeros] == "0":
+                    zeros += 1
+                val = int(bits[pos + zeros:pos + 2 * zeros + 1], 2) - 1
+                return val, pos + 2 * zeros + 1
+
+            _, p = read_ue(0)           # first_mb_in_slice
+            st, _ = read_ue(p)          # slice_type
+            out.append("PBI"[st % 5] if st % 5 < 3 else "?")
+        i += 3
+    return out
+
+
+def test_encoder_gop_observable(tmp_path):
+    """gop=4 must yield an IDR every 4 frames in the output bitstream
+    (parity: NvEncoderClInterface gopLength -> observable key frames)."""
+    es = _encode_es({"s": f"{W}x{H}", "gop": "4", "bf": "0",
+                     "lookahead": "0"}, n_frames=12)
+    nals = _h264_nal_types(es)
+    assert nals.count(5) == 3, nals  # IDR slices at frames 0, 4, 8
+
+
+def test_encoder_bf_observable(tmp_path):
+    """bf>0 must put B slices in the bitstream; bf=0 must not (parity:
+    NVENC frameIntervalP). Frames vary so the encoder can't demote all
+    candidates to P; decode-back count must still match."""
+    fills = [30 + 13 * i for i in range(16)]
+    for bf, expect_b in (("0", False), ("2", True)):
+        es = _encode_es({"s": f"{W}x{H}", "bf": bf, "gop": "30",
+                         "lookahead": "4"}, n_frames=16, fills=fills)
+        slices = _h264_slice_types(es)
+        assert len(slices) == 16
+        assert ("B" in slices) == expect_b, (bf, slices)
+        p = tmp_path / f"bf{bf}.h264"
+        p.write_bytes(es)
+        dec = vali.PyDecoder(str(p), {}, gpu_id=-1)
+        frame = np.zeros(dec.HostFrameSize, np.uint8)
+        n = 0
+        while dec.DecodeSingleFrame(frame)[0]:
+            n += 1
+        assert n == 16
+
+
+def test_encoder_profile_observable(tmp_path):
+    """profile= must land in the stream: decoder reports the H.264
+    profile (66/578=constrained baseline, 100=high)."""
+    for profile, idcs in (("baseline", (66, 578)), ("high", (100,))):
+        es = _encode_es({"s": f"{W}x{H}", "profile": profile, "gop": "8"},
+                        n_frames=8)
+        p = tmp_path / f"{profile}.h264"
+        p.write_bytes(es)
+        dec = vali.PyDecoder(str(p), {}, gpu_id=-1)
+        assert dec.Profile in idcs, (profile, dec.Profile)
+
+
+def test_encoder_fps_observable(tmp_path):
+    es = _encode_es({"s": f"{W}x{H}", "fps": "25", "gop": "8"}, n_frames=8)
+    p = tmp_path / "fps25.h264"
+    p.write_bytes(es)
+    dec = vali.PyDecoder(str(p), {}, gpu_id=-1)
+    assert abs(dec.Framerate - 25.0) < 0.01
+
+
+def test_encoder_repeatspspps_h264_default(tmp_path):
+    """Annex-B H.264 elementary streams repeat SPS/PPS on every IDR (the
+    libx264 default with global headers off) — the behavior repeatspspps
+    requests from NVENC."""
+    es = _encode_es({"s": f"{W}x{H}", "gop": "2", "bf": "0",
+                     "lookahead": "0", "repeatspspps": "1"}, n_frames=6)
+    nals = _h264_nal_types(es)
+    assert nals.count(5) == 3  # 3 IDRs
+    assert nals.count(7) >= 3 and nals.count(8) >= 3, nals  # SPS+PPS each
+
+
+def test_encoder_repeatspspps_hevc(tmp_path):
+    """repeatspspps on HEVC maps to x265 repeat-headers: VPS/SPS/PPS must
+    appear before every IDR, not just once."""
+    def hevc_nals(es):
+        out, i = [], 0
+        while True:
+            i = es.find(b"\x00\x00\x01", i)
+            if i < 0:
+                return out
+            out.append((es[i + 3] >> 1) & 0x3F)
+            i += 3
+
+    enc_opts = {"s": f"{W}x{H}", "codec": "hevc", "gop": "2", "bf": "0",
+                "lookahead": "0"}
+    # annex-B elementary streams repeat headers per IDR by default
+    # (FFmpeg sets x265 repeat-headers when global headers are off), so
+    # repeatspspps semantics hold with and without the explicit option
+    es_on = _encode_es(dict(enc_opts, repeatspspps="1"), n_frames=6)
+    nals = hevc_nals(es_on)
+    assert nals.count(33) >= 3, nals            # SPS before every IDR
+    assert nals.count(32) >= 3 and nals.count(34) >= 3  # VPS + PPS too
+
+
+def test_encoder_tuning_high_quality_valid():
+    """tuning_info=high_quality maps to a slower preset (observable only
+    as a valid open + encode here; quality effect needs long content)."""
+    es = _encode_es({"s": f"{W}x{H}", "tuning_info": "high_quality",
+                     "gop": "4"}, n_frames=4)
+    assert len(es) > 0
+
+
 def test_encoder_option_validation():
     with pytest.raises(RuntimeError):
         vali.PyNvEncoder({"s": "320x240", "bogus_key": "1"}, gpu_id=0)
