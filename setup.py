@@ -40,6 +40,7 @@ ext = Extension(
         "src/native/encoder.cpp",
         "src/native/frameconv.cpp",
         "src/native/jpeg.cpp",
+        "src/native/muxer.cpp",
     ],
     include_dirs=["src/native"] + include_dirs,
     library_dirs=library_dirs,

@@ -82,3 +82,4 @@ int vali_register_encoder(PyObject* module);
 int vali_register_frameconv(PyObject* module);
 int vali_register_jpeg(PyObject* module);
 int vali_register_jpeg_coefficients(PyObject* module);
+int vali_register_muxer(PyObject* module);

@@ -368,7 +368,8 @@ PyMODINIT_FUNC PyInit__native(void) {
   PyModule_AddObject(m, "Decoder", reinterpret_cast<PyObject*>(&DecoderType));
 
   if (vali_register_encoder(m) < 0 || vali_register_frameconv(m) < 0 ||
-      vali_register_jpeg(m) < 0 || vali_register_jpeg_coefficients(m) < 0) {
+      vali_register_jpeg(m) < 0 || vali_register_jpeg_coefficients(m) < 0 ||
+      vali_register_muxer(m) < 0) {
     Py_DECREF(m);
     return nullptr;
   }

@@ -9,6 +9,7 @@
 #include "encoder.hpp"
 #include "frameconv.hpp"
 #include "jpeg.hpp"
+#include "muxer.hpp"
 
 namespace {
 
@@ -322,6 +323,87 @@ PyMethodDef Jpeg_methods[] = {
 
 PyTypeObject JpegType = {PyVarObject_HEAD_INIT(nullptr, 0) "JpegEncoder"};
 
+// ---------------------------------------------------------------------------
+// Muxer
+// ---------------------------------------------------------------------------
+
+struct MuxerObject {
+  PyObject_HEAD
+  vali::Muxer* mux;
+};
+
+int Muxer_init(MuxerObject* self, PyObject* args, PyObject* kwds) {
+  static const char* kwlist[] = {"path",   "codec",  "width",   "height",
+                                 "timebase_den", "format", "fps_num",
+                                 "fps_den", nullptr};
+  const char* path;
+  const char* codec = "h264";
+  int width, height, tb_den = 90000, fps_num = 0, fps_den = 1;
+  const char* format = "";
+  self->mux = nullptr;
+  if (!PyArg_ParseTupleAndKeywords(args, kwds, "sii|sisii",
+                                   const_cast<char**>(kwlist), &path, &width,
+                                   &height, &codec, &tb_den, &format,
+                                   &fps_num, &fps_den)) {
+    return -1;
+  }
+  try {
+    self->mux = new vali::Muxer(path, codec, width, height, tb_den, format,
+                                fps_num, fps_den);
+    return 0;
+  } catch (const std::exception& e) {
+    PyErr_SetString(PyExc_RuntimeError, e.what());
+    return -1;
+  }
+}
+
+void Muxer_dealloc(MuxerObject* self) {
+  delete self->mux;
+  Py_TYPE(self)->tp_free(reinterpret_cast<PyObject*>(self));
+}
+
+PyObject* Muxer_write(MuxerObject* self, PyObject* args, PyObject* kwds) {
+  static const char* kwlist[] = {"packet", "pts", "dts", "key", nullptr};
+  PyObject* pkt_obj;
+  long long pts, dts = LLONG_MIN;
+  int key = 0;
+  if (!PyArg_ParseTupleAndKeywords(args, kwds, "OL|Lp",
+                                   const_cast<char**>(kwlist), &pkt_obj,
+                                   &pts, &dts, &key)) {
+    return nullptr;
+  }
+  if (dts == LLONG_MIN) dts = pts;
+  Py_buffer view;
+  if (PyObject_GetBuffer(pkt_obj, &view, PyBUF_SIMPLE) < 0) return nullptr;
+  std::string msg;
+  Info info;
+  Py_BEGIN_ALLOW_THREADS
+  info = self->mux->WritePacket(static_cast<const uint8_t*>(view.buf),
+                                view.len, pts, dts, key != 0, msg);
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&view);
+  return Py_BuildValue("is", static_cast<int>(info), msg.c_str());
+}
+
+PyObject* Muxer_close(MuxerObject* self, PyObject*) {
+  std::string msg;
+  Info info;
+  Py_BEGIN_ALLOW_THREADS
+  info = self->mux->Close(msg);
+  Py_END_ALLOW_THREADS
+  return Py_BuildValue("is", static_cast<int>(info), msg.c_str());
+}
+
+PyMethodDef Muxer_methods[] = {
+    {"write", (PyCFunction)Muxer_write, METH_VARARGS | METH_KEYWORDS,
+     "write(packet, pts, dts=pts, key=False) -> (info, msg); timestamps "
+     "in 1/timebase_den seconds."},
+    {"close", (PyCFunction)Muxer_close, METH_NOARGS,
+     "Write the trailer and close the file."},
+    {nullptr, nullptr, 0, nullptr}};
+
+PyTypeObject MuxerType = {PyVarObject_HEAD_INIT(nullptr, 0) "Muxer"};
+
 PyObject* native_encoder_option_docs(PyObject*, PyObject*) {
   PyObject* dict = PyDict_New();
   for (const auto& kv : vali::encoder_option_docs()) {
@@ -359,6 +441,12 @@ int vali_register_encoder(PyObject* m) {
   return register_type(m, &EncoderType, "Encoder", sizeof(EncoderObject),
                        (initproc)Encoder_init, (destructor)Encoder_dealloc,
                        Encoder_methods, "libx264/x265 video encoder");
+}
+
+int vali_register_muxer(PyObject* m) {
+  return register_type(m, &MuxerType, "Muxer", sizeof(MuxerObject),
+                       (initproc)Muxer_init, (destructor)Muxer_dealloc,
+                       Muxer_methods, "libavformat container muxer");
 }
 
 int vali_register_frameconv(PyObject* m) {

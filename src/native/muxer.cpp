@@ -1,0 +1,196 @@
+#include "muxer.hpp"
+
+extern "C" {
+#include <libavformat/avformat.h>
+#include <libavutil/avutil.h>
+}
+
+#include <algorithm>
+#include <cstring>
+#include <stdexcept>
+
+namespace vali {
+
+namespace {
+
+// First annex-B parameter-set run in a key access unit: for H.264 the
+// SPS(7)/PPS(8) NALs, for HEVC VPS(32)/SPS(33)/PPS(34). libavformat's
+// MP4/MKV muxers convert annex-B extradata to avcC/hvcC themselves.
+size_t param_set_span(const uint8_t* data, size_t size, bool hevc) {
+  size_t end = 0;
+  size_t i = 0;
+  while (i + 3 < size) {
+    if (data[i] == 0 && data[i + 1] == 0 &&
+        (data[i + 2] == 1 || (data[i + 2] == 0 && i + 4 < size &&
+                              data[i + 3] == 1))) {
+      size_t hdr = data[i + 2] == 1 ? 3 : 4;
+      size_t nal_start = i + hdr;
+      if (nal_start >= size) break;
+      int type = hevc ? (data[nal_start] >> 1) & 0x3F
+                      : data[nal_start] & 0x1F;
+      bool is_param = hevc ? (type >= 32 && type <= 34)
+                           : (type == 7 || type == 8);
+      // find next start code to know where this NAL ends
+      size_t j = nal_start;
+      while (j + 3 < size &&
+             !(data[j] == 0 && data[j + 1] == 0 &&
+               (data[j + 2] == 1 ||
+                (data[j + 2] == 0 && j + 4 < size && data[j + 3] == 1)))) {
+        j++;
+      }
+      size_t nal_end = (j + 3 < size) ? j : size;
+      if (is_param) {
+        end = nal_end;
+        i = j;
+        continue;
+      }
+      if (end) break;  // param sets done, VCL data starts
+      i = j;
+      continue;
+    }
+    i++;
+  }
+  return end;
+}
+
+// True if the access unit contains an IDR (H.264 NAL 5) / IRAP (HEVC NAL
+// 16..23) slice. Caller-supplied key flags are unreliable — x264/x265
+// scenecut moves IDRs — and a wrong sync-sample table breaks seeking.
+bool is_key_au(const uint8_t* data, size_t size, bool hevc) {
+  size_t i = 0;
+  while (i + 4 < size) {
+    if (data[i] == 0 && data[i + 1] == 0 &&
+        (data[i + 2] == 1 ||
+         (data[i + 2] == 0 && data[i + 3] == 1))) {
+      size_t nal_start = i + (data[i + 2] == 1 ? 3 : 4);
+      if (nal_start >= size) break;
+      int type = hevc ? (data[nal_start] >> 1) & 0x3F
+                      : data[nal_start] & 0x1F;
+      if (hevc ? (type >= 16 && type <= 23) : type == 5) return true;
+      i = nal_start;
+      continue;
+    }
+    i++;
+  }
+  return false;
+}
+
+}  // namespace
+
+Muxer::Muxer(const std::string& path, const std::string& codec, int width,
+             int height, int timebase_den, const std::string& format,
+             int fps_num, int fps_den)
+    : m_tb_den(timebase_den) {
+  std::string c = codec;
+  std::transform(c.begin(), c.end(), c.begin(), ::tolower);
+  m_is_hevc = (c == "hevc" || c == "h265");
+  if (!m_is_hevc && c != "h264" && c != "avc") {
+    throw std::runtime_error("Muxer: unsupported codec '" + codec + "'");
+  }
+  int res = avformat_alloc_output_context2(
+      &m_ctx, nullptr, format.empty() ? nullptr : format.c_str(),
+      path.c_str());
+  if (res < 0 || !m_ctx) {
+    throw std::runtime_error("Muxer: cannot deduce container for " + path +
+                             ": " + av_err_str(res));
+  }
+  m_stream = avformat_new_stream(m_ctx, nullptr);
+  if (!m_stream) {
+    avformat_free_context(m_ctx);
+    m_ctx = nullptr;
+    throw std::runtime_error("Muxer: failed to create stream");
+  }
+  m_stream->codecpar->codec_type = AVMEDIA_TYPE_VIDEO;
+  m_stream->codecpar->codec_id =
+      m_is_hevc ? AV_CODEC_ID_HEVC : AV_CODEC_ID_H264;
+  m_stream->codecpar->width = width;
+  m_stream->codecpar->height = height;
+  m_stream->time_base = {1, m_tb_den};
+  if (fps_num > 0) {
+    m_stream->avg_frame_rate = {fps_num, fps_den};
+  }
+  if (!(m_ctx->oformat->flags & AVFMT_NOFILE)) {
+    res = avio_open(&m_ctx->pb, path.c_str(), AVIO_FLAG_WRITE);
+    if (res < 0) {
+      avformat_free_context(m_ctx);
+      m_ctx = nullptr;
+      throw std::runtime_error("Muxer: cannot open " + path + ": " +
+                               av_err_str(res));
+    }
+  }
+}
+
+Muxer::~Muxer() {
+  std::string msg;
+  Close(msg);
+}
+
+void Muxer::ExtractExtradata(const uint8_t* data, size_t size) {
+  size_t span = param_set_span(data, size, m_is_hevc);
+  if (!span) return;
+  uint8_t* ed = static_cast<uint8_t*>(
+      av_mallocz(span + AV_INPUT_BUFFER_PADDING_SIZE));
+  if (!ed) return;
+  memcpy(ed, data, span);
+  m_stream->codecpar->extradata = ed;
+  m_stream->codecpar->extradata_size = static_cast<int>(span);
+}
+
+Info Muxer::WritePacket(const uint8_t* data, size_t size, int64_t pts,
+                        int64_t dts, bool key, std::string& msg) {
+  if (m_closed || !m_ctx) {
+    msg = "muxer is closed";
+    return Info::FAIL;
+  }
+  if (!m_header_written) {
+    if (!m_stream->codecpar->extradata) ExtractExtradata(data, size);
+    int res = avformat_write_header(m_ctx, nullptr);
+    if (res < 0) {
+      msg = "write_header: " + av_err_str(res);
+      return Info::FAIL;
+    }
+    m_header_written = true;
+  }
+  AVPacket* pkt = av_packet_alloc();
+  if (!pkt || av_new_packet(pkt, static_cast<int>(size)) < 0) {
+    if (pkt) av_packet_free(&pkt);
+    msg = "packet alloc failure";
+    return Info::FAIL;
+  }
+  memcpy(pkt->data, data, size);
+  pkt->stream_index = m_stream->index;
+  pkt->pts = pts;
+  pkt->dts = dts;
+  if (key || is_key_au(data, size, m_is_hevc)) pkt->flags |= AV_PKT_FLAG_KEY;
+  av_packet_rescale_ts(pkt, {1, m_tb_den}, m_stream->time_base);
+  int res = av_interleaved_write_frame(m_ctx, pkt);
+  av_packet_free(&pkt);
+  if (res < 0) {
+    msg = "write_frame: " + av_err_str(res);
+    return Info::FAIL;
+  }
+  return Info::SUCCESS;
+}
+
+Info Muxer::Close(std::string& msg) {
+  if (m_closed) return Info::SUCCESS;
+  m_closed = true;
+  Info out = Info::SUCCESS;
+  if (m_ctx) {
+    if (m_header_written) {
+      int res = av_write_trailer(m_ctx);
+      if (res < 0) {
+        msg = "write_trailer: " + av_err_str(res);
+        out = Info::FAIL;
+      }
+    }
+    if (!(m_ctx->oformat->flags & AVFMT_NOFILE) && m_ctx->pb) {
+      avio_closep(&m_ctx->pb);
+    }
+    avformat_free_context(m_ctx);
+    m_ctx = nullptr;
+  }
+  return out;
+}
+
+}  // namespace vali

@@ -1,0 +1,153 @@
+"""Muxer tests + the decoder coverage it unlocks: true-VFR fixtures and
+long-GOP seek accuracy (reference test_PyDecoder.py:986-1004 leaves the
+VFR-true assertion commented out for lack of a fixture; TaskDecodeFrame
+rejects seek-by-frame-number on VFR at decoder.cpp:351-355)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import vali_tpu as vali
+from vali_tpu.engine.muxer import PyMuxer
+
+F = vali.PixelFormat
+W, H = 320, 240
+
+
+def nv12_surface(y_fill):
+    y = np.full((H, W), y_fill % 256, np.uint8)
+    uv = np.full((H // 2, W), 128, np.uint8)
+    frame = np.concatenate([y.reshape(-1), uv.reshape(-1)])
+    surf = vali.Surface.Make(F.NV12, W, H)
+    up = vali.PyFrameUploader(gpu_id=0)
+    ok, _ = up.Run(frame, surf)
+    assert ok
+    return surf
+
+
+def encode_display_order_packets(n_frames, gop=4, fills=None):
+    """bf=0 + lookahead=0 -> output packet order == display order."""
+    enc = vali.PyNvEncoder({"s": f"{W}x{H}", "bf": "0", "lookahead": "0",
+                            "gop": str(gop)}, gpu_id=0, format=F.NV12)
+    pkts = []
+    pkt = np.zeros(0, np.uint8)
+    for i in range(n_frames):
+        fill = fills[i] if fills else 40 + 15 * i
+        if enc.EncodeSingleSurface(nv12_surface(fill), pkt):
+            pkts.append(pkt.tobytes())
+    while True:
+        f = np.zeros(0, np.uint8)
+        if not enc.FlushSinglePacket(f) or not f.size:
+            break
+        pkts.append(f.tobytes())
+    assert len(pkts) == n_frames
+    return pkts
+
+
+@pytest.mark.parametrize("ext", [".mp4", ".mkv", ".ts"])
+def test_muxer_cfr_roundtrip(tmp_path, ext):
+    pkts = encode_display_order_packets(12)
+    p = str(tmp_path / f"cfr{ext}")
+    with PyMuxer(p, W, H, fps=30.0) as mux:
+        for i, d in enumerate(pkts):
+            ok, info = mux.Mux(d, pts=i / 30.0, key=(i % 4 == 0))
+            assert ok, (i, info)
+    dec = vali.PyDecoder(p, {}, gpu_id=-1)
+    assert (dec.Width, dec.Height) == (W, H)
+    assert not dec.IsVFR
+    frame = np.zeros(dec.HostFrameSize, np.uint8)
+    means = []
+    while dec.DecodeSingleFrame(frame)[0]:
+        means.append(float(frame[:W * H].mean()))
+    assert len(means) == 12
+    for i, m in enumerate(means):
+        assert abs(m - (40 + 15 * i)) < 3.0, (i, m)
+
+
+def test_muxer_closed_rejects_write(tmp_path):
+    p = str(tmp_path / "x.mp4")
+    mux = PyMuxer(p, W, H)
+    pkts = encode_display_order_packets(1, gop=1)
+    assert mux.Mux(pkts[0], pts=0.0, key=True)[0]
+    mux.Close()
+    ok, info = mux.Mux(pkts[0], pts=1.0)
+    assert not ok and info == vali.TaskExecInfo.FAIL
+
+
+def make_vfr_clip(tmp_path, n_frames=24):
+    """True-VFR fixture: alternate 1/30s and 1/10s frame gaps."""
+    pkts = encode_display_order_packets(n_frames)
+    pts = [0.0]
+    for i in range(1, n_frames):
+        pts.append(pts[-1] + (1 / 30.0 if i % 2 else 1 / 10.0))
+    p = str(tmp_path / "vfr.mp4")
+    with PyMuxer(p, W, H) as mux:
+        for i, d in enumerate(pkts):
+            assert mux.Mux(d, pts=pts[i], key=(i % 4 == 0))[0]
+    return p
+
+
+def test_vfr_detected(tmp_path):
+    """A genuinely variable-frame-rate clip must report IsVFR=True (the
+    reference asserts the False case only, test_PyDecoder.py:999-1004)."""
+    p = make_vfr_clip(tmp_path)
+    dec = vali.PyDecoder(p, {}, gpu_id=-1)
+    assert dec.IsVFR
+    # CFR control: same pipeline, regular timestamps
+    dec2 = vali.PyDecoder("/root/reference/tests/data/test.mp4", {},
+                          gpu_id=-1) \
+        if os.path.exists("/root/reference/tests/data/test.mp4") else None
+    if dec2 is not None:
+        assert not dec2.IsVFR
+
+
+def test_vfr_rejects_seek_by_frame_number(tmp_path):
+    """Seek by frame number is ill-defined on VFR streams; parity with
+    TaskDecodeFrame.cpp:960-965 -> NOT_SUPPORTED, and seek-by-time still
+    works."""
+    p = make_vfr_clip(tmp_path)
+    dec = vali.PyDecoder(p, {}, gpu_id=-1)
+    frame = np.zeros(dec.HostFrameSize, np.uint8)
+    pkt = vali.PacketData()
+    ok, info = dec.DecodeSingleFrame(
+        frame, pkt, seek_ctx=vali.SeekContext(seek_frame=8))
+    assert not ok
+    assert info == vali.TaskExecInfo.NOT_SUPPORTED
+    ok, info = dec.DecodeSingleFrame(
+        frame, pkt, seek_ctx=vali.SeekContext(seek_ts=0.5))
+    assert ok, info
+
+
+def test_long_gop_seek_accuracy(tmp_path):
+    """Seek into the middle of a long GOP must land on exactly the
+    requested frame (codec reopen + decode-forward path,
+    TaskDecodeFrame.cpp:944-1029; window math :975-981)."""
+    n, gop, fps = 64, 32, 30.0
+    fills = [(37 * i) % 200 + 20 for i in range(n)]
+    pkts = encode_display_order_packets(n, gop=gop, fills=fills)
+    p = str(tmp_path / "longgop.mp4")
+    # key flags deliberately omitted: the muxer must detect real IDRs
+    # itself (x264 scenecut moves keyframes off the gop cadence, and a
+    # wrong sync-sample table silently breaks container seeking)
+    with PyMuxer(p, W, H, fps=fps) as mux:
+        for i, d in enumerate(pkts):
+            assert mux.Mux(d, pts=i / fps)[0]
+
+    # sequential decode ground truth
+    dec = vali.PyDecoder(p, {}, gpu_id=-1)
+    frame = np.zeros(dec.HostFrameSize, np.uint8)
+    seq_means = []
+    while dec.DecodeSingleFrame(frame)[0]:
+        seq_means.append(float(frame[:W * H].mean()))
+    assert len(seq_means) == n
+
+    for target in (45, 33, 63, 7):  # deep into GOPs, both halves
+        dec = vali.PyDecoder(p, {}, gpu_id=-1)
+        pkt = vali.PacketData()
+        ok, info = dec.DecodeSingleFrame(
+            frame, pkt, seek_ctx=vali.SeekContext(seek_frame=target))
+        assert ok, (target, info)
+        got = float(frame[:W * H].mean())
+        assert abs(got - seq_means[target]) < 0.5, (
+            target, got, seq_means[target])

@@ -51,6 +51,7 @@ _LAZY = {
     "BufferedReader": ".engine.decoder",
     "PyFrameConverter": ".engine.frame_converter",
     "PyNvEncoder": ".engine.encoder",
+    "PyMuxer": ".engine.muxer",
     "PyNvJpegEncoder": ".engine.jpeg",
     "NvJpegEncodeContext": ".engine.jpeg",
     "GetNvencParams": ".engine.encoder",

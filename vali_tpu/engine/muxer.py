@@ -1,0 +1,64 @@
+"""PyMuxer: wrap encoded elementary-stream packets into a container.
+
+The reference emits raw elementary streams only (encoded packets are
+written to disk verbatim in its samples); a muxer completes the
+transcode story — `PyNvEncoder` packets plus caller-chosen timestamps
+become a seekable .mp4/.mkv/.ts. It is also how the test suite
+synthesizes true variable-frame-rate fixtures (the reference ships none:
+/root/reference/tests/test_PyDecoder.py:1004 leaves its VFR-true
+assertion commented out).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..core.enums import TaskExecInfo
+from ._loader import load_native
+
+
+class PyMuxer:
+    """Write encoded H.264/HEVC access units into MP4/MKV/MPEG-TS.
+
+    Timestamps are float seconds; they are quantized to ``timebase_den``
+    ticks per second (default 90 kHz, the MPEG transport timebase).
+    """
+
+    def __init__(self, path: str, width: int, height: int,
+                 codec: str = "h264", timebase_den: int = 90000,
+                 format: Optional[str] = None,
+                 fps: Optional[float] = None):
+        native = load_native()
+        fps_num, fps_den = 0, 1
+        if fps:
+            fps_num, fps_den = int(round(fps * 1000)), 1000
+        self._mux = native.Muxer(path, int(width), int(height), str(codec),
+                                 int(timebase_den), format or "",
+                                 fps_num, fps_den)
+        self._tb_den = int(timebase_den)
+        self._closed = False
+
+    def Mux(self, packet, pts: float, dts: Optional[float] = None,
+            key: bool = False) -> Tuple[bool, TaskExecInfo]:
+        """Write one access unit. ``packet`` is bytes or a uint8 array."""
+        if isinstance(packet, np.ndarray):
+            packet = np.ascontiguousarray(packet).tobytes()
+        pts_t = int(round(pts * self._tb_den))
+        dts_t = pts_t if dts is None else int(round(dts * self._tb_den))
+        info, msg = self._mux.write(packet, pts_t, dts_t, bool(key))
+        info = TaskExecInfo(info)
+        return info == TaskExecInfo.SUCCESS, info
+
+    def Close(self) -> Tuple[bool, TaskExecInfo]:
+        self._closed = True
+        info, msg = self._mux.close()
+        info = TaskExecInfo(info)
+        return info == TaskExecInfo.SUCCESS, info
+
+    def __enter__(self) -> "PyMuxer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.Close()
