@@ -174,6 +174,66 @@ def test_allocation_registry():
         registry.enable(False)
 
 
+def test_registry_zero_after_pipeline_teardown():
+    """Leak accounting (reference TRACK_TOKEN_ALLOCATIONS parity,
+    MemoryInterfaces.cpp:27-115): after a MultiStreamPipeline run and
+    teardown, no Surface/CudaBuffer registrations may remain live."""
+    import gc
+    import os
+
+    from vali_tpu.memory import registry
+
+    gt = "/root/reference/tests/data/test.mp4"
+    if not os.path.exists(gt):
+        pytest.skip("no reference data")
+    from vali_tpu.pipeline.multistream import MultiStreamPipeline
+
+    registry.enable(True)
+    try:
+        gc.collect()
+        before = len(registry.live_allocations())
+        pipe = MultiStreamPipeline([gt, gt], dst_w=32, dst_h=32, gpu_id=0)
+        batches = 0
+        for batch, ids in pipe:
+            batches += 1
+            if batches >= 4:
+                pipe.stop()
+                break
+        del pipe, batch, ids
+        gc.collect()
+        assert len(registry.live_allocations()) == before, registry.dump()
+    finally:
+        registry.enable(False)
+
+
+def test_registry_zero_after_decode_surface_iterations():
+    """1000 decode-to-surface iterations leave nothing registered."""
+    import gc
+    import os
+
+    from vali_tpu.memory import registry
+
+    gt = "/root/reference/tests/data/test.mp4"
+    if not os.path.exists(gt):
+        pytest.skip("no reference data")
+    registry.enable(True)
+    try:
+        gc.collect()
+        before = registry.live_bytes()
+        n = 0
+        while n < 1000:
+            dec = vali.PyDecoder(gt, {}, gpu_id=0)
+            surf = vali.Surface.Make(dec.Format, dec.Width, dec.Height,
+                                     gpu_id=0)
+            while n < 1000 and dec.DecodeSingleSurface(surf)[0]:
+                n += 1
+            del dec, surf
+        gc.collect()
+        assert registry.live_bytes() == before, registry.dump()
+    finally:
+        registry.enable(False)
+
+
 def test_module_level_enum_exports():
     assert vali.NV12 == vali.PixelFormat.NV12
     assert vali.BT_709 == vali.ColorSpace.BT_709
