@@ -73,11 +73,160 @@ class DLDeviceType(enum.IntEnum):
     kDLCUDAHost: int
     kDLCUDAManaged: int
 
-class NV_ENC_CAPS(enum.IntEnum): ...
+class NV_ENC_CAPS(enum.IntEnum):
+    NUM_MAX_BFRAMES: int
+    SUPPORTED_RATECONTROL_MODES: int
+    SUPPORT_FIELD_ENCODING: int
+    SUPPORT_MONOCHROME: int
+    SUPPORT_FMO: int
+    SUPPORT_QPELMV: int
+    SUPPORT_BDIRECT_MODE: int
+    SUPPORT_CABAC: int
+    SUPPORT_ADAPTIVE_TRANSFORM: int
+    SUPPORT_STEREO_MVC: int
+    NUM_MAX_TEMPORAL_LAYERS: int
+    SUPPORT_HIERARCHICAL_PFRAMES: int
+    SUPPORT_HIERARCHICAL_BFRAMES: int
+    LEVEL_MAX: int
+    LEVEL_MIN: int
+    SEPARATE_COLOUR_PLANE: int
+    WIDTH_MAX: int
+    HEIGHT_MAX: int
+    SUPPORT_TEMPORAL_SVC: int
+    SUPPORT_DYN_RES_CHANGE: int
+    SUPPORT_DYN_BITRATE_CHANGE: int
+    SUPPORT_DYN_FORCE_CONSTQP: int
+    SUPPORT_DYN_RCMODE_CHANGE: int
+    SUPPORT_SUBFRAME_READBACK: int
+    SUPPORT_CONSTRAINED_ENCODING: int
+    SUPPORT_INTRA_REFRESH: int
+    SUPPORT_CUSTOM_VBV_BUF_SIZE: int
+    SUPPORT_DYNAMIC_SLICE_MODE: int
+    SUPPORT_REF_PIC_INVALIDATION: int
+    PREPROC_SUPPORT: int
+    ASYNC_ENCODE_SUPPORT: int
+    MB_NUM_MAX: int
+    MB_PER_SEC_MAX: int
+    SUPPORT_YUV444_ENCODE: int
+    SUPPORT_LOSSLESS_ENCODE: int
+    SUPPORT_SAO: int
+    SUPPORT_MEONLY_MODE: int
+    SUPPORT_LOOKAHEAD: int
+    SUPPORT_TEMPORAL_AQ: int
+    SUPPORT_10BIT_ENCODE: int
+    NUM_MAX_LTR_FRAMES: int
+    SUPPORT_WEIGHTED_PREDICTION: int
+    DYNAMIC_QUERY_ENCODER_CAPACITY: int
+    SUPPORT_BFRAME_REF_MODE: int
+    SUPPORT_EMPHASIS_LEVEL_MAP: int
+    WIDTH_MIN: int
+    HEIGHT_MIN: int
+    SUPPORT_MULTIPLE_REF_FRAMES: int
+    SUPPORT_ALPHA_LAYER_ENCODING: int
+    EXPOSED_COUNT: int
+
 
 NO_PTS: int
 
-# enum members are also exported at module level (NV12, BT_709, MPEG, ...)
+# Enum members exported at module level (reference VALI.cpp pybind11
+# export style; see __init__.py)
+ALL_FRAMES: DecodeMode
+ASYNC_ENCODE_SUPPORT: NV_ENC_CAPS
+BGR: PixelFormat
+BIT_DEPTH_NOT_SUPPORTED: TaskExecInfo
+BT_601: ColorSpace
+BT_709: ColorSpace
+DEBUG: FfmpegLogLevel
+DYNAMIC_QUERY_ENCODER_CAPACITY: NV_ENC_CAPS
+END_OF_STREAM: TaskExecInfo
+ERROR: FfmpegLogLevel
+EXPOSED_COUNT: NV_ENC_CAPS
+FAIL: TaskExecInfo
+FATAL: FfmpegLogLevel
+GRAY12: PixelFormat
+HEIGHT_MAX: NV_ENC_CAPS
+HEIGHT_MIN: NV_ENC_CAPS
+INFO: FfmpegLogLevel
+INVALID_INPUT: TaskExecInfo
+JPEG: ColorRange
+KEY_FRAMES: DecodeMode
+LEVEL_MAX: NV_ENC_CAPS
+LEVEL_MIN: NV_ENC_CAPS
+MB_NUM_MAX: NV_ENC_CAPS
+MB_PER_SEC_MAX: NV_ENC_CAPS
+MORE_DATA_NEEDED: TaskExecInfo
+MPEG: ColorRange
+NOT_SUPPORTED: TaskExecInfo
+NUM_MAX_BFRAMES: NV_ENC_CAPS
+NUM_MAX_LTR_FRAMES: NV_ENC_CAPS
+NUM_MAX_TEMPORAL_LAYERS: NV_ENC_CAPS
+NV12: PixelFormat
+P10: PixelFormat
+P12: PixelFormat
+PANIC: FfmpegLogLevel
+PREPROC_SUPPORT: NV_ENC_CAPS
+RES_CHANGE: TaskExecInfo
+RGB: PixelFormat
+RGB_32F: PixelFormat
+RGB_32F_PLANAR: PixelFormat
+RGB_PLANAR: PixelFormat
+SEPARATE_COLOUR_PLANE: NV_ENC_CAPS
+SRC_DST_FMT_MISMATCH: TaskExecInfo
+SRC_DST_SIZE_MISMATCH: TaskExecInfo
+SUCCESS: TaskExecInfo
+SUPPORTED_RATECONTROL_MODES: NV_ENC_CAPS
+SUPPORT_10BIT_ENCODE: NV_ENC_CAPS
+SUPPORT_ADAPTIVE_TRANSFORM: NV_ENC_CAPS
+SUPPORT_ALPHA_LAYER_ENCODING: NV_ENC_CAPS
+SUPPORT_BDIRECT_MODE: NV_ENC_CAPS
+SUPPORT_BFRAME_REF_MODE: NV_ENC_CAPS
+SUPPORT_CABAC: NV_ENC_CAPS
+SUPPORT_CONSTRAINED_ENCODING: NV_ENC_CAPS
+SUPPORT_CUSTOM_VBV_BUF_SIZE: NV_ENC_CAPS
+SUPPORT_DYNAMIC_SLICE_MODE: NV_ENC_CAPS
+SUPPORT_DYN_BITRATE_CHANGE: NV_ENC_CAPS
+SUPPORT_DYN_FORCE_CONSTQP: NV_ENC_CAPS
+SUPPORT_DYN_RCMODE_CHANGE: NV_ENC_CAPS
+SUPPORT_DYN_RES_CHANGE: NV_ENC_CAPS
+SUPPORT_EMPHASIS_LEVEL_MAP: NV_ENC_CAPS
+SUPPORT_FIELD_ENCODING: NV_ENC_CAPS
+SUPPORT_FMO: NV_ENC_CAPS
+SUPPORT_HIERARCHICAL_BFRAMES: NV_ENC_CAPS
+SUPPORT_HIERARCHICAL_PFRAMES: NV_ENC_CAPS
+SUPPORT_INTRA_REFRESH: NV_ENC_CAPS
+SUPPORT_LOOKAHEAD: NV_ENC_CAPS
+SUPPORT_LOSSLESS_ENCODE: NV_ENC_CAPS
+SUPPORT_MEONLY_MODE: NV_ENC_CAPS
+SUPPORT_MONOCHROME: NV_ENC_CAPS
+SUPPORT_MULTIPLE_REF_FRAMES: NV_ENC_CAPS
+SUPPORT_QPELMV: NV_ENC_CAPS
+SUPPORT_REF_PIC_INVALIDATION: NV_ENC_CAPS
+SUPPORT_SAO: NV_ENC_CAPS
+SUPPORT_STEREO_MVC: NV_ENC_CAPS
+SUPPORT_SUBFRAME_READBACK: NV_ENC_CAPS
+SUPPORT_TEMPORAL_AQ: NV_ENC_CAPS
+SUPPORT_TEMPORAL_SVC: NV_ENC_CAPS
+SUPPORT_WEIGHTED_PREDICTION: NV_ENC_CAPS
+SUPPORT_YUV444_ENCODE: NV_ENC_CAPS
+UDEF: ColorRange
+UNDEFINED: PixelFormat
+UNSPEC: ColorSpace
+UNSUPPORTED_FMT_CONV_PARAMS: TaskExecInfo
+VERBOSE: FfmpegLogLevel
+WARNING: FfmpegLogLevel
+WIDTH_MAX: NV_ENC_CAPS
+WIDTH_MIN: NV_ENC_CAPS
+Y: PixelFormat
+YUV420: PixelFormat
+YUV420_10bit: PixelFormat
+YUV422: PixelFormat
+YUV444: PixelFormat
+YUV444_10bit: PixelFormat
+kDLCPU: DLDeviceType
+kDLCUDA: DLDeviceType
+kDLCUDAHost: DLDeviceType
+kDLCUDAManaged: DLDeviceType
+
 
 class TaskExecDetails:
     status: TaskExecStatus
@@ -394,6 +543,22 @@ class PyNvEncoder:
     @property
     def Height(self) -> int: ...
 
+class PyMuxer:
+    """Write encoded H.264/HEVC access units into MP4/MKV/MPEG-TS.
+
+    Not present in the reference (which emits raw elementary streams
+    only); completes the transcode story for this framework."""
+    def __init__(self, path: str, width: int, height: int,
+                 codec: str = ..., timebase_den: int = ...,
+                 format: Optional[str] = ...,
+                 fps: Optional[float] = ...) -> None: ...
+    def Mux(self, packet, pts: float, dts: Optional[float] = ...,
+            key: bool = ...) -> Tuple[bool, TaskExecInfo]: ...
+    def Close(self) -> Tuple[bool, TaskExecInfo]: ...
+    def __enter__(self) -> "PyMuxer": ...
+    def __exit__(self, *exc) -> None: ...
+
 def GetNumGpus() -> int: ...
+def num_devices() -> int: ...
 def GetNvencParams() -> Dict[str, str]: ...
 def SetFFMpegLogLevel(level: FfmpegLogLevel) -> None: ...

@@ -168,11 +168,13 @@ class PyDecoder:
         return (True, info)
 
     def DecodeSingleSurface(self, surf, pkt_data=None, seek_ctx=None):
+        """Decode the next frame into ``surf`` on the device, synchronously (parity: PyDecoder.cpp:97-123; sync variant records+waits the stream event)."""
         if isinstance(pkt_data, SeekContext) and seek_ctx is None:
             pkt_data, seek_ctx = None, pkt_data
         return self._decode_surface(surf, pkt_data, seek_ctx, sync=True)
 
     def DecodeSingleSurfaceAsync(self, surf, pkt_data=None, seek_ctx=None):
+        """Decode the next frame into ``surf`` without waiting for device completion (parity: PyDecoder.cpp RunAsync variants)."""
         if isinstance(pkt_data, SeekContext) and seek_ctx is None:
             pkt_data, seek_ctx = None, pkt_data
         return self._decode_surface(surf, pkt_data, seek_ctx, sync=False)
@@ -209,82 +211,102 @@ class PyDecoder:
 
     @property
     def Width(self) -> int:
+        """Coded frame width in pixels."""
         return self._props()["width"]
 
     @property
     def Height(self) -> int:
+        """Coded frame height in pixels."""
         return self._props()["height"]
 
     @property
     def Level(self) -> int:
+        """Codec level of the input stream."""
         return self._props()["level"]
 
     @property
     def Profile(self) -> int:
+        """Codec profile of the input stream."""
         return self._props()["profile"]
 
     @property
     def Delay(self) -> int:
+        """Decoder reordering delay in frames."""
         return self._props()["delay"]
 
     @property
     def GopSize(self) -> int:
+        """GOP size reported by the stream, 0 when unknown."""
         return self._props()["gop_size"]
 
     @property
     def Bitrate(self) -> int:
+        """Stream bitrate in bits per second."""
         return self._props()["bitrate"]
 
     @property
     def NumFrames(self) -> int:
+        """Number of frames in the stream (0 when the container does not say)."""
         return self._props()["num_frames"]
 
     @property
     def NumStreams(self) -> int:
+        """Number of streams in the container."""
         return self._props()["num_streams"]
 
     @property
     def StreamIndex(self) -> int:
+        """Index of the selected video stream."""
         return self._props()["stream_index"]
 
     @property
     def HostFrameSize(self) -> int:
+        """Size in bytes of one decoded host frame."""
         return self._props()["host_frame_size"]
 
     @property
     def Framerate(self) -> float:
+        """Declared frame rate (r_frame_rate)."""
         return self._props()["framerate"]
 
     @property
     def AvgFramerate(self) -> float:
+        """Average frame rate (avg_frame_rate)."""
         return self._props()["avg_framerate"]
 
     @property
     def Timebase(self) -> float:
+        """Stream time base in seconds per tick."""
         return self._props()["timebase"]
 
     @property
     def StartTime(self) -> float:
+        """Stream start time in seconds."""
         return self._props()["start_time"]
 
     @property
     def Duration(self) -> float:
+        """Stream duration in seconds."""
         return self._props()["duration"]
 
     @property
     def ColorSpace(self) -> ColorSpace:
+        """Color space of the decoded frames (BT_601/BT_709/UNSPEC)."""
         return ColorSpace(self._props()["color_space"])
 
     @property
     def ColorRange(self) -> ColorRange:
+        """Color range of the decoded frames (MPEG/JPEG/UDEF)."""
         return ColorRange(self._props()["color_range"])
 
     @property
     def Format(self) -> PixelFormat:
+        """Pixel format of the decoded frames."""
         return PixelFormat(self._props()["format"])
 
     @property
     def IsVFR(self) -> bool:
+        """True when the stream is variable frame rate (r_frame_rate != avg_frame_rate)."""
         return self._props()["is_vfr"]
 
     @property
@@ -295,21 +317,26 @@ class PyDecoder:
 
     @property
     def Stream(self) -> int:
+        """Stream handle associated with this decoder (device queue id)."""
         return self._stream.handle
 
     @property
     def Mode(self) -> DecodeMode:
+        """Current decode mode (ALL_FRAMES or KEY_FRAMES)."""
         return DecodeMode(self._props()["mode"])
 
     def SetMode(self, mode: DecodeMode) -> None:
+        """Switch between ALL_FRAMES and KEY_FRAMES decode modes."""
         self._dec.set_mode(int(mode))
 
     @property
     def Metadata(self) -> dict:
+        """Container and stream metadata as nested dicts."""
         return self._dec.metadata()
 
     @property
     def MotionVectors(self) -> List[MotionVector]:
+        """Motion vectors of the last decoded frame (requires flags2=+export_mvs)."""
         out = []
         for t in self._dec.motion_vectors():
             out.append(MotionVector(
@@ -320,6 +347,7 @@ class PyDecoder:
 
     @property
     def DisplayRotation(self) -> float:
+        """Display rotation angle in degrees from the stream/frame display matrix."""
         return self._dec.display_rotation()
 
     @property

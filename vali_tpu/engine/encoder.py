@@ -55,21 +55,26 @@ class PyNvEncoder:
 
     @property
     def Width(self) -> int:
+        """Encoded frame width in pixels."""
         return self._enc.props()["width"]
 
     @property
     def Height(self) -> int:
+        """Encoded frame height in pixels."""
         return self._enc.props()["height"]
 
     @property
     def Format(self) -> PixelFormat:
+        """Input pixel format the encoder expects."""
         return PixelFormat(self._enc.props()["format"])
 
     @property
     def FrameSizeInBytes(self) -> int:
+        """Size in bytes of one input frame."""
         return self._enc.props()["frame_size"]
 
     def GetFrameSizeInBytes(self) -> int:
+        """Size in bytes of one input frame in the encoder's pixel format."""
         return self.FrameSizeInBytes
 
     @property
@@ -141,12 +146,14 @@ class PyNvEncoder:
                             sei: Optional[np.ndarray] = None,
                             sync: bool = False,
                             append: bool = False) -> bool:
+        """Encode one surface; returns True iff an encoded packet was written into ``packet`` (False while the codec's frame-delay queue fills; parity: PyNvEncoder.cpp:177-261)."""
         return self._encode_impl(surface, packet, sei, sync, append)
 
     # The reference exposes the same entry point under both names.
     EncodeSurface = EncodeSingleSurface
 
     def FlushSinglePacket(self, packet: np.ndarray) -> bool:
+        """Retrieve one buffered packet after EOS; False when drained (parity: PyNvEncoder.cpp:263-281)."""
         info, msg = self._enc.flush()
         if TaskExecInfo(info) != TaskExecInfo.SUCCESS:
             return False
@@ -178,6 +185,7 @@ class PyNvEncoder:
     def Reconfigure(self, settings: Dict[str, str], force_idr: bool = False,
                     reset_encoder: bool = False,
                     verbose: bool = False) -> bool:
+        """Merge new options and re-tune the encoder; resolution changes require reset_encoder=True (parity: PyNvEncoder.cpp:88-103)."""
         info, msg = self._enc.reconfigure(
             {str(k): str(v) for k, v in settings.items()},
             bool(force_idr), bool(reset_encoder))

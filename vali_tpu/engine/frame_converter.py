@@ -29,11 +29,13 @@ class PyFrameConverter:
 
     @property
     def Format(self) -> PixelFormat:
+        """Destination pixel format."""
         return self._dst_format
 
     def Run(self, src: np.ndarray, dst: np.ndarray,
             cc_ctx: ColorspaceConversionContext = None,
             ) -> Tuple[bool, TaskExecInfo]:
+        """Convert a host frame between pixel formats via libswscale (parity: PyFrameConverter.cpp)."""
         src_size, dst_size = self._conv.sizes()
         if src.nbytes != src_size:
             return (False, TaskExecInfo.SRC_DST_SIZE_MISMATCH)

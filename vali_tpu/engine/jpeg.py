@@ -45,10 +45,12 @@ class PyNvJpegEncoder:
 
     def Context(self, compression: int,
                 pixel_format: PixelFormat) -> NvJpegEncodeContext:
+        """Create an encode context carrying compression quality and input format (parity: PyNvJpegEncoder.cpp Context)."""
         return NvJpegEncodeContext(compression, pixel_format, self._gpu_id)
 
     def Run(self, context: NvJpegEncodeContext,
             surfaces: List[Surface]) -> Tuple[List[np.ndarray], TaskExecInfo]:
+        """Encode a batch of surfaces to JPEG bytes; returns ([arrays], TaskExecInfo) (parity: PyNvJpegEncoder.cpp:135-160)."""
         out: List[np.ndarray] = []
         with self._lock:
             for surf in surfaces:

@@ -52,6 +52,7 @@ class PyMuxer:
         return info == TaskExecInfo.SUCCESS, info
 
     def Close(self) -> Tuple[bool, TaskExecInfo]:
+        """Write the container trailer and close the file (idempotent)."""
         self._closed = True
         info, msg = self._mux.close()
         info = TaskExecInfo(info)

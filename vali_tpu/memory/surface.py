@@ -66,14 +66,17 @@ class SurfacePlane:
 
     @property
     def Width(self) -> int:
+        """Plane width in elements."""
         return int(self._array.shape[1])
 
     @property
     def Height(self) -> int:
+        """Plane height in rows."""
         return int(self._array.shape[0])
 
     @property
     def ElemSize(self) -> int:
+        """Element size in bytes."""
         return int(np.dtype(self._array.dtype).itemsize)
 
     @property
@@ -83,6 +86,7 @@ class SurfacePlane:
 
     @property
     def HostFrameSize(self) -> int:
+        """Plane size in bytes on the host."""
         return self.Width * self.Height * self.ElemSize
 
     @property
@@ -287,42 +291,52 @@ class Surface:
 
     @property
     def Format(self) -> PixelFormat:
+        """Pixel format of this surface."""
         return self._format
 
     @property
     def Width(self) -> int:
+        """Width in pixels (luma plane)."""
         return self._width
 
     @property
     def Height(self) -> int:
+        """Height in pixels (luma plane)."""
         return self._height
 
     @property
     def NumPlanes(self) -> int:
+        """Number of storage planes."""
         return len(self._arrays)
 
     @property
     def NumComponents(self) -> int:
+        """Number of color components."""
         return self._info.num_components
 
     @property
     def IsEmpty(self) -> bool:
+        """True when the surface has no allocated pixels."""
         return not self._arrays or any(a is None for a in self._arrays)
 
     @property
     def IsOwnMemory(self) -> bool:
+        """True when the surface owns its memory (False for borrowed/imported views)."""
         return self._own_memory
 
     @property
     def HostSize(self) -> int:
+        """Total size in bytes of the dense host representation."""
         return self._info.host_size(self._width, self._height)
 
     @property
     def Pitch(self) -> int:
+        """Row pitch in bytes of the first plane (dense: width * elem size)."""
         return self.Planes[0].Pitch
 
     @property
     def Planes(self) -> Tuple[SurfacePlane, ...]:
+        """Tuple of SurfacePlane views over the storage planes."""
         return tuple(SurfacePlane(self, i) for i in range(len(self._arrays)))
 
     @property
@@ -336,6 +350,7 @@ class Surface:
 
     @property
     def device(self) -> "jax.Device":
+        """The JAX device holding this surface's planes."""
         if self.IsEmpty:
             raise RuntimeError("Surface is empty")
         return _device_of(self._arrays[0])
@@ -399,6 +414,7 @@ class Surface:
         return surf
 
     def block_until_ready(self) -> "Surface":
+        """Block until all device computation producing this surface finished; returns self."""
         for a in self._arrays:
             if a is not None:
                 a.block_until_ready()
@@ -452,6 +468,7 @@ class CudaBuffer:
 
     @staticmethod
     def Make(elem_size: int, num_elems: int, gpu_id: int = 0) -> "CudaBuffer":
+        """Allocate a typed 1-D device buffer (parity: MemoryInterfaces.cpp:300-321)."""
         buf = CudaBuffer()
         buf._elem_size = int(elem_size)
         buf._num_elems = int(num_elems)
@@ -463,18 +480,22 @@ class CudaBuffer:
 
     @property
     def ElemSize(self) -> int:
+        """Element size in bytes."""
         return self._elem_size
 
     @property
     def NumElems(self) -> int:
+        """Number of elements."""
         return self._num_elems
 
     @property
     def RawMemSize(self) -> int:
+        """Total size in bytes."""
         return self._elem_size * self._num_elems
 
     @property
     def GpuMem(self) -> int:
+        """Opaque device pointer-like handle (unsafe buffer pointer)."""
         try:
             return int(self._array.unsafe_buffer_pointer())
         except Exception:
@@ -482,11 +503,13 @@ class CudaBuffer:
 
     def CopyFrom(self, other: "CudaBuffer", stream: int = 0,
                  gpu_id: Optional[int] = None) -> None:
+        """Copy another buffer's contents into this one (device-to-device)."""
         if other.RawMemSize != self.RawMemSize:
             raise RuntimeError("CudaBuffer size mismatch in CopyFrom")
         self._array = jnp.copy(other._array)
 
     def Clone(self) -> "CudaBuffer":
+        """Deep-copy this buffer on the device."""
         buf = CudaBuffer()
         buf._elem_size = self._elem_size
         buf._num_elems = self._num_elems
@@ -495,7 +518,9 @@ class CudaBuffer:
         return buf
 
     def to_jax(self) -> jax.Array:
+        """The underlying jax array."""
         return self._array
 
     def to_numpy(self) -> np.ndarray:
+        """Copy the buffer to a host numpy array."""
         return np.asarray(self._array)

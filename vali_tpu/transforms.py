@@ -85,6 +85,7 @@ class PySurfaceConverter(_SurfaceOp):
 
     @staticmethod
     def Conversions():
+        """Supported (src, dst) pixel-format pairs (parity: TaskConvertSurface.cpp:966-994)."""
         return csc.supported_conversions()
 
     def _run(self, src: Surface, dst: Surface, cc_ctx, sync: bool):
@@ -110,9 +111,11 @@ class PySurfaceConverter(_SurfaceOp):
         return self._finish(dst, out, sync)
 
     def Run(self, src, dst, cc_ctx=None):
+        """Convert src into dst synchronously (parity: PySurfaceConverter.cpp:76-84)."""
         return self._run(src, dst, cc_ctx, sync=True)
 
     def RunAsync(self, src, dst, cc_ctx=None):
+        """Convert src into dst without waiting for device completion."""
         return self._run(src, dst, cc_ctx, sync=False)
 
 
@@ -130,6 +133,7 @@ class PySurfaceResizer(_SurfaceOp):
 
     @property
     def Format(self) -> PixelFormat:
+        """Pixel format this resizer was constructed for."""
         return self._format
 
     def _run(self, src: Surface, dst: Surface, sync: bool):
@@ -145,9 +149,11 @@ class PySurfaceResizer(_SurfaceOp):
         return self._finish(dst, out, sync)
 
     def Run(self, src, dst):
+        """Resize src into dst (Lanczos by default) synchronously."""
         return self._run(src, dst, sync=True)
 
     def RunAsync(self, src, dst):
+        """Resize src into dst without waiting for device completion."""
         return self._run(src, dst, sync=False)
 
 
@@ -156,6 +162,7 @@ class PySurfaceRotator(_SurfaceOp):
 
     @property
     def SupportedFormats(self):
+        """Pixel formats the rotator accepts."""
         return list(rotate.SUPPORTED_FORMATS)
 
     def _run(self, src: Surface, dst: Surface, angle, shift_x, shift_y,
@@ -173,9 +180,11 @@ class PySurfaceRotator(_SurfaceOp):
         return self._finish(dst, out, sync)
 
     def Run(self, src, dst, angle, shift_x=0.0, shift_y=0.0):
+        """Rotate src by ``angle`` degrees (with optional shift) into dst, synchronously (parity: RotateSurface.cpp)."""
         return self._run(src, dst, angle, shift_x, shift_y, sync=True)
 
     def RunAsync(self, src, dst, angle, shift_x=0.0, shift_y=0.0):
+        """Rotate src into dst without waiting for device completion."""
         return self._run(src, dst, angle, shift_x, shift_y, sync=False)
 
 
@@ -184,6 +193,7 @@ class PySurfaceUD(_SurfaceOp):
 
     @staticmethod
     def SupportedFormats():
+        """Supported (src, dst) pairs (parity: UDSurface.cpp:117-133)."""
         return list(ud.SUPPORTED_CONVERSIONS)
 
     def _run(self, src: Surface, dst: Surface, sync: bool):
@@ -197,9 +207,11 @@ class PySurfaceUD(_SurfaceOp):
         return self._finish(dst, out, sync)
 
     def Run(self, src, dst):
+        """Fused chroma-upsample + rescale + optional CSC, synchronously (parity: UDSurface.cpp:135-182)."""
         return self._run(src, dst, sync=True)
 
     def RunAsync(self, src, dst):
+        """Fused upsample-downscale without waiting for device completion."""
         return self._run(src, dst, sync=False)
 
 
@@ -211,6 +223,7 @@ class PyFrameUploader:
         self._stream = get_stream(stream)
 
     def Run(self, src: np.ndarray, dst: Surface):
+        """Copy a host frame into the device surface (parity: PyFrameUploader.cpp; numpy auto-resize on size mismatch)."""
         try:
             flat = np.ascontiguousarray(src).reshape(-1).view(np.uint8)
             if flat.nbytes != dst.HostSize:
@@ -238,6 +251,7 @@ class PySurfaceDownloader:
         self._stream = get_stream(stream)
 
     def Run(self, src: Surface, dst: np.ndarray):
+        """Copy a device surface into the host array (parity: PySurfaceDownloader.cpp)."""
         if src.IsEmpty:
             return _fail(TaskExecInfo.INVALID_INPUT)
         with op_scope("CudaDownloadSurface"):

@@ -110,9 +110,11 @@ class CudaStreamEvent:
         self._snapshot: List = []
 
     def Record(self) -> None:
+        """Record the arrays currently enqueued on the stream (parity: CudaStreamEvent Record)."""
         self._snapshot = self._stream.snapshot()
 
     def Wait(self) -> None:
+        """Block until every recorded array is ready (parity: CudaStreamEvent Wait)."""
         for a in self._snapshot:
             a.block_until_ready()
         self._snapshot = []
