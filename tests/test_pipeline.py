@@ -179,6 +179,76 @@ def test_multistream_mux_decode_threads():
     assert all(not w.is_alive() for w in pipe._workers)
 
 
+def test_yuv444_pallas_matches_xla():
+    """The YUV444 Pallas kernel (3 full-res planes, shared banded
+    weights) must match the XLA fused path."""
+    import jax.numpy as jnp
+    from vali_tpu.ops.pallas_fused import (pallas_yuv444_preprocess,
+                                           required_pad_rows_yuv444)
+
+    B, H, W, DH, DW = 2, 96, 256, 32, 64
+    planes = tuple(RNG.integers(0, 256, (B, H, W), np.uint8)
+                   for _ in range(3))
+    pad = required_pad_rows_yuv444(W, H, DH)
+    padded = tuple(jnp.asarray(np.pad(p, ((0, 0), (0, pad), (0, 0))))
+                   for p in planes)
+    got = np.asarray(pallas_yuv444_preprocess(
+        *padded, src_w=W, src_h=H, dst_w=DW, dst_h=DH, interpret=True))
+    want = np.asarray(fused.fused_preprocess(
+        tuple(jnp.asarray(p) for p in planes), PixelFormat.YUV444,
+        W, H, DW, DH, planar=True))
+    assert got.shape == want.shape == (B, 3, DH, DW)
+    diff = np.abs(got.astype(int) - want.astype(int))
+    # bf16 kernel vs f32 XLA (house tolerance: test_pallas_kernel.py)
+    assert diff.max() <= 4 and diff.mean() < 1.0, (
+        diff.max(), diff.mean())
+
+
+def test_yuv444_pallas_normalize_float():
+    import jax.numpy as jnp
+    from vali_tpu.ops.pallas_fused import (pallas_yuv444_preprocess,
+                                           required_pad_rows_yuv444)
+
+    B, H, W, DH, DW = 1, 64, 128, 32, 32
+    norm = ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225))
+    planes = tuple(RNG.integers(0, 256, (B, H, W), np.uint8)
+                   for _ in range(3))
+    pad = required_pad_rows_yuv444(W, H, DH)
+    padded = tuple(jnp.asarray(np.pad(p, ((0, 0), (0, pad), (0, 0))))
+                   for p in planes)
+    got = np.asarray(pallas_yuv444_preprocess(
+        *padded, src_w=W, src_h=H, dst_w=DW, dst_h=DH,
+        out_dtype=jnp.float32, normalize=norm, interpret=True))
+    want = np.asarray(fused.fused_preprocess(
+        tuple(jnp.asarray(p) for p in planes), PixelFormat.YUV444,
+        W, H, DW, DH, out_dtype=jnp.float32, planar=True, normalize=norm))
+    assert np.abs(got - want).mean() < 0.05
+
+
+@pytest.mark.parametrize("dh,dw", [(60, 100), (201, 335), (17, 39)])
+def test_pallas_nv12_arbitrary_dst_sizes(dh, dw):
+    """Non-224, non-power-of-2, odd destination sizes all work (the
+    banded weights and output blocks impose no alignment on dst)."""
+    import jax.numpy as jnp
+    from vali_tpu.ops.pallas_fused import (pallas_nv12_preprocess,
+                                           required_pad_rows)
+
+    B, H, W = 2, 96, 256
+    pad = required_pad_rows(W, H, dh)
+    nv12 = jnp.asarray(RNG.integers(0, 256, (B, H * 3 // 2 + pad, W),
+                                    dtype=np.uint8))
+    got = np.asarray(pallas_nv12_preprocess(
+        nv12, src_w=W, src_h=H, dst_w=dw, dst_h=dh, interpret=True))
+    want = np.asarray(fused.fused_preprocess(
+        (nv12[:, :H * 3 // 2, :],), PixelFormat.NV12, W, H, dw, dh,
+        planar=True))
+    assert got.shape == want.shape == (B, 3, dh, dw)
+    diff = np.abs(got.astype(int) - want.astype(int))
+    # bf16 kernel vs f32 XLA; upscale ratios accumulate more rounding
+    assert diff.max() <= 6 and diff.mean() < 1.0, (
+        diff.max(), diff.mean())
+
+
 @pytest.mark.skipif(not os.path.exists(GT), reason="no reference data")
 def test_multistream_pipeline_drains_to_eos():
     from vali_tpu.pipeline.multistream import MultiStreamPipeline

@@ -1,0 +1,60 @@
+"""Pallas kernel family on REAL TPU hardware (compiled Mosaic, not
+interpret mode): NV12/YUV420/YUV444 at standard and arbitrary dst sizes
+must match their interpret-mode outputs bit-exactly — interpret mode is
+what tests/ validates against the XLA reference, so equality here closes
+the chain compiled-Mosaic == interpret == XLA."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vali_tpu.core.enums import ColorRange, ColorSpace
+from vali_tpu.ops.pallas_fused import (pallas_nv12_preprocess,
+                                       pallas_yuv420_preprocess,
+                                       pallas_yuv444_preprocess,
+                                       required_pad_rows,
+                                       required_pad_rows_yuv420,
+                                       required_pad_rows_yuv444)
+
+RNG = np.random.default_rng(7)
+
+
+@pytest.mark.parametrize("dh,dw", [(224, 224), (60, 100), (17, 39)])
+def test_nv12_real_vs_interpret(dh, dw):
+    B, H, W = 2, 96, 256
+    pad = required_pad_rows(W, H, dh)
+    nv12 = jnp.asarray(RNG.integers(0, 256, (B, H * 3 // 2 + pad, W),
+                                    dtype=np.uint8))
+    kw = dict(src_w=W, src_h=H, dst_w=dw, dst_h=dh,
+              space=ColorSpace.BT_709, crange=ColorRange.MPEG)
+    got = np.asarray(pallas_nv12_preprocess(nv12, **kw))
+    want = np.asarray(pallas_nv12_preprocess(nv12, interpret=True, **kw))
+    assert np.array_equal(got, want)
+
+
+def test_yuv420_real_vs_interpret():
+    B, H, W, DH, DW = 2, 96, 256, 32, 64
+    ypad, cpad = required_pad_rows_yuv420(W, H, DH)
+    y = jnp.asarray(RNG.integers(0, 256, (B, H + ypad, W), np.uint8))
+    u = jnp.asarray(RNG.integers(0, 256, (B, H // 2 + cpad, W // 2),
+                                 np.uint8))
+    v = jnp.asarray(RNG.integers(0, 256, (B, H // 2 + cpad, W // 2),
+                                 np.uint8))
+    kw = dict(src_w=W, src_h=H, dst_w=DW, dst_h=DH)
+    got = np.asarray(pallas_yuv420_preprocess(y, u, v, **kw))
+    want = np.asarray(pallas_yuv420_preprocess(y, u, v, interpret=True,
+                                               **kw))
+    assert np.array_equal(got, want)
+
+
+def test_yuv444_real_vs_interpret():
+    B, H, W, DH, DW = 2, 96, 256, 32, 64
+    pad = required_pad_rows_yuv444(W, H, DH)
+    planes = tuple(jnp.asarray(RNG.integers(0, 256, (B, H + pad, W),
+                                            np.uint8)) for _ in range(3))
+    kw = dict(src_w=W, src_h=H, dst_w=DW, dst_h=DH)
+    got = np.asarray(pallas_yuv444_preprocess(*planes, **kw))
+    want = np.asarray(pallas_yuv444_preprocess(*planes, interpret=True,
+                                               **kw))
+    assert np.array_equal(got, want)

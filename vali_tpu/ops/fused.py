@@ -88,6 +88,9 @@ def fused_preprocess(
     elif src_fmt in (PixelFormat.YUV420, PixelFormat.YUV420_10bit):
         bit_depth = 10 if src_fmt == PixelFormat.YUV420_10bit else 8
         y, u, v = planes
+    elif src_fmt in (PixelFormat.YUV444, PixelFormat.YUV444_10bit):
+        bit_depth = 10 if src_fmt == PixelFormat.YUV444_10bit else 8
+        y, u, v = planes
     else:
         raise ValueError(f"fused_preprocess does not support {src_fmt.name}")
 
@@ -108,8 +111,11 @@ def fused_preprocess(
 
     wy_h = jnp.asarray(resize_weights(src_h, dst_h, method))
     wy_w = jnp.asarray(resize_weights(src_w, dst_w, method))
-    wc_h = jnp.asarray(_chroma_weights(src_h // 2, dst_h, src_h, method))
-    wc_w = jnp.asarray(_chroma_weights(src_w // 2, dst_w, src_w, method))
+    if src_fmt in (PixelFormat.YUV444, PixelFormat.YUV444_10bit):
+        wc_h, wc_w = wy_h, wy_w  # full-resolution chroma
+    else:
+        wc_h = jnp.asarray(_chroma_weights(src_h // 2, dst_h, src_h, method))
+        wc_w = jnp.asarray(_chroma_weights(src_w // 2, dst_w, src_w, method))
 
     def resample(p, wh, ww):
         t = jnp.einsum("oh,nhw->now", wh, p.astype(jnp.float32),
