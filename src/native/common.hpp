@@ -26,6 +26,11 @@ extern "C" {
 #include <libswscale/swscale.h>
 }
 
+// Lazy dlopen shims for every libav call below (no hard link-time dep on
+// FFmpeg; reference L0 LibraryLoader parity). Must come after the libav
+// headers and before any code that calls them.
+#include "av_runtime.hpp"
+
 namespace vali {
 
 // Mirrors vali_tpu.core.enums.TaskExecInfo (and the reference's

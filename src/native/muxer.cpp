@@ -162,7 +162,8 @@ Info Muxer::WritePacket(const uint8_t* data, size_t size, int64_t pts,
   pkt->pts = pts;
   pkt->dts = dts;
   if (key || is_key_au(data, size, m_is_hevc)) pkt->flags |= AV_PKT_FLAG_KEY;
-  av_packet_rescale_ts(pkt, {1, m_tb_den}, m_stream->time_base);
+  AVRational src_tb = {1, m_tb_den};
+  av_packet_rescale_ts(pkt, src_tb, m_stream->time_base);
   int res = av_interleaved_write_frame(m_ctx, pkt);
   av_packet_free(&pkt);
   if (res < 0) {
