@@ -971,3 +971,114 @@ def main_multiframe():
         except Exception as e:
             print(f"M{G}: FAILED {type(e).__name__}: {str(e)[:200]}",
                   flush=True)
+
+
+def transposed_chroma_kernel(nv12, *, src_w, src_h, dst_w, dst_h,
+                             space=ColorSpace.BT_709,
+                             crange=ColorRange.MPEG, interpret=False):
+    """Variant T: deinterleave chroma by transposing ch to [W, DH] and
+    slicing even/odd SUBLANES (cheap), then half-contraction W-passes."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import vali_tpu.ops.pallas_fused as pf
+
+    B = nv12.shape[0]
+    H, W, DH, DW = src_h, src_w, dst_h, dst_w
+    cdt = jnp.bfloat16
+    tile = 32
+
+    y_starts, y_blocks, y_win, y_end = pf._banded_h_weights(H, DH, LANCZOS_AA)
+    c_starts, c_blocks, c_win, c_end = pf._banded_h_weights(
+        H // 2, DH, LANCZOS_AA, row_offset=H, chroma_of=H)
+    rows_needed = max(H * 3 // 2, y_end, c_end)
+    if nv12.shape[1] < rows_needed:
+        nv12 = jnp.pad(nv12, ((0, 0), (0, rows_needed - nv12.shape[1]),
+                              (0, 0)))
+    rows = nv12.shape[1]
+    n_tiles = y_blocks.shape[0]
+    wyw = jnp.asarray(_w_weights(W, DW, LANCZOS_AA)).astype(cdt)
+    # half-contraction chroma weights, transposed: [DW, W/2]
+    wcw_full = _chroma_w_weights_interleaved(W, DW, LANCZOS_AA)
+    wcw_half_t = jnp.asarray(wcw_full[0::2, :DW].T.copy()).astype(cdt)
+    m, y_off = colors.yuv2rgb_matrix(space, crange)
+    m = m.astype(np.float32)
+
+    def _to(x):
+        return x.astype(jnp.int32).astype(jnp.float32).astype(cdt)
+
+    def kernel(frame_ref, yblk_ref, cblk_ref, wyw_ref, wcwht_ref,
+               out_ref, yh_ref, ch_ref):
+        for t in range(n_tiles):
+            ys, cs = int(y_starts[t]), int(c_starts[t])
+            yh_ref[t * tile:(t + 1) * tile, :] = jnp.dot(
+                yblk_ref[t].astype(cdt),
+                _to(frame_ref[0, ys:ys + y_win, :]),
+                preferred_element_type=jnp.float32).astype(cdt)
+            ch_ref[t * tile:(t + 1) * tile, :] = jnp.dot(
+                cblk_ref[t].astype(cdt),
+                _to(frame_ref[0, cs:cs + c_win, :]),
+                preferred_element_type=jnp.float32).astype(cdt)
+
+        yw = jnp.dot(yh_ref[:DH, :], wyw_ref[...],
+                     preferred_element_type=jnp.float32)      # [DH, DW]
+        ch_t = jnp.transpose(ch_ref[:DH, :])                  # [W, DH]
+        ch3 = ch_t.reshape(W // 2, 2, DH)
+        u_t = ch3[:, 0, :]                                    # [W/2, DH]
+        v_t = ch3[:, 1, :]
+        u_dw = jnp.dot(wcwht_ref[...], u_t,
+                       preferred_element_type=jnp.float32)    # [DW, DH]
+        v_dw = jnp.dot(wcwht_ref[...], v_t,
+                       preferred_element_type=jnp.float32)
+        u = jnp.transpose(u_dw) - 128.0                       # [DH, DW]
+        v = jnp.transpose(v_dw) - 128.0
+        yv = yw - y_off
+        r = m[0, 0] * yv + m[0, 1] * u + m[0, 2] * v
+        g = m[1, 0] * yv + m[1, 1] * u + m[1, 2] * v
+        b = m[2, 0] * yv + m[2, 1] * u + m[2, 2] * v
+        for idx, ch in ((0, r), (1, g), (2, b)):
+            out_ref[0, idx] = jnp.clip(jnp.round(ch), 0.0, 255.0).astype(
+                jnp.int32).astype(jnp.uint8)
+
+    dh_pad = ((DH + tile - 1) // tile) * tile
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, rows, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, DH, DW), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 3, DH, DW), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((dh_pad, W), cdt),
+            pltpu.VMEM((dh_pad, W), cdt),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(nv12, jnp.asarray(y_blocks), jnp.asarray(c_blocks), wyw, wcw_half_t)
+
+
+def main_transposed():
+    B, H, W, DH, DW = 64, 1080, 1920, 224, 224
+    rng = np.random.default_rng(0)
+    pad = required_pad_rows(W, H, DH)
+    nv12 = jnp.asarray(
+        rng.integers(0, 256, (B, H * 3 // 2 + pad, W), dtype=np.uint8))
+    fn = functools.partial(transposed_chroma_kernel, src_w=W, src_h=H,
+                           dst_w=DW, dst_h=DH)
+    try:
+        ref = np.asarray(pallas_nv12_preprocess(
+            nv12[:2], src_w=W, src_h=H, dst_w=DW, dst_h=DH))
+        out = np.asarray(fn(nv12[:2]))
+        md = np.abs(out.astype(int) - ref.astype(int)).max()
+        ms, spread = time_fn(fn, nv12)
+        print(f"T: {ms*1000:.3f} ms spread={spread:.1%} maxdiff={md}",
+              flush=True)
+    except Exception as e:
+        print(f"T: FAILED {type(e).__name__}: {str(e)[:300]}", flush=True)
