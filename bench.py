@@ -22,8 +22,8 @@ import numpy as np
 
 K_SHORT = 8
 K_LONG = 40
-REPS = 6      # timed repeats per chain length
-SLOPES = 5    # independent slope estimates; report the median + spread
+REPS = 5      # timed repeats per chain length
+SLOPES = 7    # independent slope estimates; report the median + spread
 
 
 def _make_loop(kernel_fn, K, consume):

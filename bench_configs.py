@@ -202,7 +202,7 @@ def config4_inference_e2e():
             "unit": "frames/sec (tunnel RTT bound)", "frames": n}
 
 
-def config5_pipeline_64streams(max_batches=6, jpeg_sample=32):
+def config5_pipeline_64streams(max_batches=4, jpeg_sample=32):
     import vali_tpu as vali
     from vali_tpu.engine.jpeg import jpeg_encode_device
     from vali_tpu.memory.surface import Surface
