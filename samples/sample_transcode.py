@@ -1,9 +1,12 @@
-"""Transcode: decode -> resize -> rotate -> NV12 repack -> encode.
+"""Transcode: decode -> resize -> NV12 repack -> encode -> mux.
 
 vali-tpu analogue of the reference's sample_transcode.ipynb (the
-BASELINE.md config-3 path): all pixel work runs on the TPU, encode on host.
+BASELINE.md config-3 path): all pixel work runs on the TPU, encode on
+host. Output ending in .mp4/.mkv/.ts is muxed with timestamps (PyMuxer —
+beyond the reference, which emits raw elementary streams only);
+.h264/.h265 writes the raw stream.
 
-Usage: python3 samples/sample_transcode.py <in> <out.h264> [width height]
+Usage: python3 samples/sample_transcode.py <in> <out.mp4> [width height]
 """
 
 import sys
@@ -32,8 +35,10 @@ def main():
     nv12 = vali.Surface.Make(vali.PixelFormat.NV12, dst_w, dst_h, gpu_id=0)
     cvt = vali.PySurfaceConverter(gpu_id=0)
 
+    # bf=0 keeps packet order == display order so the mux step below can
+    # assign sequential timestamps without parsing the bitstream
     enc = vali.PyNvEncoder(
-        {"s": f"{dst_w}x{dst_h}", "bitrate": "2M",
+        {"s": f"{dst_w}x{dst_h}", "bitrate": "2M", "bf": "0",
          "fps": str(int(dec.Framerate) or 30), "preset": "P4"},
         gpu_id=0, format=vali.PixelFormat.NV12)
 
@@ -49,12 +54,23 @@ def main():
         if enc.EncodeSingleSurface(nv12, packet) and packet.size:
             chunks.append(packet.tobytes())
         n += 1
-    flush = np.zeros(0, dtype=np.uint8)
-    if enc.Flush(flush) and flush.size:
+    while True:
+        flush = np.zeros(0, dtype=np.uint8)
+        if not enc.FlushSinglePacket(flush) or not flush.size:
+            break
         chunks.append(flush.tobytes())
 
-    with open(out_path, "wb") as f:
-        f.write(b"".join(chunks))
+    fps = float(dec.Framerate) or 30.0
+    if out_path.endswith((".mp4", ".mkv", ".ts")):
+        from vali_tpu.engine.muxer import PyMuxer
+
+        with PyMuxer(out_path, dst_w, dst_h, fps=fps) as mux:
+            for i, pkt in enumerate(chunks):
+                ok, info = mux.Mux(pkt, pts=i / fps)
+                assert ok, info
+    else:
+        with open(out_path, "wb") as f:
+            f.write(b"".join(chunks))
     print(f"transcoded {n} frames -> {out_path} "
           f"({sum(len(c) for c in chunks)} bytes)")
 

@@ -161,6 +161,27 @@ def test_yuv420_pallas_normalize_matches_xla():
 
 
 @pytest.mark.skipif(not os.path.exists(GT), reason="no reference data")
+def test_multistream_pipeline_normalize():
+    """normalize folds model input normalization into the pipeline's
+    preprocess pass — batches arrive model-ready."""
+    import jax.numpy as jnp
+
+    from vali_tpu.pipeline.multistream import MultiStreamPipeline
+
+    norm = ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225))
+    pipe = MultiStreamPipeline([GT], dst_w=32, dst_h=32, gpu_id=0,
+                               out_dtype=jnp.float32, normalize=norm)
+    for batch, ids in pipe:
+        arr = np.asarray(batch)
+        assert arr.dtype == np.float32
+        # normalized natural video lands well within ~[-3, 3]
+        assert -4.0 < arr.min() and arr.max() < 4.0
+        assert arr.std() > 0.05
+        pipe.stop()
+        break
+
+
+@pytest.mark.skipif(not os.path.exists(GT), reason="no reference data")
 def test_multistream_mux_decode_threads():
     """Bounded decode pool: 5 streams multiplexed over 2 threads must
     deliver every frame of every stream and then stop cleanly."""

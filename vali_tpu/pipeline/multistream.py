@@ -172,6 +172,7 @@ class MultiStreamPipeline:
                  crange: ColorRange = ColorRange.MPEG,
                  out_dtype=jnp.uint8, planar: bool = False,
                  method: str = LANCZOS_AA,
+                 normalize=None,
                  queue_depth: int = 4,
                  sync_streams: bool = False,
                  prefetch: int = 2,
@@ -197,6 +198,9 @@ class MultiStreamPipeline:
         self.out_dtype = out_dtype
         self.planar = planar
         self.method = method
+        # per-channel (mean, std) folded into the preprocess kernel so
+        # model-ready tensors come straight off the chip
+        self.normalize = normalize
         self.sync_streams = sync_streams
         self.prefetch = max(1, int(prefetch))
 
@@ -357,7 +361,8 @@ class MultiStreamPipeline:
             planes, self.src_fmt, self.src_w, self.src_h,
             self.dst_w, self.dst_h, space=self.space,
             crange=self.crange, out_dtype=self.out_dtype,
-            planar=self.planar, method=self.method)
+            planar=self.planar, method=self.method,
+            normalize=self.normalize)
         return out, ids
 
     def __iter__(self) -> Iterator[Tuple[jax.Array, List[int]]]:
