@@ -356,9 +356,21 @@ Info VideoDecoder::Seek(int64_t frame_num, double ts_sec, bool by_number,
 
   int64_t timestamp =
       by_number ? TsFromFrameNumber(frame_num) : TsFromTime(ts_sec);
+  // Lower seek bound: one GOP (or one second) before the target, so a
+  // demuxer on sparse-keyframe content cannot land arbitrarily early and
+  // pay an unbounded decode-forward (parity: TaskDecodeFrame.cpp:975-981;
+  // the [min_ts, ts] window still contains the governing key frame).
+  int64_t gop = m_avc_ctx ? m_avc_ctx->gop_size : 0;
+  int64_t min_timestamp =
+      by_number
+          ? (gop > 0 ? TsFromFrameNumber(std::max<int64_t>(frame_num - gop,
+                                                           0))
+                     : 0)
+          : TsFromTime(std::max(ts_sec - 1.0, 0.0));
   int64_t start_time = VideoStream()->start_time;
   if (AV_NOPTS_VALUE != start_time) {
     timestamp += start_time;
+    min_timestamp += start_time;
   } else {
     start_time = 0;
   }
@@ -369,8 +381,8 @@ Info VideoDecoder::Seek(int64_t frame_num, double ts_sec, bool by_number,
   OpenCodec();
 
   m_timeout->Reset();
-  int ret = avformat_seek_file(m_fmt_ctx, m_stream_idx, 0, timestamp,
-                               timestamp, AVSEEK_FLAG_BACKWARD);
+  int ret = avformat_seek_file(m_fmt_ctx, m_stream_idx, min_timestamp,
+                               timestamp, timestamp, AVSEEK_FLAG_BACKWARD);
   if (ret < 0) {
     msg = av_err_str(ret);
     return Info::FAIL;
