@@ -200,6 +200,30 @@ def test_multistream_mux_decode_threads():
     assert all(not w.is_alive() for w in pipe._workers)
 
 
+def test_yuv422_pallas_matches_xla():
+    """The YUV422 Pallas kernel (full-height half-width chroma) must
+    match the XLA fused path."""
+    import jax.numpy as jnp
+    from vali_tpu.ops.pallas_fused import (pallas_yuv422_preprocess,
+                                           required_pad_rows_yuv422)
+
+    B, H, W, DH, DW = 2, 96, 256, 32, 64
+    planes = (RNG.integers(0, 256, (B, H, W), np.uint8),
+              RNG.integers(0, 256, (B, H, W // 2), np.uint8),
+              RNG.integers(0, 256, (B, H, W // 2), np.uint8))
+    pad = required_pad_rows_yuv422(W, H, DH)
+    padded = tuple(jnp.asarray(np.pad(p, ((0, 0), (0, pad), (0, 0))))
+                   for p in planes)
+    got = np.asarray(pallas_yuv422_preprocess(
+        *padded, src_w=W, src_h=H, dst_w=DW, dst_h=DH, interpret=True))
+    want = np.asarray(fused.fused_preprocess(
+        tuple(jnp.asarray(p) for p in planes), PixelFormat.YUV422,
+        W, H, DW, DH, planar=True))
+    assert got.shape == want.shape == (B, 3, DH, DW)
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 4 and diff.mean() < 1.0, (diff.max(), diff.mean())
+
+
 def test_yuv444_pallas_matches_xla():
     """The YUV444 Pallas kernel (3 full-res planes, shared banded
     weights) must match the XLA fused path."""

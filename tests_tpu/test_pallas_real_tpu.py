@@ -12,9 +12,11 @@ import jax.numpy as jnp
 from vali_tpu.core.enums import ColorRange, ColorSpace
 from vali_tpu.ops.pallas_fused import (pallas_nv12_preprocess,
                                        pallas_yuv420_preprocess,
+                                       pallas_yuv422_preprocess,
                                        pallas_yuv444_preprocess,
                                        required_pad_rows,
                                        required_pad_rows_yuv420,
+                                       required_pad_rows_yuv422,
                                        required_pad_rows_yuv444)
 
 RNG = np.random.default_rng(7)
@@ -44,6 +46,19 @@ def test_yuv420_real_vs_interpret():
     kw = dict(src_w=W, src_h=H, dst_w=DW, dst_h=DH)
     got = np.asarray(pallas_yuv420_preprocess(y, u, v, **kw))
     want = np.asarray(pallas_yuv420_preprocess(y, u, v, interpret=True,
+                                               **kw))
+    assert np.array_equal(got, want)
+
+
+def test_yuv422_real_vs_interpret():
+    B, H, W, DH, DW = 2, 96, 256, 32, 64
+    pad = required_pad_rows_yuv422(W, H, DH)
+    y = jnp.asarray(RNG.integers(0, 256, (B, H + pad, W), np.uint8))
+    u = jnp.asarray(RNG.integers(0, 256, (B, H + pad, W // 2), np.uint8))
+    v = jnp.asarray(RNG.integers(0, 256, (B, H + pad, W // 2), np.uint8))
+    kw = dict(src_w=W, src_h=H, dst_w=DW, dst_h=DH)
+    got = np.asarray(pallas_yuv422_preprocess(y, u, v, **kw))
+    want = np.asarray(pallas_yuv422_preprocess(y, u, v, interpret=True,
                                                **kw))
     assert np.array_equal(got, want)
 

@@ -91,6 +91,8 @@ def fused_preprocess(
     elif src_fmt in (PixelFormat.YUV444, PixelFormat.YUV444_10bit):
         bit_depth = 10 if src_fmt == PixelFormat.YUV444_10bit else 8
         y, u, v = planes
+    elif src_fmt == PixelFormat.YUV422:
+        y, u, v = planes  # chroma full height, half width
     else:
         raise ValueError(f"fused_preprocess does not support {src_fmt.name}")
 
@@ -113,6 +115,9 @@ def fused_preprocess(
     wy_w = jnp.asarray(resize_weights(src_w, dst_w, method))
     if src_fmt in (PixelFormat.YUV444, PixelFormat.YUV444_10bit):
         wc_h, wc_w = wy_h, wy_w  # full-resolution chroma
+    elif src_fmt == PixelFormat.YUV422:
+        wc_h = wy_h  # full-height chroma rows
+        wc_w = jnp.asarray(_chroma_weights(src_w // 2, dst_w, src_w, method))
     else:
         wc_h = jnp.asarray(_chroma_weights(src_h // 2, dst_h, src_h, method))
         wc_w = jnp.asarray(_chroma_weights(src_w // 2, dst_w, src_w, method))

@@ -406,6 +406,152 @@ def pallas_yuv444_preprocess(
     return out
 
 
+def required_pad_rows_yuv422(src_w: int, src_h: int, dst_h: int,
+                             method: str = LANCZOS_AA) -> int:
+    """Extra rows (beyond H) each YUV422 plane must carry (chroma shares
+    the luma row weights — full-height planes)."""
+    _, _, _, y_end = _banded_h_weights(src_h, dst_h, method)
+    return max(0, y_end - src_h)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("src_w", "src_h", "dst_w", "dst_h", "space", "crange",
+                     "out_dtype", "method", "normalize", "interpret"))
+def pallas_yuv422_preprocess(
+    y: jax.Array,  # [B, >= H (+pad), W] uint8
+    u: jax.Array,  # [B, >= H (+pad), W/2] uint8 (full height, half width)
+    v: jax.Array,
+    *,
+    src_w: int,
+    src_h: int,
+    dst_w: int,
+    dst_h: int,
+    space: ColorSpace = ColorSpace.BT_709,
+    crange: ColorRange = ColorRange.MPEG,
+    out_dtype=jnp.uint8,
+    method: str = LANCZOS_AA,
+    normalize=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Planar YUV422 batch -> planar RGB [B, 3, dst_h, dst_w].
+
+    4:2:2 chroma is full height / half width, so the luma row weights
+    serve the chroma H-pass and only the W-pass differs (half-width
+    resample with 4:2:x horizontal siting).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = y.shape[0]
+    H, W, DH, DW = src_h, src_w, dst_h, dst_w
+    HW = W // 2
+    if (y.shape[1] < H or y.shape[2] != W or u.shape[1] < H
+            or u.shape[2] != HW or u.shape != v.shape):
+        raise ValueError(
+            f"Plane shapes {y.shape}/{u.shape}/{v.shape} do not match "
+            f"YUV422 {W}x{H}")
+
+    y_starts, y_blocks, y_win, y_end = _banded_h_weights(H, DH, method)
+    if y.shape[1] < y_end:
+        y = jnp.pad(y, ((0, 0), (0, y_end - y.shape[1]), (0, 0)))
+    if u.shape[1] < y_end:
+        u = jnp.pad(u, ((0, 0), (0, y_end - u.shape[1]), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, y_end - v.shape[1]), (0, 0)))
+    rows = y.shape[1]
+
+    wyw = jnp.asarray(_w_weights(W, DW, method)).astype(jnp.bfloat16)
+    wcw = jnp.asarray(_plain_w_weights_half(W, DW, method)).astype(
+        jnp.bfloat16)
+    n_tiles = y_blocks.shape[0]
+
+    mo = colors.yuv2rgb_matrix(space, crange)
+    if mo is None:
+        raise ValueError(f"Unsupported cc combo {space}/{crange}")
+    m, y_off = mo
+    m = m.astype(np.float32)
+    is_u8 = np.dtype(out_dtype) == np.uint8
+    if normalize is not None and is_u8:
+        raise ValueError("normalize requires a float out_dtype")
+    norm_mean = tuple(float(x) for x in normalize[0]) if normalize else None
+    norm_std = tuple(float(x) for x in normalize[1]) if normalize else None
+
+    def _to_bf16(x):
+        return x.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+
+    def kernel(y_ref, u_ref, v_ref, yblk_ref, wyw_ref, wcw_ref, out_ref,
+               yh_ref, uh_ref, vh_ref):
+        for t in range(n_tiles):
+            ys = int(y_starts[t])
+            blk = yblk_ref[t].astype(jnp.bfloat16)
+            yh_ref[t * TILE:(t + 1) * TILE, :] = jnp.dot(
+                blk, _to_bf16(y_ref[0, ys:ys + y_win, :]),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            uh_ref[t * TILE:(t + 1) * TILE, :] = jnp.dot(
+                blk, _to_bf16(u_ref[0, ys:ys + y_win, :]),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            vh_ref[t * TILE:(t + 1) * TILE, :] = jnp.dot(
+                blk, _to_bf16(v_ref[0, ys:ys + y_win, :]),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+        yw = jnp.dot(yh_ref[:DH, :], wyw_ref[...],
+                     preferred_element_type=jnp.float32)
+        uw = jnp.dot(uh_ref[:DH, :], wcw_ref[...],
+                     preferred_element_type=jnp.float32) - 128.0
+        vw = jnp.dot(vh_ref[:DH, :], wcw_ref[...],
+                     preferred_element_type=jnp.float32) - 128.0
+        yv = yw - y_off
+
+        r = m[0, 0] * yv + m[0, 1] * uw + m[0, 2] * vw
+        g = m[1, 0] * yv + m[1, 1] * uw + m[1, 2] * vw
+        b = m[2, 0] * yv + m[2, 1] * uw + m[2, 2] * vw
+        if is_u8:
+            for idx, ch in ((0, r), (1, g), (2, b)):
+                out_ref[0, idx] = jnp.clip(jnp.round(ch), 0.0, 255.0).astype(
+                    jnp.int32).astype(jnp.uint8)
+        else:
+            for idx, ch in ((0, r), (1, g), (2, b)):
+                val = ch / 255.0
+                if norm_mean is not None:
+                    val = (val - norm_mean[idx]) / norm_std[idx]
+                out_ref[0, idx] = val.astype(out_ref.dtype)
+
+    dh_pad = ((DH + TILE - 1) // TILE) * TILE
+    flops = B * (n_tiles * TILE * y_win * (W + 2 * HW)
+                 + DH * (W * DW + 2 * HW * DW)) * 2
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, rows, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, HW), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, HW), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, DH, DW), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((dh_pad, W), jnp.bfloat16),
+            pltpu.VMEM((dh_pad, HW), jnp.bfloat16),
+            pltpu.VMEM((dh_pad, HW), jnp.bfloat16),
+        ],
+        out_shape=jax.ShapeDtypeStruct((B, 3, DH, DW), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=int(y.size + u.size + v.size) + B * 3 * DH * DW,
+            transcendentals=0),
+        interpret=interpret,
+    )(y, u, v, jnp.asarray(y_blocks), wyw, wcw)
+    return out
+
+
 def _plain_w_weights_half(full_w: int, n_out: int, method: str) -> np.ndarray:
     """[W/2, DW] chroma W-pass weights for planar (non-interleaved) chroma."""
     n_in = full_w // 2

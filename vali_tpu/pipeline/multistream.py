@@ -56,7 +56,7 @@ def _pallas_usable(src_fmt, space, crange) -> bool:
     from ..ops import colors
 
     return (PixelFormat(src_fmt) in (PixelFormat.NV12, PixelFormat.YUV420,
-                                     PixelFormat.YUV444,
+                                     PixelFormat.YUV422, PixelFormat.YUV444,
                                      PixelFormat.P10, PixelFormat.P12)
             and colors.yuv2rgb_matrix(space, crange) is not None)
 
@@ -454,6 +454,14 @@ def preprocess_batch(planes, src_fmt: PixelFormat, src_w: int, src_h: int,
         from ..ops.pallas_fused import pallas_yuv420_preprocess
 
         out = pallas_yuv420_preprocess(
+            planes[0], planes[1], planes[2], src_w=src_w, src_h=src_h,
+            dst_w=dst_w, dst_h=dst_h, space=space, crange=crange,
+            out_dtype=out_dtype, method=method, normalize=normalize)
+        return out if planar else jnp.moveaxis(out, 1, -1)
+    if use_pallas and src_fmt == PixelFormat.YUV422:
+        from ..ops.pallas_fused import pallas_yuv422_preprocess
+
+        out = pallas_yuv422_preprocess(
             planes[0], planes[1], planes[2], src_w=src_w, src_h=src_h,
             dst_w=dst_w, dst_h=dst_h, space=space, crange=crange,
             out_dtype=out_dtype, method=method, normalize=normalize)
