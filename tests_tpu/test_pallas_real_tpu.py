@@ -35,6 +35,20 @@ def test_nv12_real_vs_interpret(dh, dw):
     assert np.array_equal(got, want)
 
 
+def test_p10_real_vs_interpret():
+    """High bit depth (MSB-aligned uint16, NVDEC P010 layout): the f32
+    compute path of the NV12 kernel."""
+    B, H, W, DH, DW = 2, 96, 256, 32, 64
+    pad = required_pad_rows(W, H, DH)
+    p10 = jnp.asarray(
+        (RNG.integers(0, 1024, (B, H * 3 // 2 + pad, W)) << 6).astype(
+            np.uint16))
+    kw = dict(src_w=W, src_h=H, dst_w=DW, dst_h=DH)
+    got = np.asarray(pallas_nv12_preprocess(p10, **kw))
+    want = np.asarray(pallas_nv12_preprocess(p10, interpret=True, **kw))
+    assert np.array_equal(got, want)
+
+
 def test_yuv420_real_vs_interpret():
     B, H, W, DH, DW = 2, 96, 256, 32, 64
     ypad, cpad = required_pad_rows_yuv420(W, H, DH)
