@@ -200,6 +200,35 @@ def test_multistream_mux_decode_threads():
     assert all(not w.is_alive() for w in pipe._workers)
 
 
+@pytest.mark.skipif(not os.path.exists(GT), reason="no reference data")
+def test_multistream_pipeline_on_mesh():
+    """mesh= shards staged batches over the data axis and shard_maps the
+    preprocess across chips; output matches the single-device pipeline."""
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs multi-device mesh")
+    from vali_tpu.pipeline.multistream import MultiStreamPipeline
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    pipe = MultiStreamPipeline([GT] * 4, dst_w=32, dst_h=32, gpu_id=0,
+                               batch_size=4, sync_streams=True, mesh=mesh)
+    ref_pipe = MultiStreamPipeline([GT] * 4, dst_w=32, dst_h=32, gpu_id=0,
+                                   batch_size=4, sync_streams=True)
+    for i, ((batch, ids), (rbatch, rids)) in enumerate(
+            zip(pipe, ref_pipe)):
+        assert len(batch.sharding.device_set) == 4  # spans the mesh
+        a = np.asarray(batch)
+        b = np.asarray(rbatch)
+        order = np.argsort(ids), np.argsort(rids)
+        assert np.array_equal(a[order[0]], b[order[1]])
+        if i >= 2:
+            pipe.stop()
+            ref_pipe.stop()
+            break
+
+
 def test_yuv422_pallas_matches_xla():
     """The YUV422 Pallas kernel (full-height half-width chroma) must
     match the XLA fused path."""

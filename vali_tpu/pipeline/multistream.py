@@ -176,7 +176,8 @@ class MultiStreamPipeline:
                  queue_depth: int = 4,
                  sync_streams: bool = False,
                  prefetch: int = 2,
-                 decode_threads: Optional[int] = None):
+                 decode_threads: Optional[int] = None,
+                 mesh=None):
         """``sync_streams=True`` assembles batches with exactly one frame
         per live stream (lock-step across streams, e.g. for synchronized
         multi-camera rigs); the default takes frames in arrival order for
@@ -187,7 +188,10 @@ class MultiStreamPipeline:
         streams outnumber host cores, streams are multiplexed round-robin
         over this many threads instead of one thread per stream (default:
         min(n_streams, 4*cpu_count); sync_streams always uses one thread
-        per stream)."""
+        per stream). ``mesh``: a ``jax.sharding.Mesh`` with a "data" axis
+        — staged batches are sharded over it and the preprocess runs on
+        every chip of the mesh (batch_size must be divisible by the
+        data-axis size; gpu_id is then ignored)."""
         if not sources:
             raise ValueError("Need at least one source")
         self.sources = list(sources)
@@ -203,6 +207,20 @@ class MultiStreamPipeline:
         self.normalize = normalize
         self.sync_streams = sync_streams
         self.prefetch = max(1, int(prefetch))
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if "data" not in mesh.axis_names:
+                raise ValueError("mesh needs a 'data' axis")
+            data_size = mesh.shape["data"]
+            if self.batch_size % data_size:
+                raise ValueError(
+                    f"batch_size {self.batch_size} not divisible by the "
+                    f"mesh data axis ({data_size})")
+            self._batch_sharding = NamedSharding(mesh, P("data", None,
+                                                         None))
 
         # probe every source: the shared buffer pool and batch geometry
         # require uniform width/height/format across streams
@@ -355,15 +373,59 @@ class MultiStreamPipeline:
         batch_host = np.stack(frames)
         for buf in frames:  # recycle decode buffers
             self._buf_pool.put(buf)
+        if self._batch_sharding is not None:
+            data_size = self.mesh.shape["data"]
+            rem = batch_host.shape[0] % data_size
+            if rem:
+                # EOS tail: pad so the batch shards evenly; rows past
+                # len(ids) are padding the consumer should ignore
+                pad = data_size - rem
+                batch_host = np.concatenate(
+                    [batch_host,
+                     np.repeat(batch_host[-1:], pad, axis=0)])
         planes = self._split(batch_host)
-        planes = tuple(jax.device_put(p, self.device) for p in planes)
-        out = preprocess_batch(
-            planes, self.src_fmt, self.src_w, self.src_h,
-            self.dst_w, self.dst_h, space=self.space,
-            crange=self.crange, out_dtype=self.out_dtype,
-            planar=self.planar, method=self.method,
-            normalize=self.normalize)
+        target = self._batch_sharding or self.device
+        planes = tuple(jax.device_put(p, target) for p in planes)
+        if self._batch_sharding is not None:
+            out = self._sharded_preprocess()(planes)
+        else:
+            out = preprocess_batch(
+                planes, self.src_fmt, self.src_w, self.src_h,
+                self.dst_w, self.dst_h, space=self.space,
+                crange=self.crange, out_dtype=self.out_dtype,
+                planar=self.planar, method=self.method,
+                normalize=self.normalize)
         return out, ids
+
+    def _sharded_preprocess(self):
+        """shard_map the fused preprocess over the mesh's data axis: each
+        chip runs the (Pallas or XLA) kernel on its local batch shard —
+        embarrassingly parallel, no collectives (a Pallas custom call
+        cannot be auto-partitioned by jit, hence the explicit map)."""
+        if getattr(self, "_sharded_fn", None) is not None:
+            return self._sharded_fn
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import _shard_map
+
+        def local_fn(planes):
+            return preprocess_batch(
+                planes, self.src_fmt, self.src_w, self.src_h,
+                self.dst_w, self.dst_h, space=self.space,
+                crange=self.crange, out_dtype=self.out_dtype,
+                planar=self.planar, method=self.method,
+                normalize=self.normalize)
+
+        from ..core.formats import format_info
+
+        n_planes = len(format_info(self.src_fmt).plane_dims(
+            self.src_w, self.src_h))
+        in_specs = (tuple(P("data", None, None) for _ in range(n_planes)),)
+        out_specs = P("data", None, None, None)
+        self._sharded_fn = jax.jit(_shard_map(
+            local_fn, mesh=self.mesh, in_specs=in_specs,
+            out_specs=out_specs))
+        return self._sharded_fn
 
     def __iter__(self) -> Iterator[Tuple[jax.Array, List[int]]]:
         self.start()
