@@ -1,13 +1,25 @@
 """Scratch harness: measure Pallas NV12 kernel variants on the real TPU.
 
-Not part of the library — used to pick the production kernel design.
-Variants:
-  A  current production kernel (ops/pallas_fused.py)
-  B  whole-frame u8->bf16 conversion once per grid step into a VMEM
-     scratch (the per-tile windows re-convert ~45% overlapping rows)
-  C  B with the shorter cast chain u8->i32->bf16 (skip f32 hop)
-  D  C + deinterleaved chroma W-pass (strided lane slice, two [DH,960]
-     matmuls instead of one [DH,1920]x[1920,2DW] with 50% zero taps)
+Not part of the library — the lab notebook behind ops/pallas_fused.py's
+design. Measured on v5e (64x1080p -> 224x224, ms/batch):
+
+  production (scalar-prefetch dynamic slices)   0.516
+  B  whole-frame u8->bf16 conversion once       0.673   (slower: big
+     serial VPU block + VMEM round trip beats per-tile re-conversion)
+  C  B + short cast chain u8->i32->bf16         0.682
+  short chain in production structure           0.500   (noise-level)
+  grouped G: 2 luma + 2 chroma tiles, M=128     0.880   (block-diag
+     zero FLOPs are real; Mosaic handles M=32 fine)
+  static window slices (ADOPTED)                0.445
+  static + align=8 (ADOPTED)                    0.444
+  multiframe M2/M4/M8 grid steps                0.431/0.455/0.543
+  transposed-chroma deinterleave                1.406   (Mosaic transpose
+     of [224,1920] bf16 dwarfs the 192 MFLOP interleave-tax saving)
+  DMA floor (stream-only kernel)                0.230 = 932 GB/s
+  strided LANE slice ch[:, 0::2]                Mosaic compile error
+
+Conclusion: the adopted kernel is compute-bound at ~6.9 us/frame with
+DMA fully hidden; H-pass and W-pass each ~4.6 us standalone.
 """
 
 import functools
@@ -370,139 +382,6 @@ def main_modes():
             print(f"{mode} tile={tile}: FAILED {type(e).__name__}: "
                   f"{str(e)[:200]}", flush=True)
 
-
-def main_shortchain():
-    # production structure, per-tile windows, but u8->i32->bf16 (2 ops)
-    import vali_tpu.ops.pallas_fused as pf
-    B, H, W, DH, DW = 64, 1080, 1920, 224, 224
-    rng = np.random.default_rng(0)
-    pad = required_pad_rows(W, H, DH)
-    nv12 = jnp.asarray(
-        rng.integers(0, 256, (B, H * 3 // 2 + pad, W), dtype=np.uint8))
-
-    import types
-    src = prod_like
-
-    def prod_short(x, **kw):
-        return prod_like_short(x, **kw)
-
-    fn = functools.partial(prod_like_short, src_w=W, src_h=H, dst_w=DW,
-                           dst_h=DH)
-    ref = np.asarray(pallas_nv12_preprocess(
-        nv12[:2], src_w=W, src_h=H, dst_w=DW, dst_h=DH))
-    out = np.asarray(fn(nv12[:2]))
-    print("maxdiff:", np.abs(out.astype(int) - ref.astype(int)).max(),
-          flush=True)
-    ms, spread = time_fn(fn, nv12)
-    print(f"short-chain full: {ms*1000:.3f} ms/batch spread={spread:.1%}",
-          flush=True)
-
-def prod_like_short(nv12, *, src_w, src_h, dst_w, dst_h, mode="full", tile=TILE,
-              space=ColorSpace.BT_709, crange=ColorRange.MPEG,
-              interpret=False):
-    """Production kernel structure with parts knocked out to attribute
-    time: mode in {full, hpass (skip W+CSC), wpass (skip H loop)}."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    global TILE
-    import vali_tpu.ops.pallas_fused as pf
-    old_tile = pf.TILE
-    pf.TILE = tile
-    try:
-        y_starts, y_blocks, y_win, y_end = pf._banded_h_weights(
-            src_h, dst_h, LANCZOS_AA)
-        c_starts, c_blocks, c_win, c_end = pf._banded_h_weights(
-            src_h // 2, dst_h, LANCZOS_AA, row_offset=src_h,
-            chroma_of=src_h)
-    finally:
-        pf.TILE = old_tile
-
-    B = nv12.shape[0]
-    H, W, DH, DW = src_h, src_w, dst_h, dst_w
-    cdt = jnp.bfloat16
-    rows_needed = max(H * 3 // 2, y_end, c_end)
-    if nv12.shape[1] < rows_needed:
-        nv12 = jnp.pad(nv12, ((0, 0), (0, rows_needed - nv12.shape[1]),
-                              (0, 0)))
-    rows = nv12.shape[1]
-    wyw = jnp.asarray(_w_weights(W, DW, LANCZOS_AA)).astype(cdt)
-    wcw = jnp.asarray(
-        _chroma_w_weights_interleaved(W, DW, LANCZOS_AA)).astype(cdt)
-    n_tiles = y_blocks.shape[0]
-    m, y_off = colors.yuv2rgb_matrix(space, crange)
-    m = m.astype(np.float32)
-
-    def _to(x):
-        return x.astype(jnp.int32).astype(cdt)
-
-    def kernel(ystart_ref, cstart_ref, frame_ref, yblk_ref, cblk_ref,
-               wyw_ref, wcw_ref, out_ref, yh_ref, ch_ref):
-        if mode != "wpass":
-            def h_tile(t, _):
-                ys = pl.multiple_of(ystart_ref[t], ALIGN)
-                cs = pl.multiple_of(cstart_ref[t], ALIGN)
-                yh_ref[pl.ds(t * tile, tile), :] = jnp.dot(
-                    yblk_ref[t].astype(cdt), _to(frame_ref[0, pl.ds(ys, y_win), :]),
-                    preferred_element_type=jnp.float32).astype(cdt)
-                ch_ref[pl.ds(t * tile, tile), :] = jnp.dot(
-                    cblk_ref[t].astype(cdt), _to(frame_ref[0, pl.ds(cs, c_win), :]),
-                    preferred_element_type=jnp.float32).astype(cdt)
-                return 0
-            jax.lax.fori_loop(0, n_tiles, h_tile, 0)
-        else:
-            yh_ref[:DH, :] = _to(frame_ref[0, :DH, :])
-            ch_ref[:DH, :] = _to(frame_ref[0, rows - DH:, :])
-
-        if mode == "hpass":
-            for idx in range(3):
-                out_ref[0, idx] = jnp.clip(
-                    jnp.round(yh_ref[:DH, :DW].astype(jnp.float32)
-                              + ch_ref[:DH, :DW].astype(jnp.float32)),
-                    0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
-            return
-
-        yw = jnp.dot(yh_ref[:DH, :], wyw_ref[...],
-                     preferred_element_type=jnp.float32)
-        cw = jnp.dot(ch_ref[:DH, :], wcw_ref[...],
-                     preferred_element_type=jnp.float32)
-        u = cw[:, :DW] - 128.0
-        v = cw[:, DW:] - 128.0
-        yv = yw - y_off
-        r = m[0, 0] * yv + m[0, 1] * u + m[0, 2] * v
-        g = m[1, 0] * yv + m[1, 1] * u + m[1, 2] * v
-        b = m[2, 0] * yv + m[2, 1] * u + m[2, 2] * v
-        for idx, ch in ((0, r), (1, g), (2, b)):
-            out_ref[0, idx] = jnp.clip(jnp.round(ch), 0.0, 255.0).astype(
-                jnp.int32).astype(jnp.uint8)
-
-    dh_pad = ((DH + tile - 1) // tile) * tile
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, rows, W), lambda b, ys, cs: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 3, DH, DW), lambda b, ys, cs: (b, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((max(dh_pad, DH), W), cdt),
-            pltpu.VMEM((max(dh_pad, DH), W), cdt),
-        ],
-    )
-    return pl.pallas_call(
-        kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, 3, DH, DW), jnp.uint8),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(jnp.asarray(y_starts), jnp.asarray(c_starts), nv12,
-      jnp.asarray(y_blocks), jnp.asarray(c_blocks), wyw, wcw)
 
 
 
