@@ -161,6 +161,35 @@ def test_yuv420_pallas_normalize_matches_xla():
 
 
 @pytest.mark.skipif(not os.path.exists(GT), reason="no reference data")
+def test_multistream_staging_pad_path():
+    """On TPU the pipeline pre-pads single-plane staging batches so the
+    Pallas kernel never pays a device-side pad copy. Force the pad path
+    on the CPU backend and check output equality with the unpadded
+    pipeline (the XLA fallback ignores pad rows via nv12_split)."""
+    from vali_tpu.core.formats import format_info
+    from vali_tpu.ops.pallas_fused import staging_pad_rows
+    from vali_tpu.pipeline.multistream import MultiStreamPipeline
+
+    clip = GT
+    ref_pipe = MultiStreamPipeline([clip], dst_w=48, dst_h=48, gpu_id=0)
+    pad_pipe = MultiStreamPipeline([clip], dst_w=48, dst_h=48, gpu_id=0)
+    # force the padded staging layout (on TPU it activates automatically
+    # whenever a Pallas kernel covers the format)
+    pads = staging_pad_rows(pad_pipe.src_fmt, pad_pipe.src_w,
+                            pad_pipe.src_h, 48)
+    assert pads is not None and any(pads), pads
+    dims = format_info(pad_pipe.src_fmt).plane_dims(pad_pipe.src_w,
+                                                    pad_pipe.src_h)
+    pad_pipe._stage_plane_dims = tuple(
+        (h + p, w) for (h, w), p in zip(dims, pads))
+    for (a, _), (b, _) in zip(pad_pipe, ref_pipe):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+        pad_pipe.stop()
+        ref_pipe.stop()
+        break
+
+
+@pytest.mark.skipif(not os.path.exists(GT), reason="no reference data")
 def test_multistream_pipeline_normalize():
     """normalize folds model input normalization into the pipeline's
     preprocess pass — batches arrive model-ready."""

@@ -39,9 +39,11 @@ class UnsupportedConversionParams(ValueError):
 
 
 def nv12_split(plane: jnp.ndarray, height: int):
-    """[N, H*3/2, W] -> (y [N,H,W], u [N,H/2,W/2], v [N,H/2,W/2])."""
+    """[N, >= H*3/2, W] -> (y [N,H,W], u [N,H/2,W/2], v [N,H/2,W/2]).
+
+    Rows past H*3/2 (Pallas staging pad) are ignored."""
     y = plane[:, :height, :]
-    uv = plane[:, height:, :]
+    uv = plane[:, height:height * 3 // 2, :]
     n, hc, w = uv.shape
     uv = uv.reshape(n, hc, w // 2, 2)
     return y, uv[..., 0], uv[..., 1]

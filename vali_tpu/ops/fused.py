@@ -88,11 +88,14 @@ def fused_preprocess(
     elif src_fmt in (PixelFormat.YUV420, PixelFormat.YUV420_10bit):
         bit_depth = 10 if src_fmt == PixelFormat.YUV420_10bit else 8
         y, u, v = planes
+        # rows past the nominal plane height are Pallas staging pad
+        y = y[:, :src_h]
+        u, v = u[:, :src_h // 2], v[:, :src_h // 2]
     elif src_fmt in (PixelFormat.YUV444, PixelFormat.YUV444_10bit):
         bit_depth = 10 if src_fmt == PixelFormat.YUV444_10bit else 8
-        y, u, v = planes
+        y, u, v = (p[:, :src_h] for p in planes)
     elif src_fmt == PixelFormat.YUV422:
-        y, u, v = planes  # chroma full height, half width
+        y, u, v = (p[:, :src_h] for p in planes)  # full-h, half-w chroma
     else:
         raise ValueError(f"fused_preprocess does not support {src_fmt.name}")
 

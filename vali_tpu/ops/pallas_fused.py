@@ -406,6 +406,30 @@ def pallas_yuv444_preprocess(
     return out
 
 
+def staging_pad_rows(fmt, src_w: int, src_h: int, dst_h: int,
+                     method: str = LANCZOS_AA):
+    """Per-plane extra rows the Pallas kernels want pre-padded into
+    staging buffers (one tuple entry per storage plane), or None when no
+    kernel covers the format. Pre-padding on the host (where a staging
+    copy happens anyway) saves the kernels a device-side jnp.pad copy of
+    every plane."""
+    from ..core.enums import PixelFormat
+
+    fmt = PixelFormat(fmt)
+    if fmt in (PixelFormat.NV12, PixelFormat.P10, PixelFormat.P12):
+        return (required_pad_rows(src_w, src_h, dst_h, method),)
+    if fmt == PixelFormat.YUV420:
+        ypad, cpad = required_pad_rows_yuv420(src_w, src_h, dst_h, method)
+        return (ypad, cpad, cpad)
+    if fmt == PixelFormat.YUV422:
+        p = required_pad_rows_yuv422(src_w, src_h, dst_h, method)
+        return (p, p, p)
+    if fmt == PixelFormat.YUV444:
+        p = required_pad_rows_yuv444(src_w, src_h, dst_h, method)
+        return (p, p, p)
+    return None
+
+
 def required_pad_rows_yuv422(src_w: int, src_h: int, dst_h: int,
                              method: str = LANCZOS_AA) -> int:
     """Extra rows (beyond H) each YUV422 plane must carry (chroma shares

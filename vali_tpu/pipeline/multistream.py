@@ -229,6 +229,20 @@ class MultiStreamPipeline:
         self.src_fmt = probe.Format
         probe_size = probe.HostFrameSize
         del probe
+        # Formats headed for a banded Pallas kernel get their staging
+        # batches padded per plane on the HOST (a staging copy happens
+        # anyway) so the kernels never pay device-side jnp.pad copies.
+        self._stage_plane_dims = None
+        if _pallas_usable(self.src_fmt, space, crange):
+            from ..core.formats import format_info as _fi
+            from ..ops.pallas_fused import staging_pad_rows
+
+            pads = staging_pad_rows(self.src_fmt, self.src_w, self.src_h,
+                                    dst_h, method=self.method)
+            dims = _fi(self.src_fmt).plane_dims(self.src_w, self.src_h)
+            if pads is not None and any(pads):
+                self._stage_plane_dims = tuple(
+                    (h + p, w) for (h, w), p in zip(dims, pads))
         seen = {self.sources[0]} if isinstance(self.sources[0],
                                                (str, bytes)) else set()
         for i, src in enumerate(self.sources[1:], start=1):
@@ -370,7 +384,10 @@ class MultiStreamPipeline:
         if item is None:
             return None
         frames, ids = item
-        batch_host = np.stack(frames)
+        if self._stage_plane_dims is not None:
+            batch_host = self._stage_padded(frames)
+        else:
+            batch_host = np.stack(frames)
         for buf in frames:  # recycle decode buffers
             self._buf_pool.put(buf)
         if self._batch_sharding is not None:
@@ -475,12 +492,38 @@ class MultiStreamPipeline:
         info = format_info(self.src_fmt)
         b = batch_host.shape[0]
         flat = batch_host.view(info.dtype).reshape(b, -1)
+        dims = (self._stage_plane_dims
+                if self._stage_plane_dims is not None
+                else info.plane_dims(self.src_w, self.src_h))
         planes = []
         off = 0
-        for (h, w) in info.plane_dims(self.src_w, self.src_h):
+        for (h, w) in dims:
             planes.append(flat[:, off:off + h * w].reshape(b, h, w))
             off += h * w
         return tuple(planes)
+
+    def _stage_padded(self, frames) -> np.ndarray:
+        """Copy decoded frames into a batch whose planes carry the Pallas
+        pre-pad rows (layout: padded planes back to back)."""
+        from ..core.formats import format_info
+
+        info = format_info(self.src_fmt)
+        isz = info.dtype.itemsize
+        orig = info.plane_dims(self.src_w, self.src_h)
+        padded = self._stage_plane_dims
+        total = sum(h * w for h, w in padded) * isz
+        batch = np.zeros((len(frames), total), dtype=np.uint8)
+        for i, f in enumerate(frames):
+            fu8 = f.view(np.uint8)
+            src_off = 0
+            dst_off = 0
+            for (oh, w), (ph, _) in zip(orig, padded):
+                nbytes = oh * w * isz
+                batch[i, dst_off:dst_off + nbytes] = \
+                    fu8[src_off:src_off + nbytes]
+                src_off += nbytes
+                dst_off += ph * w * isz
+        return batch
 
 
 def preprocess_batch(planes, src_fmt: PixelFormat, src_w: int, src_h: int,
