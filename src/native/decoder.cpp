@@ -358,8 +358,12 @@ Info VideoDecoder::Seek(int64_t frame_num, double ts_sec, bool by_number,
       by_number ? TsFromFrameNumber(frame_num) : TsFromTime(ts_sec);
   // Lower seek bound: one GOP (or one second) before the target, so a
   // demuxer on sparse-keyframe content cannot land arbitrarily early and
-  // pay an unbounded decode-forward (parity: TaskDecodeFrame.cpp:975-981;
-  // the [min_ts, ts] window still contains the governing key frame).
+  // pay an unbounded decode-forward (parity: TaskDecodeFrame.cpp:975-981).
+  // Caveat shared with the reference: avctx->gop_size on a DECODE context
+  // is the libavcodec default (12), not the stream's real GOP — demuxers
+  // that honor min_ts could be handed a window excluding the governing
+  // key frame on long-GOP content, so a failed windowed seek retries
+  // unbounded below (the reference has no such fallback).
   int64_t gop = m_avc_ctx ? m_avc_ctx->gop_size : 0;
   int64_t min_timestamp =
       by_number
@@ -383,6 +387,11 @@ Info VideoDecoder::Seek(int64_t frame_num, double ts_sec, bool by_number,
   m_timeout->Reset();
   int ret = avformat_seek_file(m_fmt_ctx, m_stream_idx, min_timestamp,
                                timestamp, timestamp, AVSEEK_FLAG_BACKWARD);
+  if (ret < 0 && min_timestamp > 0) {
+    // window may have excluded the governing key frame: retry unbounded
+    ret = avformat_seek_file(m_fmt_ctx, m_stream_idx, 0, timestamp,
+                             timestamp, AVSEEK_FLAG_BACKWARD);
+  }
   if (ret < 0) {
     msg = av_err_str(ret);
     return Info::FAIL;

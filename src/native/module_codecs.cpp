@@ -333,7 +333,8 @@ struct MuxerObject {
 };
 
 int Muxer_init(MuxerObject* self, PyObject* args, PyObject* kwds) {
-  static const char* kwlist[] = {"path",   "codec",  "width",   "height",
+  // order must match the "sii|sisii" format units / C varargs below
+  static const char* kwlist[] = {"path",   "width",  "height", "codec",
                                  "timebase_den", "format", "fps_num",
                                  "fps_den", nullptr};
   const char* path;

@@ -236,7 +236,8 @@ class PyDecoder:
 
     @property
     def GopSize(self) -> int:
-        """GOP size reported by the stream, 0 when unknown."""
+        """GOP size from the codec context (like the reference: the
+        libavcodec decode-side default when the stream does not say)."""
         return self._props()["gop_size"]
 
     @property

@@ -62,62 +62,22 @@ def _pallas_usable(src_fmt, space, crange) -> bool:
 
 
 class _StreamWorker(threading.Thread):
-    """Decodes one stream into an output queue of host frames.
+    """Decodes a GROUP of streams round-robin on one thread.
 
     Frames are decoded straight into recycled buffers from ``buf_pool``
     (no per-frame copy); the consumer returns them to the pool after the
-    batch is staged.
-    """
-
-    def __init__(self, stream_id: int, source, opts,
-                 out_q: "queue.Queue", stop_event: threading.Event,
-                 buf_pool: "queue.Queue"):
-        super().__init__(daemon=True, name=f"vali-decode-{stream_id}")
-        self.stream_id = stream_id
-        self.source = source
-        self.opts = dict(opts)
-        self.out_q = out_q
-        self.stop_event = stop_event
-        self.buf_pool = buf_pool
-        self.error: Optional[Exception] = None
-
-    def run(self):
-        try:
-            dec = PyDecoder(self.source, self.opts, gpu_id=-1)
-            while not self.stop_event.is_set():
-                try:
-                    # poll so stop() can't strand a worker on an empty pool
-                    buf = self.buf_pool.get(timeout=0.2)
-                except queue.Empty:
-                    continue
-                ok, info = dec.DecodeSingleFrame(buf)
-                if not ok or info != TaskExecInfo.SUCCESS:
-                    # RES_CHANGE writes no pixels and the batch geometry
-                    # is fixed at construction — end this stream rather
-                    # than enqueue a stale buffer
-                    self.buf_pool.put(buf)
-                    break
-                self.out_q.put((self.stream_id, buf))
-        except Exception as e:  # surfaced by the pipeline
-            self.error = e
-        finally:
-            self.out_q.put((self.stream_id, None))
-
-
-class _MuxStreamWorker(threading.Thread):
-    """Decodes SEVERAL streams round-robin on one thread.
-
-    For stream counts far above the host core count, one-thread-per-stream
-    (the reference's model, _StreamWorker) thrashes the scheduler; this
-    worker owns a group of decoders and rotates through them, keeping the
-    thread count bounded while every stream still progresses.
+    batch is staged. One thread per stream (group size 1) is the
+    reference's model; for stream counts far above the host core count
+    that thrashes the scheduler, so groups multiplex several decoders on
+    one thread while every stream still progresses.
     """
 
     def __init__(self, streams, opts, out_q: "queue.Queue",
                  stop_event: threading.Event, buf_pool: "queue.Queue"):
         ids = [sid for sid, _ in streams]
-        super().__init__(daemon=True,
-                         name=f"vali-decode-mux-{ids[0]}-{ids[-1]}")
+        name = (f"vali-decode-{ids[0]}" if len(ids) == 1
+                else f"vali-decode-mux-{ids[0]}-{ids[-1]}")
+        super().__init__(daemon=True, name=name)
         self.streams = list(streams)  # [(stream_id, source), ...]
         self.n_streams = len(self.streams)
         self.opts = dict(opts)
@@ -243,23 +203,27 @@ class MultiStreamPipeline:
             if pads is not None and any(pads):
                 self._stage_plane_dims = tuple(
                     (h + p, w) for (h, w), p in zip(dims, pads))
+        # additional sources use the probe-only native decoder (demux
+        # headers only, no codec open) — the workers' decoders are the
+        # full opens
+        from ..engine._loader import load_native
+
+        native = load_native()
         seen = {self.sources[0]} if isinstance(self.sources[0],
                                                (str, bytes)) else set()
         for i, src in enumerate(self.sources[1:], start=1):
-            if isinstance(src, (str, bytes)):
-                if src in seen:
-                    continue
-                seen.add(src)
-            p = PyDecoder(src, opts or {}, gpu_id=-1)
-            if (p.Width, p.Height, p.Format) != (self.src_w, self.src_h,
-                                                 self.src_fmt):
+            if not isinstance(src, (str, bytes)) or src in seen:
+                continue  # non-path sources are validated by their worker
+            seen.add(src)
+            p = native.Decoder(src, {}, None, True).props()
+            geom = (p["width"], p["height"], PixelFormat(p["format"]))
+            if geom != (self.src_w, self.src_h, self.src_fmt):
                 raise ValueError(
-                    f"Source {i} geometry {p.Width}x{p.Height}/"
-                    f"{PixelFormat(p.Format).name} differs from source 0 "
+                    f"Source {i} geometry {geom[0]}x{geom[1]}/"
+                    f"{geom[2].name} differs from source 0 "
                     f"{self.src_w}x{self.src_h}/"
                     f"{PixelFormat(self.src_fmt).name}; all streams in a "
                     f"pipeline must share resolution and pixel format")
-            del p
 
         self._stop = threading.Event()
         # recycled decode buffers: enough for all queue slots + in-flight
@@ -274,7 +238,7 @@ class MultiStreamPipeline:
                 for _ in range(len(self.sources))
             ]
             self._workers = [
-                _StreamWorker(i, src, opts or {}, self._queues[i],
+                _StreamWorker([(i, src)], opts or {}, self._queues[i],
                               self._stop, self._buf_pool)
                 for i, src in enumerate(self.sources)
             ]
@@ -289,20 +253,16 @@ class MultiStreamPipeline:
                 len(self.sources), 4 * (_os.cpu_count() or 1))
             n_threads = max(1, min(n_threads, len(self.sources)))
             if n_threads == len(self.sources):
-                self._workers = [
-                    _StreamWorker(i, src, opts or {}, self._frame_q,
-                                  self._stop, self._buf_pool)
-                    for i, src in enumerate(self.sources)
-                ]
+                groups = [[(i, src)] for i, src in enumerate(self.sources)]
             else:
                 groups = [[] for _ in range(n_threads)]
                 for i, src in enumerate(self.sources):
                     groups[i % n_threads].append((i, src))
-                self._workers = [
-                    _MuxStreamWorker(g, opts or {}, self._frame_q,
-                                     self._stop, self._buf_pool)
-                    for g in groups if g
-                ]
+            self._workers = [
+                _StreamWorker(g, opts or {}, self._frame_q,
+                              self._stop, self._buf_pool)
+                for g in groups if g
+            ]
         self._started = False
         self._live = 0
         self._alive_mask: List[bool] = [True] * len(self.sources)
@@ -390,12 +350,14 @@ class MultiStreamPipeline:
             batch_host = np.stack(frames)
         for buf in frames:  # recycle decode buffers
             self._buf_pool.put(buf)
+        n_real = batch_host.shape[0]
         if self._batch_sharding is not None:
             data_size = self.mesh.shape["data"]
             rem = batch_host.shape[0] % data_size
             if rem:
-                # EOS tail: pad so the batch shards evenly; rows past
-                # len(ids) are padding the consumer should ignore
+                # EOS tail: pad so the batch shards evenly; the padded
+                # rows are sliced back off the output below so the
+                # (batch, ids) contract holds
                 pad = data_size - rem
                 batch_host = np.concatenate(
                     [batch_host,
@@ -405,6 +367,8 @@ class MultiStreamPipeline:
         planes = tuple(jax.device_put(p, target) for p in planes)
         if self._batch_sharding is not None:
             out = self._sharded_preprocess()(planes)
+            if out.shape[0] != n_real:
+                out = out[:n_real]
         else:
             out = preprocess_batch(
                 planes, self.src_fmt, self.src_w, self.src_h,
