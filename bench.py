@@ -20,10 +20,12 @@ import time
 
 import numpy as np
 
-K_SHORT = 8
-K_LONG = 40
-REPS = 5      # timed repeats per chain length
-SLOPES = 7    # independent slope estimates; report the median + spread
+K_SHORT = 40
+K_LONG = 200  # long chains: the K_LONG-K_SHORT time delta (~70 ms for the
+# flagship kernel) must dwarf the tunnel's per-call jitter (~1-3 ms),
+# otherwise the slope inherits RTT noise
+REPS = 4      # timed repeats per chain length
+SLOPES = 5    # independent slope estimates; report the median + spread
 
 
 def _make_loop(kernel_fn, K, consume):
