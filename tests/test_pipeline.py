@@ -258,6 +258,33 @@ def test_multistream_pipeline_on_mesh():
             break
 
 
+def test_yuv420_10bit_pallas_matches_xla():
+    """10-bit (LSB-aligned uint16) planar YUV420 through the Pallas
+    kernel must match the XLA path bit-exactly (f32 compute)."""
+    import jax.numpy as jnp
+    from vali_tpu.ops.pallas_fused import (pallas_yuv420_preprocess,
+                                           required_pad_rows_yuv420)
+
+    B, H, W, DH, DW = 2, 96, 256, 32, 64
+    planes = (RNG.integers(0, 1024, (B, H, W)).astype(np.uint16),
+              RNG.integers(0, 1024, (B, H // 2, W // 2)).astype(np.uint16),
+              RNG.integers(0, 1024, (B, H // 2, W // 2)).astype(np.uint16))
+    ypad, cpad = required_pad_rows_yuv420(W, H, DH)
+    y = jnp.asarray(np.pad(planes[0], ((0, 0), (0, ypad), (0, 0))))
+    u = jnp.asarray(np.pad(planes[1], ((0, 0), (0, cpad), (0, 0))))
+    v = jnp.asarray(np.pad(planes[2], ((0, 0), (0, cpad), (0, 0))))
+    got = np.asarray(pallas_yuv420_preprocess(
+        y, u, v, src_w=W, src_h=H, dst_w=DW, dst_h=DH, bit_depth=10,
+        interpret=True))
+    want = np.asarray(fused.fused_preprocess(
+        tuple(jnp.asarray(p) for p in planes), PixelFormat.YUV420_10bit,
+        W, H, DW, DH, planar=True))
+    # both compute in f32; only summation-order ties may differ
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 1 and (diff > 0).mean() < 0.01, (
+        diff.max(), (diff > 0).mean())
+
+
 def test_yuv422_pallas_matches_xla():
     """The YUV422 Pallas kernel (full-height half-width chroma) must
     match the XLA fused path."""

@@ -64,6 +64,22 @@ def test_yuv420_real_vs_interpret():
     assert np.array_equal(got, want)
 
 
+def test_yuv420_10bit_real_vs_interpret():
+    B, H, W, DH, DW = 2, 96, 256, 32, 64
+    ypad, cpad = required_pad_rows_yuv420(W, H, DH)
+    y = jnp.asarray(RNG.integers(0, 1024, (B, H + ypad, W)).astype(
+        np.uint16))
+    u = jnp.asarray(RNG.integers(0, 1024, (B, H // 2 + cpad, W // 2))
+                    .astype(np.uint16))
+    v = jnp.asarray(RNG.integers(0, 1024, (B, H // 2 + cpad, W // 2))
+                    .astype(np.uint16))
+    kw = dict(src_w=W, src_h=H, dst_w=DW, dst_h=DH, bit_depth=10)
+    got = np.asarray(pallas_yuv420_preprocess(y, u, v, **kw))
+    want = np.asarray(pallas_yuv420_preprocess(y, u, v, interpret=True,
+                                               **kw))
+    assert np.array_equal(got, want)
+
+
 def test_yuv422_real_vs_interpret():
     B, H, W, DH, DW = 2, 96, 256, 32, 64
     pad = required_pad_rows_yuv422(W, H, DH)

@@ -418,7 +418,7 @@ def staging_pad_rows(fmt, src_w: int, src_h: int, dst_h: int,
     fmt = PixelFormat(fmt)
     if fmt in (PixelFormat.NV12, PixelFormat.P10, PixelFormat.P12):
         return (required_pad_rows(src_w, src_h, dst_h, method),)
-    if fmt == PixelFormat.YUV420:
+    if fmt in (PixelFormat.YUV420, PixelFormat.YUV420_10bit):
         ypad, cpad = required_pad_rows_yuv420(src_w, src_h, dst_h, method)
         return (ypad, cpad, cpad)
     if fmt == PixelFormat.YUV422:
@@ -606,10 +606,11 @@ def required_pad_rows_yuv420(src_w: int, src_h: int, dst_h: int,
 @functools.partial(
     jax.jit,
     static_argnames=("src_w", "src_h", "dst_w", "dst_h", "space", "crange",
-                     "out_dtype", "method", "normalize", "interpret"))
+                     "out_dtype", "method", "normalize", "bit_depth", "interpret"))
 def pallas_yuv420_preprocess(
-    y: jax.Array,  # [B, >= H (+pad), W] uint8
-    u: jax.Array,  # [B, >= H/2 (+pad), W/2] uint8
+    y: jax.Array,  # [B, >= H (+pad), W] uint8 / uint16 (LSB-aligned
+                   # 10/12-bit, the software decoder's YUV420_10bit layout)
+    u: jax.Array,  # [B, >= H/2 (+pad), W/2]
     v: jax.Array,
     *,
     src_w: int,
@@ -621,12 +622,14 @@ def pallas_yuv420_preprocess(
     out_dtype=jnp.uint8,
     method: str = LANCZOS_AA,
     normalize=None,
+    bit_depth=None,
     interpret: bool = False,
 ) -> jax.Array:
     """Planar I420 batch -> planar RGB [B, 3, dst_h, dst_w].
 
     Same banded design as the NV12 kernel; planar chroma needs no
-    interleave trick, the half-width planes resample directly.
+    interleave trick, the half-width planes resample directly. uint16
+    input computes in float32 (bit_depth defaults to 10).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -650,9 +653,14 @@ def pallas_yuv420_preprocess(
         v = jnp.pad(v, ((0, 0), (0, c_end - v.shape[1]), (0, 0)))
     y_rows, c_rows = y.shape[1], u.shape[1]
 
-    wyw = jnp.asarray(_w_weights(W, DW, method)).astype(jnp.bfloat16)
-    wcw = jnp.asarray(_plain_w_weights_half(W, DW, method)).astype(
-        jnp.bfloat16)
+    hbd = np.dtype(y.dtype) == np.uint16  # LSB-aligned high bit depth
+    if bit_depth is None:
+        bit_depth = 10 if hbd else 8
+    scale = float(1 << (bit_depth - 8))
+    cdt = jnp.float32 if hbd else jnp.bfloat16
+
+    wyw = jnp.asarray(_w_weights(W, DW, method)).astype(cdt)
+    wcw = jnp.asarray(_plain_w_weights_half(W, DW, method)).astype(cdt)
     n_tiles = y_blocks.shape[0]
 
     mo = colors.yuv2rgb_matrix(space, crange)
@@ -661,39 +669,38 @@ def pallas_yuv420_preprocess(
     m, y_off = mo
     m = m.astype(np.float32)
     is_u8 = np.dtype(out_dtype) == np.uint8
-    scale = 1.0  # planar kernel is 8-bit only
     if normalize is not None and is_u8:
         raise ValueError("normalize requires a float out_dtype")
     norm_mean = tuple(float(v) for v in normalize[0]) if normalize else None
     norm_std = tuple(float(v) for v in normalize[1]) if normalize else None
 
-    def _to_bf16(x):
-        return x.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+    def _to_compute(x):
+        return x.astype(jnp.int32).astype(jnp.float32).astype(cdt)
 
     def kernel(y_ref, u_ref, v_ref, yblk_ref, cblk_ref, wyw_ref, wcw_ref,
                out_ref, yh_ref, uh_ref, vh_ref):
         # static windows, unrolled (see the NV12 kernel note)
         for t in range(n_tiles):
             ys, cs = int(y_starts[t]), int(c_starts[t])
-            yblk = yblk_ref[t].astype(jnp.bfloat16)
-            cblk = cblk_ref[t].astype(jnp.bfloat16)
+            yblk = yblk_ref[t].astype(cdt)
+            cblk = cblk_ref[t].astype(cdt)
             yh_ref[t * TILE:(t + 1) * TILE, :] = jnp.dot(
-                yblk, _to_bf16(y_ref[0, ys:ys + y_win, :]),
-                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+                yblk, _to_compute(y_ref[0, ys:ys + y_win, :]),
+                preferred_element_type=jnp.float32).astype(cdt)
             uh_ref[t * TILE:(t + 1) * TILE, :] = jnp.dot(
-                cblk, _to_bf16(u_ref[0, cs:cs + c_win, :]),
-                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+                cblk, _to_compute(u_ref[0, cs:cs + c_win, :]),
+                preferred_element_type=jnp.float32).astype(cdt)
             vh_ref[t * TILE:(t + 1) * TILE, :] = jnp.dot(
-                cblk, _to_bf16(v_ref[0, cs:cs + c_win, :]),
-                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+                cblk, _to_compute(v_ref[0, cs:cs + c_win, :]),
+                preferred_element_type=jnp.float32).astype(cdt)
 
         yw = jnp.dot(yh_ref[:DH, :], wyw_ref[...],
                      preferred_element_type=jnp.float32)
         uw = jnp.dot(uh_ref[:DH, :], wcw_ref[...],
-                     preferred_element_type=jnp.float32) - 128.0
+                     preferred_element_type=jnp.float32) - 128.0 * scale
         vw = jnp.dot(vh_ref[:DH, :], wcw_ref[...],
-                     preferred_element_type=jnp.float32) - 128.0
-        yv = yw - y_off
+                     preferred_element_type=jnp.float32) - 128.0 * scale
+        yv = yw - y_off * scale
 
         r = m[0, 0] * yv + m[0, 1] * uw + m[0, 2] * vw
         g = m[1, 0] * yv + m[1, 1] * uw + m[1, 2] * vw
@@ -732,9 +739,9 @@ def pallas_yuv420_preprocess(
         out_specs=pl.BlockSpec((1, 3, DH, DW), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((dh_pad, W), jnp.bfloat16),
-            pltpu.VMEM((dh_pad, HW), jnp.bfloat16),
-            pltpu.VMEM((dh_pad, HW), jnp.bfloat16),
+            pltpu.VMEM((dh_pad, W), cdt),
+            pltpu.VMEM((dh_pad, HW), cdt),
+            pltpu.VMEM((dh_pad, HW), cdt),
         ],
         out_shape=jax.ShapeDtypeStruct((B, 3, DH, DW), out_dtype),
         compiler_params=pltpu.CompilerParams(

@@ -56,6 +56,7 @@ def _pallas_usable(src_fmt, space, crange) -> bool:
     from ..ops import colors
 
     return (PixelFormat(src_fmt) in (PixelFormat.NV12, PixelFormat.YUV420,
+                                     PixelFormat.YUV420_10bit,
                                      PixelFormat.YUV422, PixelFormat.YUV444,
                                      PixelFormat.P10, PixelFormat.P12)
             and colors.yuv2rgb_matrix(space, crange) is not None)
@@ -519,13 +520,16 @@ def preprocess_batch(planes, src_fmt: PixelFormat, src_w: int, src_h: int,
             space=space, crange=crange, out_dtype=out_dtype, method=method,
             normalize=normalize)
         return out if planar else jnp.moveaxis(out, 1, -1)
-    if use_pallas and src_fmt == PixelFormat.YUV420:
+    if use_pallas and src_fmt in (PixelFormat.YUV420,
+                                  PixelFormat.YUV420_10bit):
         from ..ops.pallas_fused import pallas_yuv420_preprocess
 
+        bd = 10 if src_fmt == PixelFormat.YUV420_10bit else 8
         out = pallas_yuv420_preprocess(
             planes[0], planes[1], planes[2], src_w=src_w, src_h=src_h,
             dst_w=dst_w, dst_h=dst_h, space=space, crange=crange,
-            out_dtype=out_dtype, method=method, normalize=normalize)
+            out_dtype=out_dtype, method=method, normalize=normalize,
+            bit_depth=bd)
         return out if planar else jnp.moveaxis(out, 1, -1)
     if use_pallas and src_fmt == PixelFormat.YUV422:
         from ..ops.pallas_fused import pallas_yuv422_preprocess
