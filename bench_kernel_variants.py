@@ -17,9 +17,25 @@ design. Measured on v5e (64x1080p -> 224x224, ms/batch):
      of [224,1920] bf16 dwarfs the 192 MFLOP interleave-tax saving)
   DMA floor (stream-only kernel)                0.230 = 932 GB/s
   strided LANE slice ch[:, 0::2]                Mosaic compile error
+  full int8 kernel (s8xs8->s32 both passes,     0.419-0.422  (vs 0.426-
+     pow2-scaled weights, i8 intermediates)      0.430 bf16: ~2%, NOT the
+     2x hoped for — a pure-dot probe shows Mosaic int8 dot runs at the
+     SAME rate as bf16 on v5e (~320 T(FL)OPS both at [224,1920]x[1920,448];
+     no int8 MXU speedup is exposed). Quality cost maxdiff=12 PSNR 49 dB
+     -> not worth shipping.  int8 probe notes: dot(i8,i8)->i32 exact;
+     u8->i32-128->i8 ok; i32 shifts ok; i8 vector ADD unsupported.
+  cast chain u8->i16->bf16 (ADOPTED)            0.426   (vs 0.430 long
+     chain u8->i32->f32->bf16: ~1%, kept for simplicity — i16 halves the
+     widening vregs and is exact; u8->bf16 and u16->bf16 stay unsupported)
 
-Conclusion: the adopted kernel is compute-bound at ~6.9 us/frame with
-DMA fully hidden; H-pass and W-pass each ~4.6 us standalone.
+Conclusion: the adopted kernel is compute-bound at ~6.7 us/frame with
+DMA fully hidden; H-pass and W-pass each ~4.6 us standalone. Budget at
+the measured 324 T(FL)OPS dot rate: W-pass ~1.8 us (full occupancy),
+H-pass ~2.7 us (M=32 tiles cap MXU occupancy at ~25%; every variant
+that raises M — grouping, bigger TILE, multiframe M4/M8 — loses more
+to zero-tax/VMEM than it gains), casts+CSC tail ~1.5 us. A perfect
+kernel would hit the 0.23 ms DMA floor; the realistic floor with this
+H-pass structure is ~0.4 ms, and we measure 0.43.
 """
 
 import functools

@@ -198,7 +198,12 @@ def pallas_nv12_preprocess(
     norm_std = tuple(float(v) for v in normalize[1]) if normalize else None
 
     def _to_compute(x):
-        return x.astype(jnp.int32).astype(jnp.float32).astype(cdt)
+        if hbd:  # u16 needs the wide chain to keep 10/12 significant bits
+            return x.astype(jnp.int32).astype(jnp.float32).astype(cdt)
+        # u8: Mosaic can't cast u8->bf16 directly, but u8->i16->bf16 works
+        # and i16 halves the vreg traffic of the i32 route (measured: the
+        # cast chain is the kernel's VPU co-bottleneck with the MXU).
+        return x.astype(jnp.int16).astype(cdt)
 
     def kernel(frame_ref, yblk_ref, cblk_ref, wyw_ref, wcw_ref, out_ref,
                yh_ref, ch_ref):
@@ -342,7 +347,8 @@ def pallas_yuv444_preprocess(
     norm_std = tuple(float(x) for x in normalize[1]) if normalize else None
 
     def _to_bf16(x):
-        return x.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+        # u8 -> i16 -> bf16: shortest Mosaic-supported exact chain
+        return x.astype(jnp.int16).astype(jnp.bfloat16)
 
     def kernel(y_ref, u_ref, v_ref, yblk_ref, wyw_ref, out_ref,
                yh_ref, uh_ref, vh_ref):
@@ -501,7 +507,8 @@ def pallas_yuv422_preprocess(
     norm_std = tuple(float(x) for x in normalize[1]) if normalize else None
 
     def _to_bf16(x):
-        return x.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+        # u8 -> i16 -> bf16: shortest Mosaic-supported exact chain
+        return x.astype(jnp.int16).astype(jnp.bfloat16)
 
     def kernel(y_ref, u_ref, v_ref, yblk_ref, wyw_ref, wcw_ref, out_ref,
                yh_ref, uh_ref, vh_ref):
@@ -675,7 +682,9 @@ def pallas_yuv420_preprocess(
     norm_std = tuple(float(v) for v in normalize[1]) if normalize else None
 
     def _to_compute(x):
-        return x.astype(jnp.int32).astype(jnp.float32).astype(cdt)
+        if hbd:  # u16 keeps the wide chain for 10/12 significant bits
+            return x.astype(jnp.int32).astype(jnp.float32).astype(cdt)
+        return x.astype(jnp.int16).astype(cdt)
 
     def kernel(y_ref, u_ref, v_ref, yblk_ref, cblk_ref, wyw_ref, wcw_ref,
                out_ref, yh_ref, uh_ref, vh_ref):
