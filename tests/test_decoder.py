@@ -479,3 +479,36 @@ def test_decode_all_surfaces_count():
             break
         n += 1
     assert n == rec["num_frames"]
+
+
+def test_check_all_frames_content_digest():
+    """parity: test_PyDecoder.py:397 test_check_all_frames_cpu — every
+    decoded frame's bytes are checked, not just the count. The reference
+    compares against a golden .yuv420 dump (stripped from its repo as a
+    large blob), so the oracle here is a committed whole-stream sha256 of
+    the software decode (deterministic), plus URL-vs-BufferedReader
+    byte-equality across the two input paths."""
+    import hashlib
+
+    dec, rec = make_decoder("basic")
+    frame = np.empty(dec.HostFrameSize, np.uint8)
+    h_url = hashlib.sha256()
+    n = 0
+    with open(rec["uri"], "rb") as f:
+        bdec = vali.PyDecoder(f, {}, gpu_id=-1)
+        bframe = np.empty(bdec.HostFrameSize, np.uint8)
+        h_buf = hashlib.sha256()
+        while True:
+            ok, _ = dec.DecodeSingleFrame(frame)
+            bok, _ = bdec.DecodeSingleFrame(bframe)
+            assert ok == bok
+            if not ok:
+                break
+            assert np.array_equal(frame, bframe), f"frame {n} differs"
+            h_url.update(frame.tobytes())
+            h_buf.update(bframe.tobytes())
+            n += 1
+    assert n == rec["num_frames"]
+    assert h_url.hexdigest() == h_buf.hexdigest()
+    assert h_url.hexdigest() == (
+        "10e317d5e1b8cfacecd5a100de16b5fcdcc3e0833d7832caa860354b5c61dcf7")

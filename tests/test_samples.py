@@ -80,3 +80,9 @@ def test_cli_probe_and_decode():
         cwd=REPO, env=ENV, capture_output=True, text=True, timeout=120)
     assert proc.returncode == 0
     assert "decoded 10 frames" in proc.stdout
+
+
+def test_sample_torch_interop():
+    pytest.importorskip("torch")
+    out = run_sample("sample_torch_interop.py", CLIP, "2")
+    assert "round trip OK" in out
