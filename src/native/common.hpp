@@ -153,6 +153,7 @@ inline PixFmt from_av_pix_fmt(AVPixelFormat f) {
     case AV_PIX_FMT_YUVJ422P:
     case AV_PIX_FMT_YUV422P: return PixFmt::YUV422;
     case AV_PIX_FMT_YUV420P10: return PixFmt::YUV420_10bit;
+    case AV_PIX_FMT_YUV444P10: return PixFmt::YUV444_10bit;
     case AV_PIX_FMT_YUV420P12: return PixFmt::P12;
     case AV_PIX_FMT_GRAY8: return PixFmt::Y;
     case AV_PIX_FMT_GRAY12LE: return PixFmt::GRAY12;
@@ -170,6 +171,7 @@ inline AVPixelFormat to_av_pix_fmt(PixFmt f) {
     case PixFmt::YUV422: return AV_PIX_FMT_YUV422P;
     case PixFmt::YUV444: return AV_PIX_FMT_YUV444P;
     case PixFmt::YUV420_10bit: return AV_PIX_FMT_YUV420P10;
+    case PixFmt::YUV444_10bit: return AV_PIX_FMT_YUV444P10;
     case PixFmt::P10: return AV_PIX_FMT_P010;
     case PixFmt::P12: return AV_PIX_FMT_YUV420P12;
     case PixFmt::RGB: return AV_PIX_FMT_RGB24;

@@ -2,6 +2,7 @@
 
 #include <algorithm>
 #include <array>
+#include <cstring>
 #include <iostream>
 #include <sstream>
 
@@ -422,10 +423,33 @@ Info VideoDecoder::Seek(int64_t frame_num, double ts_sec, bool by_number,
 
 int VideoDecoder::CopyFrame(uint8_t* dst, size_t capacity) {
   if (!m_frame || m_frame->width <= 0) return -1;
-  return av_image_copy_to_buffer(
-      dst, static_cast<int>(capacity), m_frame->data, m_frame->linesize,
-      static_cast<AVPixelFormat>(m_frame->format), m_frame->width,
-      m_frame->height, 1);
+  const auto ffmt = static_cast<AVPixelFormat>(m_frame->format);
+  int n = av_image_copy_to_buffer(dst, static_cast<int>(capacity),
+                                  m_frame->data, m_frame->linesize, ffmt,
+                                  m_frame->width, m_frame->height, 1);
+  if (n < 0) return n;
+  if (ffmt == AV_PIX_FMT_YUV420P12) {
+    // PixFmt::P12 means the NVDEC P012 layout everywhere above this
+    // layer (semi-planar, MSB-aligned 16-bit — see formats.py and the
+    // reference's GPU path). Software decoders hand us planar
+    // LSB-aligned yuv420p12; repack in place so both the host buffer
+    // and the device path see genuine P012.
+    const size_t w = m_frame->width, h = m_frame->height;
+    auto* p = reinterpret_cast<uint16_t*>(dst);
+    const size_t luma = w * h, cw = w / 2, ch = h / 2;
+    for (size_t i = 0; i < luma; i++) p[i] = static_cast<uint16_t>(p[i] << 4);
+    std::vector<uint16_t> uv(w * ch);
+    const uint16_t* u = p + luma;
+    const uint16_t* v = u + cw * ch;
+    for (size_t r = 0; r < ch; r++) {
+      for (size_t c = 0; c < cw; c++) {
+        uv[r * w + 2 * c] = static_cast<uint16_t>(u[r * cw + c] << 4);
+        uv[r * w + 2 * c + 1] = static_cast<uint16_t>(v[r * cw + c] << 4);
+      }
+    }
+    std::memcpy(p + luma, uv.data(), uv.size() * sizeof(uint16_t));
+  }
+  return n;
 }
 
 void VideoDecoder::SaveSideData() {

@@ -257,7 +257,7 @@ void VideoEncoder::Open() {
   it = m_opts.find("constqp");
   if (it != m_opts.end()) {
     std::string qp = it->second.empty() ? "23" : it->second;
-    av_dict_set(&priv, m_is_hevc ? "qp" : "qp", qp.c_str(), 0);
+    av_dict_set(&priv, "qp", qp.c_str(), 0);
   }
   it = m_opts.find("initqp");
   if (it != m_opts.end() && m_opts.find("constqp") == m_opts.end()) {

@@ -67,7 +67,6 @@ class VideoEncoder {
   bool m_verbose = false;
   bool m_flushed = false;
   AVPixelFormat m_enc_pix_fmt = AV_PIX_FMT_NONE;
-  std::vector<uint8_t> m_convert_buf;
 };
 
 /// The documented option keys (parity: GetNvencInitParams,

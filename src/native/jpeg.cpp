@@ -45,6 +45,21 @@ JpegEncoder::JpegEncoder(int quality, PixFmt fmt)
 Info JpegEncoder::Encode(const uint8_t* data, size_t size, int width,
                          int height, std::vector<uint8_t>& out,
                          std::string& msg) {
+  const size_t wh = static_cast<size_t>(width) * height;
+  const bool raw_yuv = (m_fmt == PixFmt::YUV420 || m_fmt == PixFmt::YUV444);
+  const bool is420 = m_fmt == PixFmt::YUV420;
+
+  // Validate sizes before any libjpeg state exists (an early return
+  // after jpeg_create_compress would leak the compress object).
+  if (m_fmt == PixFmt::Y) {
+    if (size < wh) { msg = "buffer too small"; return Info::INVALID_INPUT; }
+  } else if (raw_yuv) {
+    size_t need = is420 ? wh * 3 / 2 : wh * 3;
+    if (size < need) { msg = "buffer too small"; return Info::INVALID_INPUT; }
+  } else {
+    if (size < wh * 3) { msg = "buffer too small"; return Info::INVALID_INPUT; }
+  }
+
   jpeg_compress_struct cinfo;
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -52,6 +67,39 @@ Info JpegEncoder::Encode(const uint8_t* data, size_t size, int width,
 
   unsigned char* outbuf = nullptr;
   unsigned long outsize = 0;
+
+  // Everything with a destructor is constructed BEFORE setjmp: longjmp
+  // must not jump over the initialization of non-trivially-destructible
+  // locals (UB + leaks). After a longjmp these vectors are destroyed
+  // normally when the error branch returns.
+  const int mcu_rows = is420 ? 16 : 8;
+  const int c_rows = 8;
+  const int cw = is420 ? width / 2 : width;
+  const int ch = is420 ? height / 2 : height;
+  // jpeg_write_raw_data consumes width_in_blocks*DCTSIZE samples per
+  // row; when the image width is not MCU-aligned, rows are staged into
+  // padded buffers with the right edge replicated.
+  const int y_mcu_w = is420 ? 16 : 8;
+  const int ypad_w = (width + y_mcu_w - 1) / y_mcu_w * y_mcu_w;
+  const int cpad_w = is420 ? ypad_w / 2 : ypad_w;
+  const bool need_pad = raw_yuv && ypad_w != width;
+  std::vector<JSAMPROW> y_rows(raw_yuv ? mcu_rows : 0);
+  std::vector<JSAMPROW> u_rows(raw_yuv ? c_rows : 0);
+  std::vector<JSAMPROW> v_rows(raw_yuv ? c_rows : 0);
+  std::vector<uint8_t> y_pad, u_pad, v_pad;
+  if (need_pad) {
+    y_pad.resize(static_cast<size_t>(mcu_rows) * ypad_w);
+    u_pad.resize(static_cast<size_t>(c_rows) * cpad_w);
+    v_pad.resize(static_cast<size_t>(c_rows) * cpad_w);
+  }
+  std::vector<uint8_t> interleave_buf;
+  if (m_fmt == PixFmt::RGB_PLANAR) {
+    interleave_buf.resize(static_cast<size_t>(width) * 3);
+  }
+  std::vector<uint8_t> bgr_buf;
+#ifndef JCS_EXTENSIONS
+  if (m_fmt == PixFmt::BGR) bgr_buf.resize(static_cast<size_t>(width) * 3);
+#endif
 
   if (setjmp(jerr.setjmp_buffer)) {
     msg = jerr.message;
@@ -66,23 +114,13 @@ Info JpegEncoder::Encode(const uint8_t* data, size_t size, int width,
   cinfo.image_width = width;
   cinfo.image_height = height;
 
-  const size_t wh = static_cast<size_t>(width) * height;
-  std::vector<uint8_t> interleave_buf;
-
-  bool raw_yuv = (m_fmt == PixFmt::YUV420 || m_fmt == PixFmt::YUV444);
-
   if (m_fmt == PixFmt::Y) {
-    if (size < wh) { msg = "buffer too small"; return Info::INVALID_INPUT; }
     cinfo.input_components = 1;
     cinfo.in_color_space = JCS_GRAYSCALE;
   } else if (raw_yuv) {
-    bool is420 = m_fmt == PixFmt::YUV420;
-    size_t need = is420 ? wh * 3 / 2 : wh * 3;
-    if (size < need) { msg = "buffer too small"; return Info::INVALID_INPUT; }
     cinfo.input_components = 3;
     cinfo.in_color_space = JCS_YCbCr;
   } else {
-    if (size < wh * 3) { msg = "buffer too small"; return Info::INVALID_INPUT; }
     cinfo.input_components = 3;
 #ifdef JCS_EXTENSIONS
     cinfo.in_color_space = (m_fmt == PixFmt::BGR) ? JCS_EXT_BGR : JCS_RGB;
@@ -95,7 +133,6 @@ Info JpegEncoder::Encode(const uint8_t* data, size_t size, int width,
   jpeg_set_quality(&cinfo, m_quality, TRUE);
 
   if (raw_yuv) {
-    bool is420 = m_fmt == PixFmt::YUV420;
     cinfo.raw_data_in = TRUE;
     jpeg_set_colorspace(&cinfo, JCS_YCbCr);
     cinfo.comp_info[0].h_samp_factor = is420 ? 2 : 1;
@@ -107,34 +144,44 @@ Info JpegEncoder::Encode(const uint8_t* data, size_t size, int width,
 
     jpeg_start_compress(&cinfo, TRUE);
 
-    const int cw = is420 ? width / 2 : width;
-    const int ch = is420 ? height / 2 : height;
     const uint8_t* y_plane = data;
     const uint8_t* u_plane = data + wh;
     const uint8_t* v_plane = u_plane + static_cast<size_t>(cw) * ch;
-
-    const int mcu_rows = is420 ? 16 : 8;
-    const int c_rows = is420 ? 8 : 8;
-    std::vector<JSAMPROW> y_rows(mcu_rows), u_rows(c_rows), v_rows(c_rows);
-    // Edge-row handling: replicate the last row for non-multiple heights.
-    std::vector<uint8_t> pad_y(width, 0), pad_c(cw, 0);
 
     while (cinfo.next_scanline < cinfo.image_height) {
       unsigned base = cinfo.next_scanline;
       for (int r = 0; r < mcu_rows; r++) {
         unsigned row = base + r;
         if (row >= (unsigned)height) row = height - 1;
-        y_rows[r] = const_cast<JSAMPROW>(y_plane +
-                                         static_cast<size_t>(row) * width);
+        const uint8_t* src = y_plane + static_cast<size_t>(row) * width;
+        if (need_pad) {
+          uint8_t* dst = y_pad.data() + static_cast<size_t>(r) * ypad_w;
+          std::memcpy(dst, src, width);
+          std::memset(dst + width, src[width - 1], ypad_w - width);
+          y_rows[r] = dst;
+        } else {
+          y_rows[r] = const_cast<JSAMPROW>(src);
+        }
       }
       unsigned cbase = is420 ? base / 2 : base;
       for (int r = 0; r < c_rows; r++) {
         unsigned row = cbase + r;
         if (row >= (unsigned)ch) row = ch - 1;
-        u_rows[r] = const_cast<JSAMPROW>(u_plane +
-                                         static_cast<size_t>(row) * cw);
-        v_rows[r] = const_cast<JSAMPROW>(v_plane +
-                                         static_cast<size_t>(row) * cw);
+        const uint8_t* us = u_plane + static_cast<size_t>(row) * cw;
+        const uint8_t* vs = v_plane + static_cast<size_t>(row) * cw;
+        if (need_pad) {
+          uint8_t* ud = u_pad.data() + static_cast<size_t>(r) * cpad_w;
+          uint8_t* vd = v_pad.data() + static_cast<size_t>(r) * cpad_w;
+          std::memcpy(ud, us, cw);
+          std::memset(ud + cw, us[cw - 1], cpad_w - cw);
+          std::memcpy(vd, vs, cw);
+          std::memset(vd + cw, vs[cw - 1], cpad_w - cw);
+          u_rows[r] = ud;
+          v_rows[r] = vd;
+        } else {
+          u_rows[r] = const_cast<JSAMPROW>(us);
+          v_rows[r] = const_cast<JSAMPROW>(vs);
+        }
       }
       JSAMPARRAY planes[3] = {y_rows.data(), u_rows.data(), v_rows.data()};
       jpeg_write_raw_data(&cinfo, planes, mcu_rows);
@@ -144,15 +191,6 @@ Info JpegEncoder::Encode(const uint8_t* data, size_t size, int width,
 
     const uint8_t* row_src = data;
     size_t row_stride = static_cast<size_t>(width) * cinfo.input_components;
-
-    if (m_fmt == PixFmt::RGB_PLANAR) {
-      // Interleave R,G,B planes row by row.
-      interleave_buf.resize(row_stride);
-    }
-#ifndef JCS_EXTENSIONS
-    std::vector<uint8_t> bgr_buf;
-    if (m_fmt == PixFmt::BGR) bgr_buf.resize(row_stride);
-#endif
 
     while (cinfo.next_scanline < cinfo.image_height) {
       JSAMPROW row;

@@ -14,6 +14,7 @@
 #include <vector>
 
 #include "common.hpp"
+#include "py_util.hpp"
 #include "decoder.hpp"
 #include "encoder.hpp"
 #include "frameconv.hpp"
@@ -24,25 +25,7 @@ namespace {
 using vali::Info;
 using vali::OptMap;
 
-OptMap optmap_from_pydict(PyObject* dict) {
-  OptMap opts;
-  if (!dict || dict == Py_None) return opts;
-  if (!PyDict_Check(dict)) {
-    throw std::runtime_error("opts must be a dict of str->str");
-  }
-  PyObject *key, *value;
-  Py_ssize_t pos = 0;
-  while (PyDict_Next(dict, &pos, &key, &value)) {
-    PyObject* kstr = PyObject_Str(key);
-    PyObject* vstr = PyObject_Str(value);
-    if (kstr && vstr) {
-      opts[PyUnicode_AsUTF8(kstr)] = PyUnicode_AsUTF8(vstr);
-    }
-    Py_XDECREF(kstr);
-    Py_XDECREF(vstr);
-  }
-  return opts;
-}
+using vali::optmap_from_pydict;
 
 // ---------------------------------------------------------------------------
 // Python file-like -> FFmpeg IO hooks

@@ -6,6 +6,7 @@
 #include <vector>
 
 #include "common.hpp"
+#include "py_util.hpp"
 #include "encoder.hpp"
 #include "frameconv.hpp"
 #include "jpeg.hpp"
@@ -16,22 +17,7 @@ namespace {
 using vali::Info;
 using vali::OptMap;
 
-OptMap optmap_from_pydict2(PyObject* dict) {
-  OptMap opts;
-  if (!dict || dict == Py_None) return opts;
-  PyObject *key, *value;
-  Py_ssize_t pos = 0;
-  while (PyDict_Next(dict, &pos, &key, &value)) {
-    PyObject* kstr = PyObject_Str(key);
-    PyObject* vstr = PyObject_Str(value);
-    if (kstr && vstr) {
-      opts[PyUnicode_AsUTF8(kstr)] = PyUnicode_AsUTF8(vstr);
-    }
-    Py_XDECREF(kstr);
-    Py_XDECREF(vstr);
-  }
-  return opts;
-}
+using vali::optmap_from_pydict;
 
 // ---------------------------------------------------------------------------
 // Encoder
@@ -54,7 +40,7 @@ int Encoder_init(EncoderObject* self, PyObject* args, PyObject* kwds) {
     return -1;
   }
   try {
-    self->enc = new vali::VideoEncoder(optmap_from_pydict2(opts),
+    self->enc = new vali::VideoEncoder(optmap_from_pydict(opts),
                                        static_cast<vali::PixFmt>(format),
                                        verbose != 0);
     return 0;
@@ -145,7 +131,7 @@ PyObject* Encoder_reconfigure(EncoderObject* self, PyObject* args,
   std::string msg;
   Info info;
   try {
-    info = self->enc->Reconfigure(optmap_from_pydict2(opts), force_idr != 0,
+    info = self->enc->Reconfigure(optmap_from_pydict(opts), force_idr != 0,
                                   reset_enc != 0, msg);
   } catch (const std::exception& e) {
     PyErr_SetString(PyExc_RuntimeError, e.what());

@@ -587,3 +587,83 @@ def test_encoder_reconfigure_resolution_change(tmp_path):
     p.write_bytes(data)
     redec = vali.PyDecoder(str(p), {}, gpu_id=-1)
     assert (redec.Width, redec.Height) == (160, 120)
+
+
+def test_jpeg_yuv420_odd_width_mcu_pad(tmp_path):
+    """Raw-YCbCr JPEG encode of a width that is not MCU(16)-aligned:
+    jpeg_write_raw_data reads width_in_blocks*8 samples per row, so the
+    encoder must stage rows into edge-replicated padded buffers (a heap
+    overread + garbage right edge otherwise). Round-trips through the
+    decoder and checks the content survives."""
+    w, h = 852, 480  # chroma width 426: not a multiple of 8
+    rng = np.random.default_rng(3)
+    planes = [np.full((h, w), 90, np.uint8),
+              rng.integers(100, 140, (h // 2, w // 2), dtype=np.uint8),
+              rng.integers(100, 140, (h // 2, w // 2), dtype=np.uint8)]
+    jpeg = vali.PyNvJpegEncoder(gpu_id=0)
+    ctx = jpeg.Context(90, F.YUV420)
+    surf = vali.Surface.Make(F.YUV420, w, h)
+    up = vali.PyFrameUploader(gpu_id=0)
+    from vali_tpu.memory.host import planes_to_host_frame
+
+    ok, _ = up.Run(planes_to_host_frame(planes), surf)
+    assert ok
+    out, info = jpeg.Run(ctx, [surf])
+    assert info == vali.TaskExecInfo.SUCCESS
+    path = str(tmp_path / "odd.jpg")
+    with open(path, "wb") as f:
+        f.write(bytes(out[0]))
+    dec = vali.PyDecoder(path, {}, gpu_id=-1)
+    assert (dec.Width, dec.Height) == (w, h)
+    frame = np.empty(dec.HostFrameSize, np.uint8)
+    ok, _ = dec.DecodeSingleFrame(frame)
+    assert ok
+    y = frame[:w * h].reshape(h, w)
+    # flat luma plane must come back flat right up to the true edge
+    assert abs(int(y[:, -1].mean()) - 90) <= 3
+    assert y.std() < 3.0
+
+
+def test_p12_decode_is_p012_layout(tmp_path):
+    """12-bit 4:2:0 decode must deliver PixFmt.P12 in the P012 layout the
+    rest of the stack assumes (semi-planar, MSB-aligned uint16 — what the
+    reference's NVDEC path produces), not FFmpeg's planar LSB yuv420p12
+    (reference format map: TaskDecodeFrame.cpp:885-886)."""
+    w, h = 64, 48
+    rng = np.random.default_rng(7)
+    y = rng.integers(0, 4096, (h, w), dtype=np.uint16)
+    u = rng.integers(0, 4096, (h // 2, w // 2), dtype=np.uint16)
+    v = rng.integers(0, 4096, (h // 2, w // 2), dtype=np.uint16)
+    path = str(tmp_path / "p12.y4m")
+    with open(path, "wb") as f:
+        f.write(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420p12\n".encode())
+        f.write(b"FRAME\n")
+        for pl in (y, u, v):
+            f.write(pl.astype("<u2").tobytes())
+
+    dec = vali.PyDecoder(path, {}, gpu_id=-1)
+    assert dec.Format == F.P12
+    buf = np.empty(dec.HostFrameSize, np.uint8)
+    ok, info = dec.DecodeSingleFrame(buf)
+    assert ok, info
+    u16 = buf.view("<u2").reshape(h * 3 // 2, w)
+    assert np.array_equal(u16[:h], y << 4)
+    assert np.array_equal(u16[h:, 0::2], u << 4)
+    assert np.array_equal(u16[h:, 1::2], v << 4)
+
+    # device path: the P12 surface feeds the fused preprocess cleanly
+    dec2 = vali.PyDecoder(path, {}, gpu_id=0)
+    surf = vali.Surface.Make(F.P12, w, h, gpu_id=0)
+    ok, info = dec2.DecodeSingleSurface(surf)
+    assert ok, info
+    import jax.numpy as jnp
+
+    from vali_tpu.ops.fused import fused_preprocess
+
+    plane = surf.to_jax().reshape(1, h * 3 // 2, w)
+    rgb = np.asarray(fused_preprocess(
+        (plane,), F.P12, w, h, 32, 32, planar=True))
+    assert rgb.shape == (1, 3, 32, 32)
+    # luma was random full-range: output must not be the all-black frame
+    # the LSB-aligned misread used to produce
+    assert rgb.mean() > 10

@@ -584,3 +584,70 @@ def test_pipeline_hevc10_stream():
             pipe.stop()
             break
     assert batches >= 4
+
+
+@pytest.mark.skipif(not os.path.exists(GT), reason="no reference data")
+def test_iterator_break_joins_workers():
+    """Abandoning the iterator (break without pipe.stop()) must still
+    tear the pipeline down: decode workers unblocked and joined, queued
+    frame buffers recycled — otherwise N parked threads plus the decode
+    buffer pool leak for the life of the process."""
+    from vali_tpu.pipeline.multistream import MultiStreamPipeline
+
+    pipe = MultiStreamPipeline([GT] * 2, dst_w=32, dst_h=32, gpu_id=0,
+                               batch_size=2)
+    for batch, ids in pipe:
+        break
+    for w in pipe._workers:
+        w.join(timeout=10.0)
+        assert not w.is_alive()
+
+
+@pytest.mark.skipif(not os.path.exists(GT), reason="no reference data")
+def test_staging_buffers_are_reused():
+    """The padded staging path must recycle host batches once their
+    preprocess future resolves instead of allocating ~batch-size MB per
+    tick (buffers are zeroed once; pad rows stay zero across reuse)."""
+    from vali_tpu.pipeline.multistream import MultiStreamPipeline
+
+    pipe = MultiStreamPipeline([GT] * 2, dst_w=32, dst_h=32, gpu_id=0,
+                               batch_size=2)
+    try:
+        # force the pre-pad staging layout (CPU backend routes to XLA so
+        # the ctor leaves it off; the staging mechanics are the same)
+        from vali_tpu.core.formats import format_info
+
+        dims = format_info(pipe.src_fmt).plane_dims(pipe.src_w, pipe.src_h)
+        pipe._stage_plane_dims = tuple((h + 8, w) for h, w in dims)
+
+        isz = format_info(pipe.src_fmt).dtype.itemsize
+        frame = np.arange(pipe.src_w * pipe.src_h * 3 // 2 * isz,
+                          dtype=np.uint8) % 251
+
+        class _Ready:
+            def is_ready(self):
+                return True
+
+        b1 = pipe._stage_padded([frame, frame])
+        pipe._staging_inflight.append((b1, _Ready()))
+        b2 = pipe._stage_padded([frame, frame])
+        assert b2 is b1, "resolved buffer must be reused"
+
+        class _Busy:
+            def is_ready(self):
+                return False
+
+        pipe._staging_inflight.append((b2, _Busy()))
+        b3 = pipe._stage_padded([frame, frame])
+        assert b3 is not b2, "in-flight buffer must NOT be reused"
+
+        # pad rows stay zero across reuse; real rows hold the frame bytes
+        padded = pipe._stage_plane_dims
+        off = 0
+        for (oh, w), (ph, _) in zip(dims, padded):
+            real = oh * w * isz
+            seg = b1[0, off:off + ph * w * isz]
+            assert seg[real:].max(initial=0) == 0
+            off += ph * w * isz
+    finally:
+        pipe.stop()

@@ -34,10 +34,17 @@ def _shard_map(f, mesh, in_specs, out_specs):
         # check_vma=False: pallas_call outputs don't carry vma metadata
         return shard_map(f, mesh=mesh, in_specs=in_specs,
                          out_specs=out_specs, check_vma=False)
-    except ImportError:
-        from jax.experimental.shard_map import shard_map
-        return shard_map(f, mesh=mesh, in_specs=in_specs,
-                         out_specs=out_specs, check_rep=False)
+    except (ImportError, TypeError):
+        # TypeError: JAX versions where jax.shard_map exists but still
+        # takes check_rep instead of check_vma
+        try:
+            from jax import shard_map
+            return shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_rep=False)
+        except (ImportError, TypeError):
+            from jax.experimental.shard_map import shard_map
+            return shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_rep=False)
 
 
 def make_mesh(data: int = 0, spatial: int = 1,

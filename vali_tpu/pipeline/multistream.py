@@ -194,6 +194,8 @@ class MultiStreamPipeline:
         # batches padded per plane on the HOST (a staging copy happens
         # anyway) so the kernels never pay device-side jnp.pad copies.
         self._stage_plane_dims = None
+        self._staging_inflight = []  # (host buffer, jax future) pairs
+        self._staging_free = []
         if _pallas_usable(self.src_fmt, space, crange):
             from ..core.formats import format_info as _fi
             from ..ops.pallas_fused import staging_pad_rows
@@ -345,8 +347,10 @@ class MultiStreamPipeline:
         if item is None:
             return None
         frames, ids = item
+        staged_buf = None
         if self._stage_plane_dims is not None:
             batch_host = self._stage_padded(frames)
+            staged_buf = batch_host
         else:
             batch_host = np.stack(frames)
         for buf in frames:  # recycle decode buffers
@@ -377,6 +381,11 @@ class MultiStreamPipeline:
                 crange=self.crange, out_dtype=self.out_dtype,
                 planar=self.planar, method=self.method,
                 normalize=self.normalize)
+        if staged_buf is not None:
+            # the mesh EOS-tail path copies into a fresh concatenated
+            # array, releasing the staged buffer immediately (fut=None)
+            fut = out if staged_buf is batch_host else None
+            self._staging_inflight.append((staged_buf, fut))
         return out, ids
 
     def _sharded_preprocess(self):
@@ -445,6 +454,11 @@ class MultiStreamPipeline:
                     out_q.get_nowait()
             except queue.Empty:
                 pass
+            t.join(timeout=10.0)
+            # full teardown: unblock + join decode workers and recycle
+            # their queued buffers (without this, abandoning the iterator
+            # leaks N parked threads plus the decode buffer pool)
+            self.stop()
 
     def _split(self, batch_host: np.ndarray) -> Tuple[np.ndarray, ...]:
         """[B, host_frame_bytes] -> batched storage-layout planes.
@@ -467,6 +481,28 @@ class MultiStreamPipeline:
             off += h * w
         return tuple(planes)
 
+    def _staging_acquire(self, n: int, total: int) -> np.ndarray:
+        """Reuse a staging batch whose downstream preprocess finished.
+
+        Frames are copied into padded plane slots; the pad rows must stay
+        zero, so buffers are zero-filled once at allocation and the copy
+        path only ever writes the real rows. A buffer is eligible for
+        reuse when the jax computation that read it reports is_ready()
+        (on the CPU backend device_put can alias host memory, so reuse
+        before completion would corrupt the batch in flight)."""
+        still = []
+        for buf, fut in self._staging_inflight:
+            if fut is None or fut.is_ready():
+                self._staging_free.append(buf)
+            else:
+                still.append((buf, fut))
+        self._staging_inflight = still
+        for i, buf in enumerate(self._staging_free):
+            if buf.shape == (n, total):
+                self._staging_free.pop(i)
+                return buf
+        return np.zeros((n, total), dtype=np.uint8)
+
     def _stage_padded(self, frames) -> np.ndarray:
         """Copy decoded frames into a batch whose planes carry the Pallas
         pre-pad rows (layout: padded planes back to back)."""
@@ -477,7 +513,7 @@ class MultiStreamPipeline:
         orig = info.plane_dims(self.src_w, self.src_h)
         padded = self._stage_plane_dims
         total = sum(h * w for h, w in padded) * isz
-        batch = np.zeros((len(frames), total), dtype=np.uint8)
+        batch = self._staging_acquire(len(frames), total)
         for i, f in enumerate(frames):
             fu8 = f.view(np.uint8)
             src_off = 0
