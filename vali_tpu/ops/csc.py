@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict, List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,10 +89,15 @@ def _round_u8(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(jnp.round(x), 0.0, 255.0).astype(jnp.uint8)
 
 
-def yuv_to_rgb(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
-               space: ColorSpace, crange: ColorRange,
-               bit_depth: int = 8) -> jnp.ndarray:
-    """Full-resolution YUV planes [N,H,W] -> float32 RGB [N,H,W,3]."""
+def yuv_to_rgb_channels(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                        space: ColorSpace, crange: ColorRange,
+                        bit_depth: int = 8) -> Tuple[jnp.ndarray, ...]:
+    """Full-resolution YUV planes [N,H,W] -> float32 (r, g, b) planes.
+
+    Channels stay separate [N,H,W] arrays: on TPU a trailing channel dim
+    of 3 puts every elementwise op at 3/128 lane occupancy (measured 29
+    -> 5.8 ms per 64x1080p batch for NV12->RGB after this layout change;
+    see csc_variants.py)."""
     mo = colors.yuv2rgb_matrix(space, crange)
     if mo is None:
         raise UnsupportedConversionParams(
@@ -106,23 +112,63 @@ def yuv_to_rgb(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     r = m[0, 0] * yf + m[0, 1] * uf + m[0, 2] * vf
     g = m[1, 0] * yf + m[1, 1] * uf + m[1, 2] * vf
     b = m[2, 0] * yf + m[2, 1] * uf + m[2, 2] * vf
+    return r, g, b
+
+
+def yuv_to_rgb(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+               space: ColorSpace, crange: ColorRange,
+               bit_depth: int = 8) -> jnp.ndarray:
+    """Full-resolution YUV planes [N,H,W] -> float32 RGB [N,H,W,3]."""
+    r, g, b = yuv_to_rgb_channels(y, u, v, space, crange, bit_depth)
     return jnp.stack([r, g, b], axis=-1)
 
 
-def rgb_to_yuv(rgb: jnp.ndarray, space: ColorSpace,
-               crange: ColorRange) -> Tuple[jnp.ndarray, ...]:
-    """float32 RGB [N,H,W,3] -> float32 (y, u, v) full-resolution planes."""
+def rgb_to_yuv_channels(r: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
+                        space: ColorSpace,
+                        crange: ColorRange) -> Tuple[jnp.ndarray, ...]:
+    """float32 (r, g, b) planes -> float32 (y, u, v) planes (full-lane
+    layout, see yuv_to_rgb_channels)."""
     mo = colors.rgb2yuv_matrix(space, crange)
     if mo is None:
         raise UnsupportedConversionParams(
             f"RGB->YUV unsupported for {space.name}+{crange.name}")
     m, y_off = mo
     m = m.astype(np.float32)
-    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
     y = m[0, 0] * r + m[0, 1] * g + m[0, 2] * b + y_off
     u = m[1, 0] * r + m[1, 1] * g + m[1, 2] * b + 128.0
     v = m[2, 0] * r + m[2, 1] * g + m[2, 2] * b + 128.0
     return y, u, v
+
+
+def rgb_to_yuv(rgb: jnp.ndarray, space: ColorSpace,
+               crange: ColorRange) -> Tuple[jnp.ndarray, ...]:
+    """float32 RGB [N,H,W,3] -> float32 (y, u, v) full-resolution planes."""
+    return rgb_to_yuv_channels(rgb[..., 0], rgb[..., 1], rgb[..., 2],
+                               space, crange)
+
+
+def _stage_chroma(u: jnp.ndarray, v: jnp.ndarray):
+    """Materialize upsampled chroma behind an optimization barrier.
+
+    Without it XLA re-fuses the strided deinterleave/duplication into
+    every consumer channel at pathological layout (measured 21 -> 6 ms
+    per 64x1080p NV12->RGB batch on v5e)."""
+    return jax.lax.optimization_barrier((u, v))
+
+
+def unpack_channels(plane: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    """Packed [N, H, W*3] u8 -> three [N,H,W] channel planes via ONE
+    minor-dims relayout, so downstream math runs at full lane width."""
+    n, h, w3 = plane.shape
+    x = jnp.swapaxes(plane.reshape(n, h, w3 // 3, 3), 2, 3)
+    return x[:, :, 0, :], x[:, :, 1, :], x[:, :, 2, :]
+
+
+def pack_channels(chans) -> jnp.ndarray:
+    """Three [N,H,W] planes -> packed [N, H, W*3] via ONE relayout."""
+    rgb3 = jnp.stack(list(chans), axis=2)          # [N, H, 3, W], W minor
+    n, h, c, w = rgb3.shape
+    return jnp.swapaxes(rgb3, 2, 3).reshape(n, h, w * c)
 
 
 def subsample420(c: jnp.ndarray) -> jnp.ndarray:
@@ -183,12 +229,10 @@ def _p16_nv12(planes, w, h, space, crange):
 
 def _nv12_rgb_impl(planes, w, h, space, crange, swap: bool):
     y, u, v = nv12_split(planes[0], h)
-    u = upsample2x_nearest(u)
-    v = upsample2x_nearest(v)
-    rgb = yuv_to_rgb(y, u, v, space, crange)
-    if swap:
-        rgb = rgb[..., ::-1]
-    return (packed_rgb_store(_round_u8(rgb)),)
+    u, v = _stage_chroma(upsample2x_nearest(u), upsample2x_nearest(v))
+    r, g, b = yuv_to_rgb_channels(y, u, v, space, crange)
+    chans = (b, g, r) if swap else (r, g, b)
+    return (pack_channels(_round_u8(c) for c in chans),)
 
 
 @_register(F.NV12, F.RGB, combos={(_709, _J), (_709, _M), (_601, _J)},
@@ -215,8 +259,13 @@ def _rgb_interleave(planes, w, h, space, crange):
 
 @_register(F.RGB_PLANAR, F.YUV444, combos={(_601, _J), (_601, _M)})
 def _rgb_planar_yuv444(planes, w, h, space, crange):
-    rgb = planar_rgb_view(planes[0]).astype(jnp.float32)
-    y, u, v = rgb_to_yuv(rgb, space, crange)
+    p = planes[0]
+    n, h3, _ = p.shape
+    hh = h3 // 3
+    r = p[:, :hh, :].astype(jnp.float32)
+    g = p[:, hh:2 * hh, :].astype(jnp.float32)
+    b = p[:, 2 * hh:, :].astype(jnp.float32)
+    y, u, v = rgb_to_yuv_channels(r, g, b, space, crange)
     return _round_u8(y), _round_u8(u), _round_u8(v)
 
 
@@ -229,12 +278,10 @@ def _y_yuv444(planes, w, h, space, crange):
 
 def _yuv420_rgb_impl(planes, w, h, space, crange, swap: bool):
     y, u, v = planes
-    u = upsample2x_nearest(u)
-    v = upsample2x_nearest(v)
-    rgb = yuv_to_rgb(y, u, v, space, crange)
-    if swap:
-        rgb = rgb[..., ::-1]
-    return (packed_rgb_store(_round_u8(rgb)),)
+    u, v = _stage_chroma(upsample2x_nearest(u), upsample2x_nearest(v))
+    r, g, b = yuv_to_rgb_channels(y, u, v, space, crange)
+    chans = (b, g, r) if swap else (r, g, b)
+    return (pack_channels(_round_u8(c) for c in chans),)
 
 
 @_register(F.YUV420, F.RGB, combos={(_601, _J), (_601, _M)})
@@ -249,15 +296,15 @@ def _yuv420_bgr(planes, w, h, space, crange):
 
 @_register(F.RGB, F.YUV420, combos={(_601, _J), (_601, _M)})
 def _rgb_yuv420(planes, w, h, space, crange):
-    rgb = packed_rgb_view(planes[0]).astype(jnp.float32)
-    y, u, v = rgb_to_yuv(rgb, space, crange)
+    r, g, b = (c.astype(jnp.float32) for c in unpack_channels(planes[0]))
+    y, u, v = rgb_to_yuv_channels(r, g, b, space, crange)
     return _round_u8(y), _round_u8(subsample420(u)), _round_u8(subsample420(v))
 
 
 @_register(F.RGB, F.YUV444, combos={(_601, _J), (_601, _M)})
 def _rgb_yuv444(planes, w, h, space, crange):
-    rgb = packed_rgb_view(planes[0]).astype(jnp.float32)
-    y, u, v = rgb_to_yuv(rgb, space, crange)
+    r, g, b = (c.astype(jnp.float32) for c in unpack_channels(planes[0]))
+    y, u, v = rgb_to_yuv_channels(r, g, b, space, crange)
     return _round_u8(y), _round_u8(u), _round_u8(v)
 
 
@@ -268,10 +315,9 @@ def _swap_channels(planes, w, h, space, crange):
 
 
 def _yuv444_rgb_impl(planes, w, h, space, crange, swap: bool):
-    rgb = yuv_to_rgb(*planes, space, crange)
-    if swap:
-        rgb = rgb[..., ::-1]
-    return (packed_rgb_store(_round_u8(rgb)),)
+    r, g, b = yuv_to_rgb_channels(*planes, space, crange)
+    chans = (b, g, r) if swap else (r, g, b)
+    return (pack_channels(_round_u8(c) for c in chans),)
 
 
 @_register(F.YUV444, F.BGR, combos={(_601, _J), (_601, _M)})
@@ -286,8 +332,8 @@ def _yuv444_rgb(planes, w, h, space, crange):
 
 @_register(F.BGR, F.YUV444, combos={(_601, _J), (_601, _M)})
 def _bgr_yuv444(planes, w, h, space, crange):
-    bgr = packed_rgb_view(planes[0]).astype(jnp.float32)
-    y, u, v = rgb_to_yuv(bgr[..., ::-1], space, crange)
+    b, g, r = (c.astype(jnp.float32) for c in unpack_channels(planes[0]))
+    y, u, v = rgb_to_yuv_channels(r, g, b, space, crange)
     return _round_u8(y), _round_u8(u), _round_u8(v)
 
 
@@ -304,9 +350,9 @@ def _rgb_to_32f(planes, w, h, space, crange):
 
 @_register(F.RGB, F.Y)
 def _rgb_y(planes, w, h, space, crange):
-    rgb = packed_rgb_view(planes[0]).astype(jnp.float32)
+    r, g, b = (c.astype(jnp.float32) for c in unpack_channels(planes[0]))
     wts = colors.GRAY_WEIGHTS.astype(np.float32)
-    y = rgb[..., 0] * wts[0] + rgb[..., 1] * wts[1] + rgb[..., 2] * wts[2]
+    y = r * wts[0] + g * wts[1] + b * wts[2]
     return (_round_u8(y),)
 
 
