@@ -28,7 +28,7 @@ import numpy as np
 
 from ..core.enums import PixelFormat
 from . import colors
-from .csc import nv12_split, packed_rgb_store, planar_rgb_store
+from .csc import nv12_split, pack_channels
 from .resize import BILINEAR, LANCZOS, resize_plane, resize_weights
 
 F = PixelFormat
@@ -105,14 +105,13 @@ def ud_batch(planes: Sequence[jnp.ndarray], src_fmt: PixelFormat,
     if dst_fmt in (F.RGB, F.RGB_PLANAR):
         chans = [jnp.clip(jnp.floor(c * denorm), 0.0, 255.0)
                  .astype(jnp.uint8) for c in (r, g, b)]
-        rgb = jnp.stack(chans, axis=-1)
         if dst_fmt == F.RGB:
-            return (packed_rgb_store(rgb),)
-        return (planar_rgb_store(rgb),)
+            return (pack_channels(chans),)
+        return (jnp.concatenate(chans, axis=1),)  # [N, 3H, W] planar
 
     # Float outputs keep the normalized [0,1] values (Denormalize<float>
     # is a no-op in the reference kernel).
-    rgb = jnp.stack([r, g, b], axis=-1).astype(jnp.float32)
+    chans = [c.astype(jnp.float32) for c in (r, g, b)]
     if dst_fmt == F.RGB_32F:
-        return (packed_rgb_store(rgb),)
-    return (planar_rgb_store(rgb),)
+        return (pack_channels(chans),)
+    return (jnp.concatenate(chans, axis=1),)
