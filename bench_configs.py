@@ -184,8 +184,11 @@ def config4_inference_e2e():
 
     params = fcn.init_params(jax.random.PRNGKey(0))
     infer = jax.jit(fcn.predict_classes)
+    # batch_size=16: arrival-order batching amortizes the per-dispatch
+    # tunnel RTT over 16 frames (a single stream fills batches itself);
+    # the ceiling is then the 1-core software decode rate
     pipe = MultiStreamPipeline([CLIP], dst_w=224, dst_h=224, gpu_id=0,
-                               out_dtype=jnp.float32)
+                               out_dtype=jnp.float32, batch_size=16)
     n = 0
     last = None
     t0 = None

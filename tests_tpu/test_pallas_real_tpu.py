@@ -103,3 +103,35 @@ def test_yuv444_real_vs_interpret():
     want = np.asarray(pallas_yuv444_preprocess(*planes, interpret=True,
                                                **kw))
     assert np.array_equal(got, want)
+
+
+def test_csc_layout_path_real_tpu():
+    """The channel-plane CSC layout (staged chroma + one packed relayout)
+    must be byte-identical on the real chip to the same math on host
+    numpy (NV12 -> RGB, BT709/MPEG)."""
+    from vali_tpu.core.details import ColorspaceConversionContext
+    from vali_tpu.core.enums import PixelFormat
+    from vali_tpu.ops import colors, csc
+
+    B, H, W = 2, 96, 256
+    nv12 = RNG.integers(0, 256, (B, H * 3 // 2, W), dtype=np.uint8)
+    cc = ColorspaceConversionContext(ColorSpace.BT_709, ColorRange.MPEG)
+    got = np.asarray(csc.convert_batch(
+        (jnp.asarray(nv12),), PixelFormat.NV12, PixelFormat.RGB,
+        W, H, cc)[0])
+
+    # host reference: same nearest-upsample + matrix math in numpy f64->f32
+    y = nv12[:, :H, :].astype(np.float32)
+    uv = nv12[:, H:, :]
+    u = uv[:, :, 0::2].repeat(2, axis=1).repeat(2, axis=2).astype(np.float32)
+    v = uv[:, :, 1::2].repeat(2, axis=1).repeat(2, axis=2).astype(np.float32)
+    m, y_off = colors.yuv2rgb_matrix(ColorSpace.BT_709, ColorRange.MPEG)
+    m = m.astype(np.float32)
+    yf, uf, vf = y - np.float32(y_off), u - 128.0, v - 128.0
+    want = np.stack([m[i, 0] * yf + m[i, 1] * uf + m[i, 2] * vf
+                     for i in range(3)], axis=-1)
+    want = np.clip(np.round(want), 0, 255).astype(np.uint8)
+    want = want.reshape(B, H, W * 3)
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 1  # f32 rounding at .5 boundaries
+    assert (diff > 0).mean() < 1e-3
