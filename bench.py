@@ -116,18 +116,27 @@ def main():
     out_bytes = B * DH * DW * 3
     gbps = (in_bytes + out_bytes) / per_batch_pallas / 1e9
 
-    # secondary: batched 4K NV12 -> 1080p resize (the transcode config's
-    # hot device op, PySurfaceResizer's matmul path)
+    # secondary: batched 4K NV12 -> 1080p resize. Headline = the banded
+    # Pallas kernel (pallas_nv12_resize); the dense-einsum XLA path
+    # (PySurfaceResizer's op) is kept as the contrast number.
+    from vali_tpu.ops.pallas_fused import (pallas_nv12_resize,
+                                           required_pad_rows_resize)
     from vali_tpu.ops.resize import resize_batch
 
     B4 = 8
+    pad4 = required_pad_rows_resize(3840, 2160, 1920, 1080)
     nv12_4k = jnp.asarray(rng.integers(
-        0, 256, (B4, 2160 * 3 // 2, 3840), dtype=np.uint8))
+        0, 256, (B4, 2160 * 3 // 2 + pad4, 3840), dtype=np.uint8))
     per_batch_resize, _ = _time_kernel(
-        lambda x: resize_batch((x,), PixelFormat.NV12, 3840, 2160,
-                               1920, 1080)[0],
+        lambda x: pallas_nv12_resize(x, src_w=3840, src_h=2160,
+                                     dst_w=1920, dst_h=1080),
         nv12_4k)
     resize_4k_fps = B4 / per_batch_resize
+    per_batch_resize_xla, _ = _time_kernel(
+        lambda x: resize_batch((x[:, :2160 * 3 // 2],), PixelFormat.NV12,
+                               3840, 2160, 1920, 1080)[0],
+        nv12_4k)
+    resize_4k_fps_xla = B4 / per_batch_resize_xla
 
     # secondary: single-stream software decode fps (host CPU)
     decode_fps = 0.0
@@ -165,6 +174,7 @@ def main():
         "ms_per_64frame_batch_xla": round(per_batch_xla * 1000, 3),
         "hbm_gbytes_per_sec": round(gbps, 1),
         "resize_4k_to_1080p_nv12_fps": round(resize_4k_fps, 1),
+        "resize_4k_to_1080p_nv12_fps_xla": round(resize_4k_fps_xla, 1),
         "sw_decode_fps_single_stream_848x464": round(decode_fps, 1),
         "configs": configs,
         "device": str(jax.devices()[0]),

@@ -154,3 +154,57 @@ def test_pallas_normalize_fold():
     with pytest.raises(ValueError):
         pallas_nv12_preprocess(nv12, src_w=128, src_h=64, dst_w=32,
                                dst_h=32, normalize=norm, interpret=True)
+
+
+class TestPallasResize:
+    """Banded NV12->NV12 resize kernel (pallas_nv12_resize)."""
+
+    def _psnr(self, a, b):
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+    @pytest.mark.parametrize("dims", [(96, 256, 48, 128),
+                                      (108, 384, 48, 192),
+                                      (64, 128, 96, 256)])  # incl. upscale
+    def test_matches_xla_resize(self, dims):
+        from vali_tpu.ops.pallas_fused import (pallas_nv12_resize,
+                                               required_pad_rows_resize)
+        from vali_tpu.ops.resize import resize_batch
+
+        H, W, DH, DW = dims
+        rng = np.random.default_rng(0)
+        pad = required_pad_rows_resize(W, H, DW, DH)
+        nv12 = np.zeros((2, H * 3 // 2 + pad, W), np.uint8)
+        nv12[:, :H * 3 // 2] = rng.integers(0, 256, (2, H * 3 // 2, W),
+                                            dtype=np.uint8)
+        got = np.asarray(pallas_nv12_resize(
+            jnp.asarray(nv12), src_w=W, src_h=H, dst_w=DW, dst_h=DH,
+            interpret=True))
+        want = np.asarray(resize_batch(
+            (jnp.asarray(nv12[:, :H * 3 // 2]),), PixelFormat.NV12,
+            W, H, DW, DH, method="lanczos_aa")[0])
+        assert got.shape == want.shape
+        # bf16 compute vs the XLA f32 path: tiny rounding differences
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 3
+        assert self._psnr(got, want) > 48.0
+
+    def test_p10_high_bit_depth(self):
+        from vali_tpu.ops.pallas_fused import (pallas_nv12_resize,
+                                               required_pad_rows_resize)
+        from vali_tpu.ops.resize import resize_batch
+
+        H, W, DH, DW = 96, 256, 48, 128
+        rng = np.random.default_rng(1)
+        pad = required_pad_rows_resize(W, H, DW, DH)
+        p10 = np.zeros((2, H * 3 // 2 + pad, W), np.uint16)
+        p10[:, :H * 3 // 2] = (rng.integers(
+            0, 1024, (2, H * 3 // 2, W), dtype=np.uint16) << 6)
+        got = np.asarray(pallas_nv12_resize(
+            jnp.asarray(p10), src_w=W, src_h=H, dst_w=DW, dst_h=DH,
+            interpret=True))
+        want = np.asarray(resize_batch(
+            (jnp.asarray(p10[:, :H * 3 // 2]),), PixelFormat.P10,
+            W, H, DW, DH, method="lanczos_aa")[0])
+        assert got.dtype == np.uint16
+        # f32 compute path: matches the XLA f32 einsum to the last ulp
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1

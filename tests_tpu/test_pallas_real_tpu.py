@@ -135,3 +135,21 @@ def test_csc_layout_path_real_tpu():
     diff = np.abs(got.astype(int) - want.astype(int))
     assert diff.max() <= 1  # f32 rounding at .5 boundaries
     assert (diff > 0).mean() < 1e-3
+
+
+def test_nv12_resize_real_vs_interpret():
+    """Banded NV12 resize: compiled Mosaic == interpret (which tests/
+    ties to the XLA reference)."""
+    from vali_tpu.ops.pallas_fused import (pallas_nv12_resize,
+                                           required_pad_rows_resize)
+
+    H, W, DH, DW = 96, 256, 48, 128
+    pad = required_pad_rows_resize(W, H, DW, DH)
+    nv12 = np.zeros((2, H * 3 // 2 + pad, W), np.uint8)
+    nv12[:, :H * 3 // 2] = RNG.integers(0, 256, (2, H * 3 // 2, W),
+                                        dtype=np.uint8)
+    x = jnp.asarray(nv12)
+    kw = dict(src_w=W, src_h=H, dst_w=DW, dst_h=DH)
+    got = np.asarray(pallas_nv12_resize(x, **kw))
+    want = np.asarray(pallas_nv12_resize(x, interpret=True, **kw))
+    assert np.array_equal(got, want)

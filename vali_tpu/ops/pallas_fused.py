@@ -762,3 +762,261 @@ def pallas_yuv420_preprocess(
         interpret=interpret,
     )(y, u, v, jnp.asarray(y_blocks), jnp.asarray(c_blocks), wyw, wcw)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Banded NV12 -> NV12 resize (throughput path for transcode / 4K -> 1080p)
+# ---------------------------------------------------------------------------
+
+LANE_TILE = 128   # output columns per banded W-pass step (lane tiling)
+LANE_ALIGN = 128  # W-pass window starts stay on vreg lane boundaries
+
+
+def _banded_blocks_from_dense(wdense: np.ndarray, tile: int, align: int,
+                              extent: int, row_offset: int = 0,
+                              clamp_to_extent: bool = False):
+    """Slice a dense [n_out, n_in] resize matrix into per-tile banded
+    blocks with aligned window starts.
+
+    Returns (starts [n_tiles] absolute storage offsets, blocks
+    [n_tiles, tile, win] f32, win, max_end). Window columns outside the
+    dense matrix carry zero weights. With clamp_to_extent (lane axis,
+    where the input cannot be padded) starts are pulled back so
+    start+win <= extent; otherwise max_end tells the caller how much
+    padding the storage axis needs.
+    """
+    n_out, n_in = wdense.shape
+    n_tiles = (n_out + tile - 1) // tile
+    span = 0
+    bands = []
+    for t in range(n_tiles):
+        rows = wdense[t * tile:(t + 1) * tile]
+        nz = np.nonzero(np.abs(rows).sum(axis=0) > 0.0)[0]
+        lo, hi = (int(nz[0]), int(nz[-1]) + 1) if len(nz) else (0, 1)
+        bands.append((lo, hi))
+        span = max(span, hi - lo)
+    win = int(math.ceil((span + align) / align)) * align
+    if clamp_to_extent:
+        win = min(win, int(math.ceil(extent / align)) * align)
+
+    starts = np.zeros(n_tiles, dtype=np.int32)
+    blocks = np.zeros((n_tiles, tile, win), dtype=np.float32)
+    max_end = 0
+    for t, (lo, hi) in enumerate(bands):
+        start = ((row_offset + lo) // align) * align
+        if clamp_to_extent:
+            start = min(start, max(0, extent - win))
+        start = max(0, start)
+        starts[t] = start
+        max_end = max(max_end, start + win)
+        cols = start - row_offset + np.arange(win)
+        valid = (cols >= 0) & (cols < n_in)
+        rows = wdense[t * tile:(t + 1) * tile]
+        blk = np.zeros((tile, win), dtype=np.float32)
+        blk[:rows.shape[0], valid] = rows[:, cols[valid]]
+        blocks[t] = blk
+    return starts, blocks, win, max_end
+
+
+def _interleave_w_blocks(wdense_half: np.ndarray, full_in_w: int,
+                         full_out_w: int, tile: int, align: int):
+    """Chroma W-pass blocks consuming AND producing interleaved UV lanes.
+
+    wdense_half: [out_w/2, in_w/2] half-grid resize matrix. Block weight
+    [l, c] = wdense_half[j, k] when input lane (start+l) and output lane
+    (tile_base+c) have the same parity (k, j = their chroma indices).
+    """
+    n_out_c, n_in_c = wdense_half.shape
+    n_tiles = (full_out_w + tile - 1) // tile
+    # band span in full-res lanes
+    span = 0
+    bands = []
+    for t in range(n_tiles):
+        j_lo, j_hi = (t * tile) // 2, min(((t + 1) * tile - 1) // 2 + 1,
+                                          n_out_c)
+        rows = wdense_half[j_lo:j_hi]
+        nz = np.nonzero(np.abs(rows).sum(axis=0) > 0.0)[0]
+        lo, hi = (int(nz[0]), int(nz[-1]) + 1) if len(nz) else (0, 1)
+        bands.append((lo * 2, hi * 2))
+        span = max(span, hi * 2 - lo * 2)
+    win = int(math.ceil((span + align) / align)) * align
+    win = min(win, int(math.ceil(full_in_w / align)) * align)
+
+    starts = np.zeros(n_tiles, dtype=np.int32)
+    blocks = np.zeros((n_tiles, win, tile), dtype=np.float32)
+    for t, (lo, hi) in enumerate(bands):
+        start = min(max(0, (lo // align) * align), max(0, full_in_w - win))
+        starts[t] = start
+        lanes = start + np.arange(win)          # absolute input lanes
+        outs = t * tile + np.arange(tile)       # absolute output lanes
+        k = lanes // 2
+        j = outs // 2
+        valid_in = (lanes < full_in_w)
+        valid_out = (outs < full_out_w)
+        parity = (lanes[:, None] % 2) == (outs[None, :] % 2)
+        kk = np.clip(k, 0, n_in_c - 1)
+        jj = np.clip(j, 0, n_out_c - 1)
+        w = wdense_half[jj[None, :], kk[:, None]]
+        blocks[t] = w * parity * valid_in[:, None] * valid_out[None, :]
+    return starts, blocks, win
+
+
+def required_pad_rows_resize(src_w: int, src_h: int, dst_w: int, dst_h: int,
+                             method: str = LANCZOS_AA) -> int:
+    """Extra rows (beyond H*3/2) the resize kernel input must carry."""
+    from .resize import resize_weights
+
+    wy = resize_weights(src_h, dst_h, method)
+    wc = resize_weights(src_h // 2, dst_h // 2, method)
+    _, _, _, y_end = _banded_blocks_from_dense(wy, TILE, ALIGN,
+                                               src_h * 3 // 2)
+    _, _, _, c_end = _banded_blocks_from_dense(wc, TILE, ALIGN,
+                                               src_h * 3 // 2,
+                                               row_offset=src_h)
+    return max(0, max(y_end, c_end) - src_h * 3 // 2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("src_w", "src_h", "dst_w", "dst_h", "method",
+                     "interpret"))
+def pallas_nv12_resize(
+    nv12: jax.Array,  # [B, >= H*3/2 (+pad), W] uint8 / uint16 (P10/P12)
+    *,
+    src_w: int,
+    src_h: int,
+    dst_w: int,
+    dst_h: int,
+    method: str = LANCZOS_AA,
+    interpret: bool = False,
+) -> jax.Array:
+    """Banded NV12/P10/P12 resize -> [B, dst_h*3/2, dst_w], same dtype.
+
+    Mirrors resize_batch's NV12 semantics (plane-wise Lanczos, chroma as
+    an independent half-res image — reference ancestor
+    TaskResizeSurface.cpp:132-188) but runs both separable passes as
+    banded matmuls in one Pallas kernel: for 4K -> 1080p the H-pass
+    touches ~80 of 2160 rows per 32-row output tile and the W-pass ~384
+    of 3840 lanes per 128-lane tile, ~10x fewer MACs than the dense
+    einsum path. uint8 computes in bfloat16, uint16 in float32.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .resize import resize_weights
+
+    B = nv12.shape[0]
+    H, W, DH, DW = src_h, src_w, dst_h, dst_w
+    if nv12.shape[1] < H * 3 // 2 or nv12.shape[2] != W:
+        raise ValueError(
+            f"NV12 plane shape {nv12.shape} does not match {W}x{H}")
+    if DH % 2 or DW % 2:
+        raise ValueError("NV12 resize needs even dst dims")
+    hbd = np.dtype(nv12.dtype) == np.uint16
+    cdt = jnp.float32 if hbd else jnp.bfloat16
+    cap = 65535.0 if hbd else 255.0
+    DC = DH // 2
+
+    # --- H-pass blocks (from the same dense matrices the XLA path uses)
+    wy_rows = resize_weights(H, DH, method)
+    wc_rows = resize_weights(H // 2, DC, method)
+    y_starts, y_blocks, y_win, y_end = _banded_blocks_from_dense(
+        wy_rows, TILE, ALIGN, H * 3 // 2)
+    c_starts, c_blocks, c_win, c_end = _banded_blocks_from_dense(
+        wc_rows, TILE, ALIGN, H * 3 // 2, row_offset=H)
+    rows_needed = max(H * 3 // 2, y_end, c_end)
+    if nv12.shape[1] < rows_needed:
+        nv12 = jnp.pad(nv12, ((0, 0), (0, rows_needed - nv12.shape[1]),
+                              (0, 0)))
+    rows = nv12.shape[1]
+    nyt, nct = y_blocks.shape[0], c_blocks.shape[0]
+
+    # --- W-pass blocks ([win, LANE_TILE] so dots are data @ weights)
+    wy_cols = resize_weights(W, DW, method)            # [DW, W]
+    wc_cols = resize_weights(W // 2, DW // 2, method)  # half grid
+    wys, wyb, wy_winw = [], None, 0
+    nwt = (DW + LANE_TILE - 1) // LANE_TILE
+    s_, b_, wy_winw, _ = _banded_blocks_from_dense(
+        wy_cols, LANE_TILE, LANE_ALIGN, W, clamp_to_extent=True)
+    wy_starts, wy_blocks = s_, np.transpose(b_, (0, 2, 1)).copy()
+    wc_starts, wc_blocks, wc_winw = _interleave_w_blocks(
+        wc_cols, W, DW, LANE_TILE, LANE_ALIGN)
+
+    dh_pad = ((DH + TILE - 1) // TILE) * TILE
+    dc_pad = ((DC + TILE - 1) // TILE) * TILE
+    dw_pad = nwt * LANE_TILE
+
+    def _to_compute(x):
+        if hbd:
+            return x.astype(jnp.int32).astype(jnp.float32).astype(cdt)
+        return x.astype(jnp.int16).astype(cdt)
+
+    def kernel(frame_ref, yblk_ref, cblk_ref, wyb_ref, wcb_ref,
+               yout_ref, cout_ref, yh_ref, ch_ref):
+        for t in range(nyt):
+            ys = int(y_starts[t])
+            yh_ref[t * TILE:(t + 1) * TILE, :] = jnp.dot(
+                yblk_ref[t].astype(cdt),
+                _to_compute(frame_ref[0, ys:ys + y_win, :]),
+                preferred_element_type=jnp.float32).astype(cdt)
+        for t in range(nct):
+            cs = int(c_starts[t])
+            ch_ref[t * TILE:(t + 1) * TILE, :] = jnp.dot(
+                cblk_ref[t].astype(cdt),
+                _to_compute(frame_ref[0, cs:cs + c_win, :]),
+                preferred_element_type=jnp.float32).astype(cdt)
+
+        for t in range(nwt):
+            ws = int(wy_starts[t])
+            acc = jnp.dot(yh_ref[:DH, ws:ws + wy_winw],
+                          wyb_ref[t].astype(cdt),
+                          preferred_element_type=jnp.float32)
+            yout_ref[0, :, t * LANE_TILE:(t + 1) * LANE_TILE] = jnp.clip(
+                jnp.round(acc), 0.0, cap).astype(jnp.int32).astype(
+                yout_ref.dtype)
+            cs = int(wc_starts[t])
+            accc = jnp.dot(ch_ref[:DC, cs:cs + wc_winw],
+                           wcb_ref[t].astype(cdt),
+                           preferred_element_type=jnp.float32)
+            cout_ref[0, :, t * LANE_TILE:(t + 1) * LANE_TILE] = jnp.clip(
+                jnp.round(accc), 0.0, cap).astype(jnp.int32).astype(
+                cout_ref.dtype)
+
+    flops = B * 2 * (nyt * TILE * y_win * W + nct * TILE * c_win * W
+                     + nwt * LANE_TILE * wy_winw * DH
+                     + nwt * LANE_TILE * wc_winw * DC)
+    y_out, c_out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, rows, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, DH, dw_pad), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, DC, dw_pad), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((dh_pad, W), cdt),
+            pltpu.VMEM((dc_pad, W), cdt),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, DH, dw_pad), nv12.dtype),
+            jax.ShapeDtypeStruct((B, DC, dw_pad), nv12.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=int(nv12.size) + B * (DH + DC) * dw_pad,
+            transcendentals=0),
+        interpret=interpret,
+    )(nv12, jnp.asarray(y_blocks), jnp.asarray(c_blocks),
+      jnp.asarray(wy_blocks), jnp.asarray(wc_blocks))
+    return jnp.concatenate([y_out[:, :, :DW], c_out[:, :, :DW]], axis=1)
