@@ -208,3 +208,31 @@ class TestPallasResize:
         assert got.dtype == np.uint16
         # f32 compute path: matches the XLA f32 einsum to the last ulp
         assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+    @pytest.mark.parametrize("dtype,tol", [("uint8", 3), ("uint16", 1)])
+    def test_plane_resize_matches_resize_plane(self, dtype, tol):
+        from vali_tpu.ops.pallas_fused import pallas_plane_resize
+        from vali_tpu.ops.resize import resize_plane
+
+        H, W, DH, DW = 96, 256, 40, 120
+        rng = np.random.default_rng(0)
+        dt = np.dtype(dtype)
+        x = rng.integers(0, np.iinfo(dt).max, (2, H, W), dtype=dt)
+        got = np.asarray(pallas_plane_resize(
+            jnp.asarray(x), src_h=H, dst_h=DH, dst_w=DW, interpret=True))
+        want = np.asarray(resize_plane(jnp.asarray(x), DH, DW,
+                                       "lanczos_aa"))
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= tol
+
+    def test_plane_resize_float32(self):
+        from vali_tpu.ops.pallas_fused import pallas_plane_resize
+        from vali_tpu.ops.resize import resize_plane
+
+        H, W, DH, DW = 64, 128, 96, 200  # upscale, float path
+        rng = np.random.default_rng(2)
+        x = (rng.standard_normal((2, H, W)) * 100).astype(np.float32)
+        got = np.asarray(pallas_plane_resize(
+            jnp.asarray(x), src_h=H, dst_h=DH, dst_w=DW, interpret=True))
+        want = np.asarray(resize_plane(jnp.asarray(x), DH, DW,
+                                       "lanczos_aa"))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)

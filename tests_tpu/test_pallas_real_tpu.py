@@ -153,3 +153,14 @@ def test_nv12_resize_real_vs_interpret():
     got = np.asarray(pallas_nv12_resize(x, **kw))
     want = np.asarray(pallas_nv12_resize(x, interpret=True, **kw))
     assert np.array_equal(got, want)
+
+
+def test_plane_resize_real_vs_interpret():
+    from vali_tpu.ops.pallas_fused import pallas_plane_resize
+
+    H, W, DH, DW = 96, 256, 40, 120
+    x = jnp.asarray(RNG.integers(0, 256, (2, H, W), dtype=np.uint8))
+    kw = dict(src_h=H, dst_h=DH, dst_w=DW)
+    got = np.asarray(pallas_plane_resize(x, **kw))
+    want = np.asarray(pallas_plane_resize(x, interpret=True, **kw))
+    assert np.array_equal(got, want)

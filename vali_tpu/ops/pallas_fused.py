@@ -1020,3 +1020,106 @@ def pallas_nv12_resize(
     )(nv12, jnp.asarray(y_blocks), jnp.asarray(c_blocks),
       jnp.asarray(wy_blocks), jnp.asarray(wc_blocks))
     return jnp.concatenate([y_out[:, :, :DW], c_out[:, :, :DW]], axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("src_h", "dst_h", "dst_w", "method", "interpret"))
+def pallas_plane_resize(
+    plane: jax.Array,  # [B, H (+pad rows ok), W] uint8 / uint16 / float32
+    *,
+    src_h: int,
+    dst_h: int,
+    dst_w: int,
+    method: str = LANCZOS_AA,
+    interpret: bool = False,
+) -> jax.Array:
+    """Banded separable resize of independent planes -> [B, dst_h, dst_w].
+
+    The planar-format sibling of pallas_nv12_resize: Y/GRAY12 directly,
+    YUV420/422/444 and RGB_PLANAR per plane (stack planes into the batch
+    dim for one launch). Same banded blocks sliced from resize_weights,
+    so semantics match resize_plane exactly up to compute dtype (uint8
+    in bfloat16, uint16/float32 in float32).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .resize import resize_weights
+
+    B, _, W = plane.shape
+    H, DH, DW = src_h, dst_h, dst_w
+    dt = np.dtype(plane.dtype)
+    hbd = dt.itemsize > 1
+    cdt = jnp.float32 if hbd else jnp.bfloat16
+    if dt == np.uint8:
+        cap = 255.0
+    elif dt == np.uint16:
+        cap = 65535.0
+    else:
+        cap = None  # float planes: no quantization
+
+    wh = resize_weights(H, DH, method)
+    ww = resize_weights(W, DW, method)
+    h_starts, h_blocks, h_win, h_end = _banded_blocks_from_dense(
+        wh, TILE, ALIGN, H)
+    if plane.shape[1] < h_end:
+        plane = jnp.pad(plane, ((0, 0), (0, h_end - plane.shape[1]),
+                                (0, 0)))
+    rows = plane.shape[1]
+    w_starts, w_b, w_win, _ = _banded_blocks_from_dense(
+        ww, LANE_TILE, LANE_ALIGN, W, clamp_to_extent=True)
+    w_blocks = np.transpose(w_b, (0, 2, 1)).copy()
+    nht, nwt = h_blocks.shape[0], w_blocks.shape[0]
+    dh_pad = nht * TILE
+    dw_pad = nwt * LANE_TILE
+
+    def _to_compute(x):
+        if dt == np.uint8:
+            return x.astype(jnp.int16).astype(cdt)
+        if dt == np.uint16:
+            return x.astype(jnp.int32).astype(jnp.float32)
+        return x.astype(cdt)
+
+    def kernel(p_ref, hblk_ref, wblk_ref, out_ref, hh_ref):
+        for t in range(nht):
+            hs = int(h_starts[t])
+            hh_ref[t * TILE:(t + 1) * TILE, :] = jnp.dot(
+                hblk_ref[t].astype(cdt),
+                _to_compute(p_ref[0, hs:hs + h_win, :]),
+                preferred_element_type=jnp.float32).astype(cdt)
+        for t in range(nwt):
+            ws = int(w_starts[t])
+            acc = jnp.dot(hh_ref[:DH, ws:ws + w_win],
+                          wblk_ref[t].astype(cdt),
+                          preferred_element_type=jnp.float32)
+            if cap is not None:
+                acc = jnp.clip(jnp.round(acc), 0.0, cap).astype(
+                    jnp.int32)
+            out_ref[0, :, t * LANE_TILE:(t + 1) * LANE_TILE] = acc.astype(
+                out_ref.dtype)
+
+    flops = B * 2 * (nht * TILE * h_win * W + nwt * LANE_TILE * w_win * DH)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, rows, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, DH, dw_pad), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((dh_pad, W), cdt)],
+        out_shape=jax.ShapeDtypeStruct((B, DH, dw_pad), plane.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=int(plane.size * dt.itemsize)
+            + B * DH * dw_pad * dt.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(plane, jnp.asarray(h_blocks), jnp.asarray(w_blocks))
+    return out[:, :, :DW]
