@@ -113,6 +113,8 @@ VALI_AV_WRAP(kAvCodec, av_packet_rescale_ts)
 VALI_AV_WRAP(kAvCodec, av_packet_unref)
 VALI_AV_WRAP(kAvCodec, avcodec_alloc_context3)
 VALI_AV_WRAP(kAvCodec, avcodec_find_decoder)
+VALI_AV_WRAP(kAvCodec, avcodec_descriptor_get_by_name)
+VALI_AV_WRAP(kAvCodec, avcodec_find_encoder)
 VALI_AV_WRAP(kAvCodec, avcodec_find_encoder_by_name)
 VALI_AV_WRAP(kAvCodec, avcodec_flush_buffers)
 VALI_AV_WRAP(kAvCodec, avcodec_free_context)
@@ -184,6 +186,8 @@ VALI_AV_WRAP(kSwScale, sws_setColorspaceDetails)
 #define av_packet_unref av_packet_unref_vali_dl
 #define avcodec_alloc_context3 avcodec_alloc_context3_vali_dl
 #define avcodec_find_decoder avcodec_find_decoder_vali_dl
+#define avcodec_descriptor_get_by_name avcodec_descriptor_get_by_name_vali_dl
+#define avcodec_find_encoder avcodec_find_encoder_vali_dl
 #define avcodec_find_encoder_by_name avcodec_find_encoder_by_name_vali_dl
 #define avcodec_flush_buffers avcodec_flush_buffers_vali_dl
 #define avcodec_free_context avcodec_free_context_vali_dl

@@ -119,9 +119,21 @@ void VideoEncoder::Open() {
   std::transform(codec_name.begin(), codec_name.end(), codec_name.begin(),
                  ::tolower);
   m_is_hevc = (codec_name == "hevc" || codec_name == "h265");
+  // Reference parity is h264 + hevc (NvCodecCliOptions.cpp:136-137);
+  // any other name resolves through libavcodec as a beyond-reference
+  // software encoder (vp9, av1, mpeg2video, ...) with only the generic
+  // option subset applied.
+  m_generic = !m_is_hevc && codec_name != "h264" && codec_name != "avc";
 
-  const char* enc_name = m_is_hevc ? "libx265" : "libx264";
-  const AVCodec* codec = avcodec_find_encoder_by_name(enc_name);
+  std::string enc_name = m_is_hevc ? "libx265"
+                         : (m_generic ? codec_name : "libx264");
+  const AVCodec* codec = avcodec_find_encoder_by_name(enc_name.c_str());
+  if (!codec && m_generic) {
+    const AVCodecDescriptor* d =
+        avcodec_descriptor_get_by_name(codec_name.c_str());
+    if (d) codec = avcodec_find_encoder(d->id);
+    if (codec) enc_name = codec->name;
+  }
   if (!codec) {
     throw std::runtime_error(std::string("Encoder not available: ") +
                              enc_name);
@@ -137,7 +149,8 @@ void VideoEncoder::Open() {
   // x264; x265 gets a deinterleaved YUV420 copy (FillFrame).
   switch (m_fmt) {
     case PixFmt::NV12:
-      m_enc_pix_fmt = m_is_hevc ? AV_PIX_FMT_YUV420P : AV_PIX_FMT_NV12;
+      m_enc_pix_fmt = (m_is_hevc || m_generic) ? AV_PIX_FMT_YUV420P
+                                               : AV_PIX_FMT_NV12;
       break;
     case PixFmt::YUV420:
       m_enc_pix_fmt = AV_PIX_FMT_YUV420P;
@@ -165,7 +178,8 @@ void VideoEncoder::Open() {
   }
   if (!supported) {
     throw std::runtime_error(
-        std::string("Encoder ") + enc_name + " does not support input format " +
+        std::string("Encoder ") + enc_name +
+        " does not support input format " +
         av_get_pix_fmt_name(m_enc_pix_fmt));
   }
   m_ctx->pix_fmt = m_enc_pix_fmt;
@@ -210,6 +224,18 @@ void VideoEncoder::Open() {
     if (!x265_params.empty()) x265_params += ":";
     x265_params += p;
   };
+  if (m_generic) {
+    // speed knobs so software VP9/AV1 stay usable for fixtures/tests
+    if (enc_name.rfind("libvpx", 0) == 0) {
+      av_dict_set(&priv, "deadline", "realtime", 0);
+      av_dict_set(&priv, "cpu-used", "8", 0);
+    } else if (enc_name == "libaom-av1") {
+      av_dict_set(&priv, "usage", "realtime", 0);
+      av_dict_set(&priv, "cpu-used", "8", 0);
+    }
+    OpenWithPriv(codec, priv);
+    return;
+  }
   std::string tuning;
   it = m_opts.find("tuning_info");
   if (it != m_opts.end()) tuning = it->second;
@@ -306,6 +332,10 @@ void VideoEncoder::Open() {
     av_dict_set(&priv, "x265-params", x265_params.c_str(), 0);
   }
 
+  OpenWithPriv(codec, priv);
+}
+
+void VideoEncoder::OpenWithPriv(const AVCodec* codec, AVDictionary* priv) {
   int res = avcodec_open2(m_ctx, codec, &priv);
   if (priv) av_dict_free(&priv);
   throw_on_av_error(res, "Failed to open encoder");

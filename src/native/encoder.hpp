@@ -50,6 +50,7 @@ class VideoEncoder {
 
  private:
   void Open();
+  void OpenWithPriv(const AVCodec* codec, AVDictionary* priv);
   void Close();
   Info DrainPackets(std::string& msg);
   void FillFrame(AVFrame* frame, const uint8_t* data);
@@ -64,6 +65,7 @@ class VideoEncoder {
   int m_height = 0;
   int64_t m_frame_index = 0;
   bool m_is_hevc = false;
+  bool m_generic = false;
   bool m_verbose = false;
   bool m_flushed = false;
   AVPixelFormat m_enc_pix_fmt = AV_PIX_FMT_NONE;
