@@ -512,3 +512,42 @@ def test_check_all_frames_content_digest():
     assert h_url.hexdigest() == h_buf.hexdigest()
     assert h_url.hexdigest() == (
         "10e317d5e1b8cfacecd5a100de16b5fcdcc3e0833d7832caa860354b5c61dcf7")
+
+
+def test_corrupt_input_never_crashes(tmp_path):
+    """Robustness: truncated and bit-flipped streams must fail softly
+    (False/exception), never crash the process (the reference covers
+    this with its test_bad_task_info_* fixtures; this sweeps more
+    mutations deterministically)."""
+    rec = gt("basic")
+    data = open(rec["uri"], "rb").read()
+    rng = np.random.default_rng(11)
+
+    cases = []
+    for frac in (0.01, 0.1, 0.3, 0.6, 0.9):          # truncations
+        cases.append(data[:int(len(data) * frac)])
+    for _ in range(10):                               # bit flips
+        buf = bytearray(data)
+        for pos in rng.integers(64, len(data), 50):   # keep ftyp intact
+            buf[pos] ^= 1 << int(rng.integers(0, 8))
+        cases.append(bytes(buf))
+    cases.append(b"")                                 # empty file
+    cases.append(bytes(rng.integers(0, 256, 4096, dtype=np.uint8)))
+
+    for i, blob in enumerate(cases):
+        p = tmp_path / f"fuzz_{i}.mp4"
+        p.write_bytes(blob)
+        try:
+            dec = vali.PyDecoder(str(p), {}, gpu_id=-1)
+        except (RuntimeError, ValueError):
+            continue  # refusing to open is a soft failure
+        frame = np.empty(max(dec.HostFrameSize, 1), np.uint8)
+        n = 0
+        while n < 200:
+            try:
+                ok, info = dec.DecodeSingleFrame(frame)
+            except (RuntimeError, ValueError):
+                break
+            if not ok:
+                break
+            n += 1
