@@ -236,3 +236,23 @@ def test_rotator_nv12_not_supported():
     ok, info = rot.Run(surf, dst, 90.0)
     assert not ok
     assert info == vali.TaskExecInfo.NOT_SUPPORTED
+
+
+def test_resizer_turbo_matches_xla():
+    """turbo=True (banded Pallas path) stays within rounding of the
+    default XLA resizer for NV12."""
+    w, h, dw, dh = 256, 96, 128, 48
+    rng = np.random.default_rng(4)
+    nv12 = rng.integers(0, 256, (h * 3 // 2, w), dtype=np.uint8)
+    src = vali.Surface.from_numpy(nv12, vali.PixelFormat.NV12,
+                                  width=w, height=h)
+    ref_dst = vali.Surface.Make(vali.PixelFormat.NV12, dw, dh)
+    tur_dst = vali.Surface.Make(vali.PixelFormat.NV12, dw, dh)
+    assert vali.PySurfaceResizer(vali.PixelFormat.NV12, gpu_id=0,
+                                 method="lanczos_aa").Run(src, ref_dst)[0]
+    assert vali.PySurfaceResizer(vali.PixelFormat.NV12, gpu_id=0,
+                                 method="lanczos_aa",
+                                 turbo=True).Run(src, tur_dst)[0]
+    a = ref_dst.to_numpy().astype(int)
+    b = tur_dst.to_numpy().astype(int)
+    assert np.abs(a - b).max() <= 3

@@ -474,7 +474,8 @@ class PySurfaceConverter:
 
 class PySurfaceResizer:
     def __init__(self, format: PixelFormat, gpu_id: int = ...,
-                 stream: Optional[int] = ..., method: str = ...) -> None: ...
+                 stream: Optional[int] = ..., method: str = ...,
+                 turbo: bool = ...) -> None: ...
     def Run(self, src: Surface, dst: Surface) -> Tuple[bool, TaskExecInfo]: ...
     def RunAsync(self, src: Surface, dst: Surface) -> Tuple[bool, TaskExecInfo]: ...
     @property
