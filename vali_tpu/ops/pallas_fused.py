@@ -350,7 +350,12 @@ def pallas_yuv444_preprocess(
         v = jnp.pad(v, ((0, 0), (0, padn), (0, 0)))
     rows = y.shape[1]
 
-    wyw = jnp.asarray(_w_weights(W, DW, method)).astype(jnp.bfloat16)
+    wys, wyb, wy_winw, _ = _banded_blocks_from_dense(
+        _w_weights(W, DW, method).T, LANE_TILE, LANE_ALIGN, W,
+        clamp_to_extent=True)
+    wy_blocks = jnp.asarray(np.transpose(wyb, (0, 2, 1)).copy()).astype(
+        jnp.bfloat16)
+    nwt = wyb.shape[0]
     n_tiles = y_blocks.shape[0]
 
     mo = colors.yuv2rgb_matrix(space, crange)
@@ -368,8 +373,8 @@ def pallas_yuv444_preprocess(
         # u8 -> i16 -> bf16: shortest Mosaic-supported exact chain
         return x.astype(jnp.int16).astype(jnp.bfloat16)
 
-    def kernel(y_ref, u_ref, v_ref, yblk_ref, wyw_ref, out_ref,
-               yh_ref, uh_ref, vh_ref):
+    def kernel(y_ref, u_ref, v_ref, yblk_ref, wyb_ref, out_ref,
+               yh_ref, uh_ref, vh_ref, w0_ref, w1_ref, w2_ref):
         for t in range(n_tiles):
             ys = int(y_starts[t])
             blk = yblk_ref[t].astype(jnp.bfloat16)
@@ -379,13 +384,18 @@ def pallas_yuv444_preprocess(
                     blk, _to_bf16(src_ref[0, ys:ys + y_win, :]),
                     preferred_element_type=jnp.float32).astype(jnp.bfloat16)
 
-        yw = jnp.dot(yh_ref[:DH, :], wyw_ref[...],
-                     preferred_element_type=jnp.float32)
-        uw = jnp.dot(uh_ref[:DH, :], wyw_ref[...],
-                     preferred_element_type=jnp.float32) - 128.0
-        vw = jnp.dot(vh_ref[:DH, :], wyw_ref[...],
-                     preferred_element_type=jnp.float32) - 128.0
-        yv = yw - y_off
+        # banded W pass (see the NV12 kernel note)
+        for t in range(nwt):
+            ws = int(wys[t])
+            for h_ref, w_ref in ((yh_ref, w0_ref), (uh_ref, w1_ref),
+                                 (vh_ref, w2_ref)):
+                w_ref[:, t * LANE_TILE:(t + 1) * LANE_TILE] = jnp.dot(
+                    h_ref[:DH, ws:ws + wy_winw],
+                    wyb_ref[t].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        yv = w0_ref[:, :DW] - y_off
+        uw = w1_ref[:, :DW] - 128.0
+        vw = w2_ref[:, :DW] - 128.0
 
         r = m[0, 0] * yv + m[0, 1] * uw + m[0, 2] * vw
         g = m[1, 0] * yv + m[1, 1] * uw + m[1, 2] * vw
@@ -404,7 +414,9 @@ def pallas_yuv444_preprocess(
     dh_pad = ((DH + TILE - 1) // TILE) * TILE
     plane_spec = pl.BlockSpec((1, rows, W), lambda b: (b, 0, 0),
                               memory_space=pltpu.VMEM)
-    flops = B * (3 * n_tiles * TILE * y_win * W + 3 * DH * W * DW) * 2
+    dwp = nwt * LANE_TILE
+    flops = B * (3 * n_tiles * TILE * y_win * W
+                 + 3 * DH * nwt * wy_winw * LANE_TILE) * 2
     out = pl.pallas_call(
         kernel,
         grid=(B,),
@@ -417,6 +429,9 @@ def pallas_yuv444_preprocess(
             pltpu.VMEM((dh_pad, W), jnp.bfloat16),
             pltpu.VMEM((dh_pad, W), jnp.bfloat16),
             pltpu.VMEM((dh_pad, W), jnp.bfloat16),
+            pltpu.VMEM((DH, dwp), jnp.float32),
+            pltpu.VMEM((DH, dwp), jnp.float32),
+            pltpu.VMEM((DH, dwp), jnp.float32),
         ],
         out_shape=jax.ShapeDtypeStruct((B, 3, DH, DW), out_dtype),
         compiler_params=pltpu.CompilerParams(
@@ -426,7 +441,7 @@ def pallas_yuv444_preprocess(
             bytes_accessed=int(y.size * 3) + B * 3 * DH * DW,
             transcendentals=0),
         interpret=interpret,
-    )(y, u, v, jnp.asarray(y_blocks), wyw)
+    )(y, u, v, jnp.asarray(y_blocks), wy_blocks)
     return out
 
 
@@ -508,9 +523,17 @@ def pallas_yuv422_preprocess(
         v = jnp.pad(v, ((0, 0), (0, y_end - v.shape[1]), (0, 0)))
     rows = y.shape[1]
 
-    wyw = jnp.asarray(_w_weights(W, DW, method)).astype(jnp.bfloat16)
-    wcw = jnp.asarray(_plain_w_weights_half(W, DW, method)).astype(
+    wys, wyb, wy_winw, _ = _banded_blocks_from_dense(
+        _w_weights(W, DW, method).T, LANE_TILE, LANE_ALIGN, W,
+        clamp_to_extent=True)
+    wy_blocks = jnp.asarray(np.transpose(wyb, (0, 2, 1)).copy()).astype(
         jnp.bfloat16)
+    wcs, wcb, wc_winw, _ = _banded_blocks_from_dense(
+        _plain_w_weights_half(W, DW, method).T, LANE_TILE, LANE_ALIGN, HW,
+        clamp_to_extent=True)
+    wc_blocks = jnp.asarray(np.transpose(wcb, (0, 2, 1)).copy()).astype(
+        jnp.bfloat16)
+    nwt = wyb.shape[0]
     n_tiles = y_blocks.shape[0]
 
     mo = colors.yuv2rgb_matrix(space, crange)
@@ -528,8 +551,8 @@ def pallas_yuv422_preprocess(
         # u8 -> i16 -> bf16: shortest Mosaic-supported exact chain
         return x.astype(jnp.int16).astype(jnp.bfloat16)
 
-    def kernel(y_ref, u_ref, v_ref, yblk_ref, wyw_ref, wcw_ref, out_ref,
-               yh_ref, uh_ref, vh_ref):
+    def kernel(y_ref, u_ref, v_ref, yblk_ref, wyb_ref, wcb_ref, out_ref,
+               yh_ref, uh_ref, vh_ref, w0_ref, w1_ref, w2_ref):
         for t in range(n_tiles):
             ys = int(y_starts[t])
             blk = yblk_ref[t].astype(jnp.bfloat16)
@@ -543,13 +566,23 @@ def pallas_yuv422_preprocess(
                 blk, _to_bf16(v_ref[0, ys:ys + y_win, :]),
                 preferred_element_type=jnp.float32).astype(jnp.bfloat16)
 
-        yw = jnp.dot(yh_ref[:DH, :], wyw_ref[...],
-                     preferred_element_type=jnp.float32)
-        uw = jnp.dot(uh_ref[:DH, :], wcw_ref[...],
-                     preferred_element_type=jnp.float32) - 128.0
-        vw = jnp.dot(vh_ref[:DH, :], wcw_ref[...],
-                     preferred_element_type=jnp.float32) - 128.0
-        yv = yw - y_off
+        for t in range(nwt):
+            w0_ref[:, t * LANE_TILE:(t + 1) * LANE_TILE] = jnp.dot(
+                yh_ref[:DH, int(wys[t]):int(wys[t]) + wy_winw],
+                wyb_ref[t].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+            cs2 = int(wcs[t])
+            w1_ref[:, t * LANE_TILE:(t + 1) * LANE_TILE] = jnp.dot(
+                uh_ref[:DH, cs2:cs2 + wc_winw],
+                wcb_ref[t].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+            w2_ref[:, t * LANE_TILE:(t + 1) * LANE_TILE] = jnp.dot(
+                vh_ref[:DH, cs2:cs2 + wc_winw],
+                wcb_ref[t].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+        yv = w0_ref[:, :DW] - y_off
+        uw = w1_ref[:, :DW] - 128.0
+        vw = w2_ref[:, :DW] - 128.0
 
         r = m[0, 0] * yv + m[0, 1] * uw + m[0, 2] * vw
         g = m[1, 0] * yv + m[1, 1] * uw + m[1, 2] * vw
@@ -566,8 +599,9 @@ def pallas_yuv422_preprocess(
                 out_ref[0, idx] = val.astype(out_ref.dtype)
 
     dh_pad = ((DH + TILE - 1) // TILE) * TILE
+    dwp = nwt * LANE_TILE
     flops = B * (n_tiles * TILE * y_win * (W + 2 * HW)
-                 + DH * (W * DW + 2 * HW * DW)) * 2
+                 + DH * nwt * (wy_winw + 2 * wc_winw) * LANE_TILE) * 2
     out = pl.pallas_call(
         kernel,
         grid=(B,),
@@ -588,6 +622,9 @@ def pallas_yuv422_preprocess(
             pltpu.VMEM((dh_pad, W), jnp.bfloat16),
             pltpu.VMEM((dh_pad, HW), jnp.bfloat16),
             pltpu.VMEM((dh_pad, HW), jnp.bfloat16),
+            pltpu.VMEM((DH, dwp), jnp.float32),
+            pltpu.VMEM((DH, dwp), jnp.float32),
+            pltpu.VMEM((DH, dwp), jnp.float32),
         ],
         out_shape=jax.ShapeDtypeStruct((B, 3, DH, DW), out_dtype),
         compiler_params=pltpu.CompilerParams(
@@ -597,7 +634,7 @@ def pallas_yuv422_preprocess(
             bytes_accessed=int(y.size + u.size + v.size) + B * 3 * DH * DW,
             transcendentals=0),
         interpret=interpret,
-    )(y, u, v, jnp.asarray(y_blocks), wyw, wcw)
+    )(y, u, v, jnp.asarray(y_blocks), wy_blocks, wc_blocks)
     return out
 
 
@@ -684,8 +721,15 @@ def pallas_yuv420_preprocess(
     scale = float(1 << (bit_depth - 8))
     cdt = jnp.float32 if hbd else jnp.bfloat16
 
-    wyw = jnp.asarray(_w_weights(W, DW, method)).astype(cdt)
-    wcw = jnp.asarray(_plain_w_weights_half(W, DW, method)).astype(cdt)
+    wys, wyb, wy_winw, _ = _banded_blocks_from_dense(
+        _w_weights(W, DW, method).T, LANE_TILE, LANE_ALIGN, W,
+        clamp_to_extent=True)
+    wy_blocks = jnp.asarray(np.transpose(wyb, (0, 2, 1)).copy()).astype(cdt)
+    wcs, wcb, wc_winw, _ = _banded_blocks_from_dense(
+        _plain_w_weights_half(W, DW, method).T, LANE_TILE, LANE_ALIGN, HW,
+        clamp_to_extent=True)
+    wc_blocks = jnp.asarray(np.transpose(wcb, (0, 2, 1)).copy()).astype(cdt)
+    nwt = wyb.shape[0]
     n_tiles = y_blocks.shape[0]
 
     mo = colors.yuv2rgb_matrix(space, crange)
@@ -704,8 +748,8 @@ def pallas_yuv420_preprocess(
             return x.astype(jnp.int32).astype(jnp.float32).astype(cdt)
         return x.astype(jnp.int16).astype(cdt)
 
-    def kernel(y_ref, u_ref, v_ref, yblk_ref, cblk_ref, wyw_ref, wcw_ref,
-               out_ref, yh_ref, uh_ref, vh_ref):
+    def kernel(y_ref, u_ref, v_ref, yblk_ref, cblk_ref, wyb_ref, wcb_ref,
+               out_ref, yh_ref, uh_ref, vh_ref, w0_ref, w1_ref, w2_ref):
         # static windows, unrolled (see the NV12 kernel note)
         for t in range(n_tiles):
             ys, cs = int(y_starts[t]), int(c_starts[t])
@@ -721,13 +765,21 @@ def pallas_yuv420_preprocess(
                 cblk, _to_compute(v_ref[0, cs:cs + c_win, :]),
                 preferred_element_type=jnp.float32).astype(cdt)
 
-        yw = jnp.dot(yh_ref[:DH, :], wyw_ref[...],
-                     preferred_element_type=jnp.float32)
-        uw = jnp.dot(uh_ref[:DH, :], wcw_ref[...],
-                     preferred_element_type=jnp.float32) - 128.0 * scale
-        vw = jnp.dot(vh_ref[:DH, :], wcw_ref[...],
-                     preferred_element_type=jnp.float32) - 128.0 * scale
-        yv = yw - y_off * scale
+        for t in range(nwt):
+            w0_ref[:, t * LANE_TILE:(t + 1) * LANE_TILE] = jnp.dot(
+                yh_ref[:DH, int(wys[t]):int(wys[t]) + wy_winw],
+                wyb_ref[t].astype(cdt),
+                preferred_element_type=jnp.float32)
+            cs2 = int(wcs[t])
+            w1_ref[:, t * LANE_TILE:(t + 1) * LANE_TILE] = jnp.dot(
+                uh_ref[:DH, cs2:cs2 + wc_winw], wcb_ref[t].astype(cdt),
+                preferred_element_type=jnp.float32)
+            w2_ref[:, t * LANE_TILE:(t + 1) * LANE_TILE] = jnp.dot(
+                vh_ref[:DH, cs2:cs2 + wc_winw], wcb_ref[t].astype(cdt),
+                preferred_element_type=jnp.float32)
+        yv = w0_ref[:, :DW] - y_off * scale
+        uw = w1_ref[:, :DW] - 128.0 * scale
+        vw = w2_ref[:, :DW] - 128.0 * scale
 
         r = m[0, 0] * yv + m[0, 1] * uw + m[0, 2] * vw
         g = m[1, 0] * yv + m[1, 1] * uw + m[1, 2] * vw
@@ -745,9 +797,10 @@ def pallas_yuv420_preprocess(
                 out_ref[0, idx] = val.astype(out_ref.dtype)
 
     dh_pad = ((DH + TILE - 1) // TILE) * TILE
+    dwp = nwt * LANE_TILE
 
     flops = B * (n_tiles * TILE * (y_win * W + 2 * c_win * HW) * 2
-                 + DH * (W * DW + 2 * HW * DW) * 2)
+                 + DH * nwt * (wy_winw + 2 * wc_winw) * LANE_TILE * 2)
     out = pl.pallas_call(
         kernel,
         grid=(B,),
@@ -769,6 +822,9 @@ def pallas_yuv420_preprocess(
             pltpu.VMEM((dh_pad, W), cdt),
             pltpu.VMEM((dh_pad, HW), cdt),
             pltpu.VMEM((dh_pad, HW), cdt),
+            pltpu.VMEM((DH, dwp), jnp.float32),
+            pltpu.VMEM((DH, dwp), jnp.float32),
+            pltpu.VMEM((DH, dwp), jnp.float32),
         ],
         out_shape=jax.ShapeDtypeStruct((B, 3, DH, DW), out_dtype),
         compiler_params=pltpu.CompilerParams(
@@ -778,7 +834,8 @@ def pallas_yuv420_preprocess(
             bytes_accessed=int(y.size + u.size + v.size) + B * 3 * DH * DW,
             transcendentals=0),
         interpret=interpret,
-    )(y, u, v, jnp.asarray(y_blocks), jnp.asarray(c_blocks), wyw, wcw)
+    )(y, u, v, jnp.asarray(y_blocks), jnp.asarray(c_blocks), wy_blocks,
+      wc_blocks)
     return out
 
 
