@@ -28,14 +28,18 @@ design. Measured on v5e (64x1080p -> 224x224, ms/batch):
      chain u8->i32->f32->bf16: ~1%, kept for simplicity — i16 halves the
      widening vregs and is exact; u8->bf16 and u16->bf16 stay unsupported)
 
-Conclusion: the adopted kernel is compute-bound at ~6.7 us/frame with
-DMA fully hidden; H-pass and W-pass each ~4.6 us standalone. Budget at
-the measured 324 T(FL)OPS dot rate: W-pass ~1.8 us (full occupancy),
-H-pass ~2.7 us (M=32 tiles cap MXU occupancy at ~25%; every variant
-that raises M — grouping, bigger TILE, multiframe M4/M8 — loses more
-to zero-tax/VMEM than it gains), casts+CSC tail ~1.5 us. A perfect
-kernel would hit the 0.23 ms DMA floor; the realistic floor with this
-H-pass structure is ~0.4 ms, and we measure 0.43.
+  banded W-pass (ADOPTED)                       0.392-0.399  (Lanczos
+     bands cover ~60% of the dense [W, DW] matrices at 1080p->224;
+     128-lane output tiles with aligned input windows, bit-identical)
+
+Conclusion: the adopted kernel is compute-bound at ~6.2 us/frame with
+DMA fully hidden. Budget at the measured 324 T(FL)OPS dot rate:
+banded W-pass ~1.2 us, H-pass ~2.7 us (M=32 tiles cap MXU occupancy at
+~25%; every variant that raises M — grouping, bigger TILE, multiframe
+M4/M8 — loses more to zero-tax/VMEM than it gains), casts+CSC tail
+~1.5 us. A perfect kernel would hit the 0.23 ms DMA floor; the
+realistic floor with this H-pass structure is ~0.37 ms, and we measure
+0.39.
 """
 
 import functools
