@@ -31,6 +31,10 @@ design. Measured on v5e (64x1080p -> 224x224, ms/batch):
   banded W-pass (ADOPTED)                       0.392-0.399  (Lanczos
      bands cover ~60% of the dense [W, DW] matrices at 1080p->224;
      128-lane output tiles with aligned input windows, bit-identical)
+  chroma W halves padded per-tile (ADOPTED)     0.331   (a 128-lane tile
+     straddling the concatenated U|V boundary spans the whole input and
+     silently forced the chroma banding dense; padding each half to a
+     LANE_TILE multiple localizes the bands -> windows 1280 of 1920)
 
 Conclusion: the adopted kernel is compute-bound at ~6.2 us/frame with
 DMA fully hidden. Budget at the measured 324 T(FL)OPS dot rate:
@@ -38,8 +42,8 @@ banded W-pass ~1.2 us, H-pass ~2.7 us (M=32 tiles cap MXU occupancy at
 ~25%; every variant that raises M — grouping, bigger TILE, multiframe
 M4/M8 — loses more to zero-tax/VMEM than it gains), casts+CSC tail
 ~1.5 us. A perfect kernel would hit the 0.23 ms DMA floor; the
-realistic floor with this H-pass structure is ~0.37 ms, and we measure
-0.39.
+realistic floor with this H-pass structure is ~0.3 ms, and we measure
+0.33 (193k fps/chip, 638 GB/s).
 """
 
 import functools

@@ -428,7 +428,11 @@ int VideoDecoder::CopyFrame(uint8_t* dst, size_t capacity) {
                                   m_frame->data, m_frame->linesize, ffmt,
                                   m_frame->width, m_frame->height, 1);
   if (n < 0) return n;
-  if (ffmt == AV_PIX_FMT_YUV420P12) {
+  if (ffmt == AV_PIX_FMT_YUV420P12 && m_frame->width % 2 == 0 &&
+      m_frame->height % 2 == 0) {
+    // Odd geometry cannot be expressed in the semi-planar P012 layout
+    // (interleaved UV rows need 2*ceil(w/2) samples > w); such streams
+    // keep FFmpeg's planar bytes, matching the reference's CPU path.
     // PixFmt::P12 means the NVDEC P012 layout everywhere above this
     // layer (semi-planar, MSB-aligned 16-bit — see formats.py and the
     // reference's GPU path). Software decoders hand us planar
@@ -436,7 +440,8 @@ int VideoDecoder::CopyFrame(uint8_t* dst, size_t capacity) {
     // and the device path see genuine P012.
     const size_t w = m_frame->width, h = m_frame->height;
     auto* p = reinterpret_cast<uint16_t*>(dst);
-    const size_t luma = w * h, cw = w / 2, ch = h / 2;
+    // FFmpeg packs yuv420p chroma planes at ceil(w/2) x ceil(h/2)
+    const size_t luma = w * h, cw = (w + 1) / 2, ch = (h + 1) / 2;
     for (size_t i = 0; i < luma; i++) p[i] = static_cast<uint16_t>(p[i] << 4);
     std::vector<uint16_t> uv(w * ch);
     const uint16_t* u = p + luma;

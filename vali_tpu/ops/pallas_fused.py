@@ -187,9 +187,17 @@ def pallas_nv12_preprocess(
         _w_weights(W, DW, method).T, LANE_TILE, LANE_ALIGN, W,
         clamp_to_extent=True)
     wy_blocks = np.transpose(wyb, (0, 2, 1)).copy()
+    # chroma W matrix: pad the U and V output halves independently to
+    # LANE_TILE multiples so no output tile straddles the U|V boundary —
+    # a straddling tile's band spans the whole input and would force the
+    # banding to degenerate to dense (win == W).
+    DWp = ((DW + LANE_TILE - 1) // LANE_TILE) * LANE_TILE
+    _wc = _chroma_w_weights_interleaved(W, DW, method)      # [W, 2*DW]
+    wc_dense = np.zeros((W, 2 * DWp), dtype=np.float32)
+    wc_dense[:, :DW] = _wc[:, :DW]
+    wc_dense[:, DWp:DWp + DW] = _wc[:, DW:]
     wcs, wcb, wc_winw, _ = _banded_blocks_from_dense(
-        _chroma_w_weights_interleaved(W, DW, method).T, LANE_TILE,
-        LANE_ALIGN, W, clamp_to_extent=True)
+        wc_dense.T, LANE_TILE, LANE_ALIGN, W, clamp_to_extent=True)
     wc_blocks = np.transpose(wcb, (0, 2, 1)).copy()
     nwt, nct_w = wy_blocks.shape[0], wc_blocks.shape[0]
     n_tiles = y_blocks.shape[0]
@@ -242,7 +250,7 @@ def pallas_nv12_preprocess(
                 ch_ref[:DH, ws:ws + wc_winw], wcb_ref[t].astype(cdt),
                 preferred_element_type=jnp.float32)
         u = cw_ref[:, :DW] - 128.0 * scale
-        v = cw_ref[:, DW:2 * DW] - 128.0 * scale
+        v = cw_ref[:, DWp:DWp + DW] - 128.0 * scale
         yv = yw_ref[:, :DW] - y_off * scale
 
         r = m[0, 0] * yv + m[0, 1] * u + m[0, 2] * v
@@ -928,12 +936,25 @@ def _interleave_w_blocks(wdense_half: np.ndarray, full_in_w: int,
         bands.append((lo * 2, hi * 2))
         span = max(span, hi * 2 - lo * 2)
     win = int(math.ceil((span + align) / align)) * align
-    win = min(win, int(math.ceil(full_in_w / align)) * align)
+    dense = False
+    if win >= full_in_w:
+        win, dense = full_in_w, True
+    else:
+        for lo, hi in bands:
+            start = min((lo // align) * align,
+                        ((full_in_w - win) // align) * align)
+            if start + win < hi:
+                win, dense = full_in_w, True
+                break
 
     starts = np.zeros(n_tiles, dtype=np.int32)
     blocks = np.zeros((n_tiles, win, tile), dtype=np.float32)
     for t, (lo, hi) in enumerate(bands):
-        start = min(max(0, (lo // align) * align), max(0, full_in_w - win))
+        if dense:
+            start = 0
+        else:
+            start = max(0, min((lo // align) * align,
+                               ((full_in_w - win) // align) * align))
         starts[t] = start
         lanes = start + np.arange(win)          # absolute input lanes
         outs = t * tile + np.arange(tile)       # absolute output lanes
@@ -1022,11 +1043,10 @@ def pallas_nv12_resize(
     # --- W-pass blocks ([win, LANE_TILE] so dots are data @ weights)
     wy_cols = resize_weights(W, DW, method)            # [DW, W]
     wc_cols = resize_weights(W // 2, DW // 2, method)  # half grid
-    wys, wyb, wy_winw = [], None, 0
-    nwt = (DW + LANE_TILE - 1) // LANE_TILE
     s_, b_, wy_winw, _ = _banded_blocks_from_dense(
         wy_cols, LANE_TILE, LANE_ALIGN, W, clamp_to_extent=True)
     wy_starts, wy_blocks = s_, np.transpose(b_, (0, 2, 1)).copy()
+    nwt = wy_blocks.shape[0]
     wc_starts, wc_blocks, wc_winw = _interleave_w_blocks(
         wc_cols, W, DW, LANE_TILE, LANE_ALIGN)
 
