@@ -236,3 +236,25 @@ class TestPallasResize:
         want = np.asarray(resize_plane(jnp.asarray(x), DH, DW,
                                        "lanczos_aa"))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
+
+    def test_non_lane_multiple_source_width(self):
+        """848-wide sources (the repo's canonical clip geometry) exercise
+        the interleaved-chroma dense fallback + aligned start clamp —
+        used to crash with a contracting-dimension mismatch."""
+        from vali_tpu.ops.pallas_fused import (pallas_nv12_resize,
+                                               required_pad_rows_resize)
+        from vali_tpu.ops.resize import resize_batch
+
+        H, W, DH, DW = 464, 848, 64, 128
+        rng = np.random.default_rng(5)
+        pad = required_pad_rows_resize(W, H, DW, DH)
+        nv12 = np.zeros((2, H * 3 // 2 + pad, W), np.uint8)
+        nv12[:, :H * 3 // 2] = rng.integers(0, 256, (2, H * 3 // 2, W),
+                                            dtype=np.uint8)
+        got = np.asarray(pallas_nv12_resize(
+            jnp.asarray(nv12), src_w=W, src_h=H, dst_w=DW, dst_h=DH,
+            interpret=True))
+        want = np.asarray(resize_batch(
+            (jnp.asarray(nv12[:, :H * 3 // 2]),), PixelFormat.NV12,
+            W, H, DW, DH, method="lanczos_aa")[0])
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 3
