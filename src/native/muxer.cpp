@@ -84,7 +84,21 @@ Muxer::Muxer(const std::string& path, const std::string& codec, int width,
   std::string c = codec;
   std::transform(c.begin(), c.end(), c.begin(), ::tolower);
   m_is_hevc = (c == "hevc" || c == "h265");
-  if (!m_is_hevc && c != "h264" && c != "avc") {
+  AVCodecID cid;
+  if (m_is_hevc) {
+    cid = AV_CODEC_ID_HEVC;
+  } else if (c == "h264" || c == "avc") {
+    cid = AV_CODEC_ID_H264;
+  } else if (c == "vp9") {
+    cid = AV_CODEC_ID_VP9;
+    m_codec_kind = kVp9;
+  } else if (c == "vp8") {
+    cid = AV_CODEC_ID_VP8;
+    m_codec_kind = kVp8;
+  } else if (c == "av1") {
+    cid = AV_CODEC_ID_AV1;
+    m_codec_kind = kAv1;
+  } else {
     throw std::runtime_error("Muxer: unsupported codec '" + codec + "'");
   }
   int res = avformat_alloc_output_context2(
@@ -101,8 +115,7 @@ Muxer::Muxer(const std::string& path, const std::string& codec, int width,
     throw std::runtime_error("Muxer: failed to create stream");
   }
   m_stream->codecpar->codec_type = AVMEDIA_TYPE_VIDEO;
-  m_stream->codecpar->codec_id =
-      m_is_hevc ? AV_CODEC_ID_HEVC : AV_CODEC_ID_H264;
+  m_stream->codecpar->codec_id = cid;
   m_stream->codecpar->width = width;
   m_stream->codecpar->height = height;
   m_stream->time_base = {1, m_tb_den};
@@ -125,6 +138,41 @@ Muxer::~Muxer() {
   Close(msg);
 }
 
+void Muxer::ExtractAv1Extradata(const uint8_t* data, size_t size) {
+  // Find the SEQUENCE_HEADER OBU in the first AU: MKV/MP4 AV1 muxing
+  // requires it as codec-private data (ff_isom_write_av1c).
+  size_t i = 0;
+  while (i < size) {
+    uint8_t hdr = data[i];
+    if (hdr & 0x80) return;  // forbidden bit: bail
+    int type = (hdr >> 3) & 0x0F;
+    bool ext = hdr & 0x04, has_size = hdr & 0x02;
+    size_t pos = i + 1 + (ext ? 1 : 0);
+    if (!has_size || pos >= size) return;
+    uint64_t obu_size = 0;
+    int shift = 0;
+    while (pos < size) {  // leb128
+      uint8_t b = data[pos++];
+      obu_size |= static_cast<uint64_t>(b & 0x7F) << shift;
+      shift += 7;
+      if (!(b & 0x80)) break;
+    }
+    size_t end = pos + obu_size;
+    if (end > size) return;
+    if (type == 1) {  // OBU_SEQUENCE_HEADER
+      size_t span = end - i;
+      uint8_t* ed = static_cast<uint8_t*>(
+          av_mallocz(span + AV_INPUT_BUFFER_PADDING_SIZE));
+      if (!ed) return;
+      memcpy(ed, data + i, span);
+      m_stream->codecpar->extradata = ed;
+      m_stream->codecpar->extradata_size = static_cast<int>(span);
+      return;
+    }
+    i = end;
+  }
+}
+
 void Muxer::ExtractExtradata(const uint8_t* data, size_t size) {
   size_t span = param_set_span(data, size, m_is_hevc);
   if (!span) return;
@@ -143,7 +191,15 @@ Info Muxer::WritePacket(const uint8_t* data, size_t size, int64_t pts,
     return Info::FAIL;
   }
   if (!m_header_written) {
-    if (!m_stream->codecpar->extradata) ExtractExtradata(data, size);
+    // annex-B parameter-set extradata applies to H.264/HEVC only;
+    // VP8/VP9/AV1 containers carry no (or codec-private OBU) extradata
+    // and MKV/IVF-style muxers accept them without it
+    if (m_codec_kind == kAnnexB && !m_stream->codecpar->extradata) {
+      ExtractExtradata(data, size);
+    }
+    if (m_codec_kind == kAv1 && !m_stream->codecpar->extradata) {
+      ExtractAv1Extradata(data, size);
+    }
     int res = avformat_write_header(m_ctx, nullptr);
     if (res < 0) {
       msg = "write_header: " + av_err_str(res);
@@ -161,7 +217,26 @@ Info Muxer::WritePacket(const uint8_t* data, size_t size, int64_t pts,
   pkt->stream_index = m_stream->index;
   pkt->pts = pts;
   pkt->dts = dts;
-  if (key || is_key_au(data, size, m_is_hevc)) pkt->flags |= AV_PKT_FLAG_KEY;
+  bool detected_key = false;
+  switch (m_codec_kind) {
+    case kAnnexB:
+      detected_key = is_key_au(data, size, m_is_hevc);
+      break;
+    case kVp8:
+      // VP8 frame tag: bit 0 of byte 0 is frame_type (0 = key)
+      detected_key = size > 0 && (data[0] & 0x01) == 0;
+      break;
+    case kVp9:
+      // VP9 uncompressed header (profile 0/2): frame_marker(2) profile
+      // bits, show_existing_frame(0x08), frame_type(0x04, 0 = key)
+      detected_key = size > 0 && (data[0] & 0x08) == 0 &&
+                     (data[0] & 0x04) == 0;
+      break;
+    case kAv1:
+      detected_key = false;  // OBU parsing out of scope: caller's flag
+      break;
+  }
+  if (key || detected_key) pkt->flags |= AV_PKT_FLAG_KEY;
   AVRational src_tb = {1, m_tb_den};
   av_packet_rescale_ts(pkt, src_tb, m_stream->time_base);
   int res = av_interleaved_write_frame(m_ctx, pkt);

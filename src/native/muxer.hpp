@@ -44,11 +44,14 @@ class Muxer {
 
  private:
   void ExtractExtradata(const uint8_t* data, size_t size);
+  void ExtractAv1Extradata(const uint8_t* data, size_t size);
 
   AVFormatContext* m_ctx = nullptr;
   AVStream* m_stream = nullptr;
   bool m_header_written = false;
   bool m_closed = false;
+  enum CodecKind { kAnnexB, kVp8, kVp9, kAv1 };
+  CodecKind m_codec_kind = kAnnexB;
   bool m_is_hevc = false;
   int m_tb_den = 90000;
 };

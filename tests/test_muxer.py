@@ -151,3 +151,33 @@ def test_long_gop_seek_accuracy(tmp_path):
         got = float(frame[:W * H].mean())
         assert abs(got - seq_means[target]) < 0.5, (
             target, got, seq_means[target])
+
+
+@pytest.mark.parametrize("codec,container", [
+    ("vp9", ".webm"), ("vp8", ".webm"), ("av1", ".mkv")])
+def test_mux_vpx_av1_roundtrip(tmp_path, codec, container):
+    """Beyond-reference: VP8/VP9/AV1 AUs mux into WebM/MKV and decode
+    back with correct count and content (key frames detected from the
+    bitstream for VP8/VP9; AV1 relies on the caller's key flag)."""
+    from tests.test_codecs import _encode_packets
+
+    w, h = 320, 240
+    fills = [50, 90, 130, 170]
+    pkts = _encode_packets(codec, w, h, fills)
+    assert len(pkts) == len(fills)
+    path = str(tmp_path / f"clip{container}")
+    mux = vali.PyMuxer(path, w, h, codec=codec, fps=30.0)
+    for i, p in enumerate(pkts):
+        ok, info = mux.Mux(p, pts=i / 30.0, key=(i == 0))
+        assert ok, info
+    assert mux.Close()[0]
+
+    dec = vali.PyDecoder(path, {}, gpu_id=-1)
+    assert (dec.Width, dec.Height) == (w, h)
+    frame = np.empty(dec.HostFrameSize, np.uint8)
+    means = []
+    while dec.DecodeSingleFrame(frame)[0]:
+        means.append(float(frame[:w * h].mean()))
+    assert len(means) == len(fills)
+    for got, want in zip(means, fills):
+        assert abs(got - want) < 6.0
