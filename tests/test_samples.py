@@ -86,3 +86,8 @@ def test_sample_torch_interop():
     pytest.importorskip("torch")
     out = run_sample("sample_torch_interop.py", CLIP, "2")
     assert "round trip OK" in out
+
+
+def test_sample_multichip():
+    out = run_sample("sample_multichip.py", CLIP, "4", "2", timeout=300)
+    assert "OK: 2 sharded batches across 4 devices" in out
