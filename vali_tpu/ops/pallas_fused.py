@@ -988,7 +988,7 @@ def required_pad_rows_resize(src_w: int, src_h: int, dst_w: int, dst_h: int,
 @functools.partial(
     jax.jit,
     static_argnames=("src_w", "src_h", "dst_w", "dst_h", "method",
-                     "interpret"))
+                     "h_tile", "interpret"))
 def pallas_nv12_resize(
     nv12: jax.Array,  # [B, >= H*3/2 (+pad), W] uint8 / uint16 (P10/P12)
     *,
@@ -997,6 +997,7 @@ def pallas_nv12_resize(
     dst_w: int,
     dst_h: int,
     method: str = LANCZOS_AA,
+    h_tile: int = TILE,  # rows per H-pass tile; 32 measured best at 4K
     interpret: bool = False,
 ) -> jax.Array:
     """Banded NV12/P10/P12 resize -> [B, dst_h*3/2, dst_w], same dtype.
@@ -1027,12 +1028,13 @@ def pallas_nv12_resize(
     DC = DH // 2
 
     # --- H-pass blocks (from the same dense matrices the XLA path uses)
+    HT = h_tile
     wy_rows = resize_weights(H, DH, method)
     wc_rows = resize_weights(H // 2, DC, method)
     y_starts, y_blocks, y_win, y_end = _banded_blocks_from_dense(
-        wy_rows, TILE, ALIGN, H * 3 // 2)
+        wy_rows, HT, ALIGN, H * 3 // 2)
     c_starts, c_blocks, c_win, c_end = _banded_blocks_from_dense(
-        wc_rows, TILE, ALIGN, H * 3 // 2, row_offset=H)
+        wc_rows, HT, ALIGN, H * 3 // 2, row_offset=H)
     rows_needed = max(H * 3 // 2, y_end, c_end)
     if nv12.shape[1] < rows_needed:
         nv12 = jnp.pad(nv12, ((0, 0), (0, rows_needed - nv12.shape[1]),
@@ -1050,8 +1052,8 @@ def pallas_nv12_resize(
     wc_starts, wc_blocks, wc_winw = _interleave_w_blocks(
         wc_cols, W, DW, LANE_TILE, LANE_ALIGN)
 
-    dh_pad = ((DH + TILE - 1) // TILE) * TILE
-    dc_pad = ((DC + TILE - 1) // TILE) * TILE
+    dh_pad = ((DH + HT - 1) // HT) * HT
+    dc_pad = ((DC + HT - 1) // HT) * HT
     dw_pad = nwt * LANE_TILE
 
     def _to_compute(x):
@@ -1063,13 +1065,13 @@ def pallas_nv12_resize(
                yout_ref, cout_ref, yh_ref, ch_ref):
         for t in range(nyt):
             ys = int(y_starts[t])
-            yh_ref[t * TILE:(t + 1) * TILE, :] = jnp.dot(
+            yh_ref[t * HT:(t + 1) * HT, :] = jnp.dot(
                 yblk_ref[t].astype(cdt),
                 _to_compute(frame_ref[0, ys:ys + y_win, :]),
                 preferred_element_type=jnp.float32).astype(cdt)
         for t in range(nct):
             cs = int(c_starts[t])
-            ch_ref[t * TILE:(t + 1) * TILE, :] = jnp.dot(
+            ch_ref[t * HT:(t + 1) * HT, :] = jnp.dot(
                 cblk_ref[t].astype(cdt),
                 _to_compute(frame_ref[0, cs:cs + c_win, :]),
                 preferred_element_type=jnp.float32).astype(cdt)
@@ -1090,7 +1092,7 @@ def pallas_nv12_resize(
                 jnp.round(accc), 0.0, cap).astype(jnp.int32).astype(
                 cout_ref.dtype)
 
-    flops = B * 2 * (nyt * TILE * y_win * W + nct * TILE * c_win * W
+    flops = B * 2 * (nyt * HT * y_win * W + nct * HT * c_win * W
                      + nwt * LANE_TILE * wy_winw * DH
                      + nwt * LANE_TILE * wc_winw * DC)
     y_out, c_out = pl.pallas_call(
