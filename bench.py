@@ -148,6 +148,21 @@ def main():
         nv12_4k)
     resize_4k_fps_xla = B4 / per_batch_resize_xla
 
+    # secondary: H2D staging bandwidth (the pipeline's device_put path;
+    # through the axon tunnel this is RPC-bound — locally-attached TPUs
+    # see PCIe rates instead)
+    h2d_gbps = 0.0
+    try:
+        stage = np.ascontiguousarray(
+            np.asarray(nv12_padded)[:16])  # ~50 MB host batch
+        for _ in range(2):
+            t0 = time.perf_counter()
+            jax.block_until_ready(jax.device_put(stage))
+            h2d = time.perf_counter() - t0
+        h2d_gbps = stage.nbytes / h2d / 1e9
+    except Exception:
+        pass
+
     # secondary: single-stream software decode fps (host CPU)
     decode_fps = 0.0
     try:
@@ -185,6 +200,7 @@ def main():
         "hbm_gbytes_per_sec": round(gbps, 1),
         "resize_4k_to_1080p_nv12_fps": round(resize_4k_fps, 1),
         "resize_4k_to_1080p_nv12_fps_xla": round(resize_4k_fps_xla, 1),
+        "h2d_staging_gbytes_per_sec": round(h2d_gbps, 2),
         "sw_decode_fps_single_stream_848x464": round(decode_fps, 1),
         "configs": configs,
         "device": str(jax.devices()[0]),
