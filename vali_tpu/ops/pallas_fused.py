@@ -10,11 +10,16 @@ bandedness — the structural optimization XLA cannot see:
     are host constants baked in as STATIC slices (an unrolled tile loop —
     measured ~15% faster than scalar-prefetch dynamic slices), with zero
     weights on out-of-plane taps; FLOPs drop ~10-17x vs dense.
-  - W-pass: one [DH, W] x [W, DW] matmul per channel at full MXU
-    occupancy, bfloat16 in / f32 accumulate.
+  - W-pass: banded too — per 128-lane output tile, [DH, WIN] x
+    [WIN, 128] over an aligned lane window of the H-pass scratch,
+    bfloat16 in / f32 accumulate (the Lanczos band covers ~60% of the
+    dense [W, DW] matrix at 1080p->224).
   - Chroma deinterleaving is folded into the W-pass weight matrix: the
-    interleaved UV rows stay packed and a [W, 2*DW] matrix with
-    parity-masked taps emits U and V side by side — no strided loads.
+    interleaved UV rows stay packed and parity-masked taps emit U and V
+    side by side — no strided loads. The U and V output halves are
+    padded to lane-tile multiples so no output tile straddles the U|V
+    seam (a straddling tile's band spans the whole input and would
+    silently force that pass dense).
   - CSC and quantization fuse at the tail; output is planar [3, DH, DW].
 
 The input frame may need a few extra rows below the chroma plane
