@@ -993,7 +993,7 @@ def required_pad_rows_resize(src_w: int, src_h: int, dst_w: int, dst_h: int,
 @functools.partial(
     jax.jit,
     static_argnames=("src_w", "src_h", "dst_w", "dst_h", "method",
-                     "h_tile", "interpret"))
+                     "h_tile", "w_tile", "interpret"))
 def pallas_nv12_resize(
     nv12: jax.Array,  # [B, >= H*3/2 (+pad), W] uint8 / uint16 (P10/P12)
     *,
@@ -1003,6 +1003,7 @@ def pallas_nv12_resize(
     dst_h: int,
     method: str = LANCZOS_AA,
     h_tile: int = TILE,  # rows per H-pass tile; 32 measured best at 4K
+    w_tile: int = LANE_TILE,  # output lanes per W-pass tile
     interpret: bool = False,
 ) -> jax.Array:
     """Banded NV12/P10/P12 resize -> [B, dst_h*3/2, dst_w], same dtype.
@@ -1047,19 +1048,20 @@ def pallas_nv12_resize(
     rows = nv12.shape[1]
     nyt, nct = y_blocks.shape[0], c_blocks.shape[0]
 
-    # --- W-pass blocks ([win, LANE_TILE] so dots are data @ weights)
+    WT = w_tile
+    # --- W-pass blocks ([win, WT] so dots are data @ weights)
     wy_cols = resize_weights(W, DW, method)            # [DW, W]
     wc_cols = resize_weights(W // 2, DW // 2, method)  # half grid
     s_, b_, wy_winw, _ = _banded_blocks_from_dense(
-        wy_cols, LANE_TILE, LANE_ALIGN, W, clamp_to_extent=True)
+        wy_cols, WT, LANE_ALIGN, W, clamp_to_extent=True)
     wy_starts, wy_blocks = s_, np.transpose(b_, (0, 2, 1)).copy()
     nwt = wy_blocks.shape[0]
     wc_starts, wc_blocks, wc_winw = _interleave_w_blocks(
-        wc_cols, W, DW, LANE_TILE, LANE_ALIGN)
+        wc_cols, W, DW, WT, LANE_ALIGN)
 
     dh_pad = ((DH + HT - 1) // HT) * HT
     dc_pad = ((DC + HT - 1) // HT) * HT
-    dw_pad = nwt * LANE_TILE
+    dw_pad = nwt * WT
 
     def _to_compute(x):
         if hbd:
@@ -1086,20 +1088,20 @@ def pallas_nv12_resize(
             acc = jnp.dot(yh_ref[:DH, ws:ws + wy_winw],
                           wyb_ref[t].astype(cdt),
                           preferred_element_type=jnp.float32)
-            yout_ref[0, :, t * LANE_TILE:(t + 1) * LANE_TILE] = jnp.clip(
+            yout_ref[0, :, t * WT:(t + 1) * WT] = jnp.clip(
                 jnp.round(acc), 0.0, cap).astype(jnp.int32).astype(
                 yout_ref.dtype)
             cs = int(wc_starts[t])
             accc = jnp.dot(ch_ref[:DC, cs:cs + wc_winw],
                            wcb_ref[t].astype(cdt),
                            preferred_element_type=jnp.float32)
-            cout_ref[0, :, t * LANE_TILE:(t + 1) * LANE_TILE] = jnp.clip(
+            cout_ref[0, :, t * WT:(t + 1) * WT] = jnp.clip(
                 jnp.round(accc), 0.0, cap).astype(jnp.int32).astype(
                 cout_ref.dtype)
 
     flops = B * 2 * (nyt * HT * y_win * W + nct * HT * c_win * W
-                     + nwt * LANE_TILE * wy_winw * DH
-                     + nwt * LANE_TILE * wc_winw * DC)
+                     + nwt * WT * wy_winw * DH
+                     + nwt * WT * wc_winw * DC)
     y_out, c_out = pl.pallas_call(
         kernel,
         grid=(B,),
