@@ -256,3 +256,91 @@ def test_resizer_turbo_matches_xla():
     a = ref_dst.to_numpy().astype(int)
     b = tur_dst.to_numpy().astype(int)
     assert np.abs(a - b).max() <= 3
+
+
+def test_rotator_yuv422_right_angle_chroma_geometry():
+    """YUV422 rot90/270: the horizontal-subsampling axis does not rotate
+    with the content, so chroma goes through full resolution and back —
+    dst planes must match the dst YUV422 layout (was: wrong-shaped
+    planes swapped in with success reported)."""
+    w, h = 16, 8
+    rng = np.random.default_rng(0)
+    planes = [rng.integers(0, 255, (h, w), np.uint8),
+              rng.integers(0, 255, (h, w // 2), np.uint8),
+              rng.integers(0, 255, (h, w // 2), np.uint8)]
+    from vali_tpu.memory.host import planes_to_host_frame
+
+    src = vali.Surface.Make(vali.PixelFormat.YUV422, w, h)
+    assert vali.PyFrameUploader(gpu_id=0).Run(
+        planes_to_host_frame(planes), src)[0]
+    dst = vali.Surface.Make(vali.PixelFormat.YUV422, h, w)
+    rot = vali.PySurfaceRotator(gpu_id=0)
+    ok, info = rot.Run(src, dst, 90.0)
+    assert ok, info
+    got = [np.asarray(p) for p in dst.plane_arrays()]
+    assert got[0].shape == (w, h)
+    assert got[1].shape == (w, h // 2) and got[2].shape == (w, h // 2)
+    assert np.array_equal(got[0], np.rot90(planes[0], 1))
+
+
+def test_rotator_dynamic_angle_no_retrace():
+    """Arbitrary angles are traced (one compile per shape): many angles
+    must reuse the same executable and keep producing valid output."""
+    w, h = 32, 24
+    rng = np.random.default_rng(1)
+    rgb = rng.integers(0, 255, (h, w * 3), np.uint8)
+    src = vali.Surface.from_numpy(rgb, vali.PixelFormat.RGB,
+                                  width=w, height=h)
+    dst = vali.Surface.Make(vali.PixelFormat.RGB, w, h)
+    rot = vali.PySurfaceRotator(gpu_id=0)
+    from vali_tpu.transforms import _jit_rotate_dynamic
+
+    base = _jit_rotate_dynamic._cache_size()
+    for ang in (7.5, 13.25, 101.1, 222.9):
+        ok, _ = rot.Run(src, dst, ang, shift_x=w / 2, shift_y=h / 2)
+        assert ok
+        assert np.isfinite(dst.to_numpy().astype(np.float64)).all()
+    assert _jit_rotate_dynamic._cache_size() - base <= 1, \
+        "each new angle recompiled"
+
+
+def test_downloader_rejects_lossy_destinations():
+    """Destinations the flat byte-copy cannot express must fail instead
+    of silently writing into a temporary (non-contiguous dst) or
+    crashing (itemsize that does not divide the surface bytes)."""
+    rng = np.random.default_rng(2)
+    rgb = rng.integers(0, 255, (4, 12), np.uint8)
+    src = vali.Surface.from_numpy(rgb, vali.PixelFormat.RGB,
+                                  width=4, height=4)
+    dl = vali.PySurfaceDownloader(gpu_id=0)
+    # non-contiguous destination: reshape(-1) would copy
+    dst_t = np.zeros((12, 4), np.uint8).T
+    ok, info = dl.Run(src, dst_t)
+    assert not ok and info == vali.TaskExecInfo.INVALID_INPUT
+    assert dst_t.sum() == 0
+    # 9-byte Y surface into float32: itemsize does not divide
+    ysurf = vali.Surface.from_numpy(
+        rng.integers(0, 255, (3, 3), np.uint8), vali.PixelFormat.Y,
+        width=3, height=3)
+    ok, info = dl.Run(ysurf, np.zeros(4, np.float32))
+    assert not ok and info == vali.TaskExecInfo.INVALID_INPUT
+
+
+def test_resizer_p10_turbo():
+    """P10 is a beyond-reference resizer format; turbo routes it through
+    the banded kernel's float32 path."""
+    w, h, dw, dh = 128, 64, 64, 32
+    rng = np.random.default_rng(3)
+    p10 = (rng.integers(0, 1024, (h * 3 // 2, w), np.uint16) << 6)
+    src = vali.Surface.from_numpy(p10, vali.PixelFormat.P10,
+                                  width=w, height=h)
+    out_ref = vali.Surface.Make(vali.PixelFormat.P10, dw, dh)
+    out_tur = vali.Surface.Make(vali.PixelFormat.P10, dw, dh)
+    assert vali.PySurfaceResizer(vali.PixelFormat.P10, gpu_id=0,
+                                 method="lanczos_aa").Run(src, out_ref)[0]
+    assert vali.PySurfaceResizer(vali.PixelFormat.P10, gpu_id=0,
+                                 method="lanczos_aa",
+                                 turbo=True).Run(src, out_tur)[0]
+    a = out_ref.to_numpy().view(np.uint16).astype(int)
+    b = out_tur.to_numpy().view(np.uint16).astype(int)
+    assert np.abs(a - b).max() <= 1

@@ -121,7 +121,11 @@ class PyDecoder:
             return (False, info)
         size = self.HostFrameSize
         if frame.nbytes != size:
-            frame.resize((size // frame.dtype.itemsize,), refcheck=False)
+            try:
+                frame.resize((size // frame.dtype.itemsize,),
+                             refcheck=False)
+            except ValueError:  # array does not own its data
+                return (False, TaskExecInfo.INVALID_INPUT)
         written = self._dec.copy_frame(frame)
         if written < 0:
             return (False, TaskExecInfo.FAIL)

@@ -40,7 +40,11 @@ class PyFrameConverter:
         if src.nbytes != src_size:
             return (False, TaskExecInfo.SRC_DST_SIZE_MISMATCH)
         if dst.nbytes != dst_size:
-            dst.resize((dst_size // dst.dtype.itemsize,), refcheck=False)
+            try:
+                dst.resize((dst_size // dst.dtype.itemsize,),
+                           refcheck=False)
+            except ValueError:  # dst does not own its data
+                return (False, TaskExecInfo.INVALID_INPUT)
         cs = int(cc_ctx.color_space) if cc_ctx is not None else 2
         cr = int(cc_ctx.color_range) if cc_ctx is not None else 2
         src_flat = np.ascontiguousarray(src).reshape(-1).view(np.uint8)

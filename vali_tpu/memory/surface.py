@@ -506,7 +506,12 @@ class CudaBuffer:
         """Copy another buffer's contents into this one (device-to-device)."""
         if other.RawMemSize != self.RawMemSize:
             raise RuntimeError("CudaBuffer size mismatch in CopyFrom")
-        self._array = jnp.copy(other._array)
+        import jax
+
+        # the copy lands on THIS buffer's device (jnp.copy would keep
+        # the source's placement, silently migrating the buffer)
+        dev = next(iter(self._array.devices()))
+        self._array = jax.device_put(other._array, dev)
 
     def Clone(self) -> "CudaBuffer":
         """Deep-copy this buffer on the device."""

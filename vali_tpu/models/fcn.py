@@ -59,12 +59,6 @@ def init_params(key, num_classes: int = 21,
 
 def param_specs(params) -> Dict:
     """Tensor-parallel specs: output channels sharded over 'model'."""
-    def spec(path_leaf):
-        name, leaf = path_leaf
-        if leaf.ndim == 4:
-            return P(None, None, None, "model")
-        return P("model")
-
     return jax.tree_util.tree_map(
         lambda leaf: P(None, None, None, "model") if leaf.ndim == 4
         else P("model"), params)
@@ -73,9 +67,9 @@ def param_specs(params) -> Dict:
 def apply(params, x) -> jax.Array:
     """x: [N, H, W, 3] uint8 or float -> per-pixel class logits.
 
-    Activations stay bfloat16 (MXU-native); the conv itself accumulates in
-    float32 via preferred_element_type and is cast straight back, keeping
-    forward and transpose dtypes consistent for autodiff.
+    Activations stay bfloat16 (MXU-native) end to end; _conv deliberately
+    omits preferred_element_type so forward and autodiff-transpose dtypes
+    stay consistent (see the note on _conv).
     """
     h = x.astype(jnp.bfloat16)
     if x.dtype == jnp.uint8:

@@ -65,16 +65,28 @@ def rotate_plane(plane: jnp.ndarray, angle: float, shift_x: float,
     w = wc // channels
     src = plane.reshape(n, h, w, channels)
 
-    if _is_canonical_right_angle(angle, shift_x, shift_y, w, h):
+    concrete = all(isinstance(v, (int, float)) for v in
+                   (angle, shift_x, shift_y))
+    if concrete and _is_canonical_right_angle(angle, shift_x, shift_y,
+                                              w, h):
         k = int(angle) // 90
         out = jnp.rot90(src, k=k, axes=(1, 2))
-        return out.reshape(n, out.shape[1], out.shape[2] * channels)
+        if (out.shape[1], out.shape[2]) == (out_h, out_w):
+            return out.reshape(n, out_h, out_w * channels)
+        # requested canvas differs from the rotated extent (mis-sized
+        # dst, or an anisotropically-subsampled plane): fall through to
+        # the inverse-map sampler, which fills exactly (out_h, out_w)
+        # with out-of-frame pixels zeroed — the reference's nppiRotate
+        # semantics for a mismatched dst ROI
 
-    theta = math.radians(angle)
-    cos_t, sin_t = math.cos(theta), math.sin(theta)
+    # jnp trig so angle/shift may be traced scalars (one compile per
+    # shape, not per angle — the reference's nppiRotate takes the angle
+    # dynamically too)
+    theta = jnp.float32(angle) * jnp.float32(math.pi / 180.0)
+    cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
     # Inverse of dst_x = cos*x + sin*y + sx ; dst_y = -sin*x + cos*y + sy
-    ys = jnp.arange(out_h, dtype=jnp.float32)[:, None] - shift_y
-    xs = jnp.arange(out_w, dtype=jnp.float32)[None, :] - shift_x
+    ys = jnp.arange(out_h, dtype=jnp.float32)[:, None] - jnp.float32(shift_y)
+    xs = jnp.arange(out_w, dtype=jnp.float32)[None, :] - jnp.float32(shift_x)
     src_x = cos_t * xs - sin_t * ys
     src_y = sin_t * xs + cos_t * ys
 
@@ -115,8 +127,11 @@ def rotate_batch(planes: Sequence[jnp.ndarray], fmt: PixelFormat,
     fmt = PixelFormat(fmt)
     if fmt not in SUPPORTED_FORMATS:
         raise ValueError(f"Rotate does not support {fmt.name}")
-    angle, shift_x, shift_y = normalize_right_angle(
-        angle, shift_x, shift_y, src_w, src_h)
+    concrete = all(isinstance(v, (int, float)) for v in
+                   (angle, shift_x, shift_y))
+    if concrete:
+        angle, shift_x, shift_y = normalize_right_angle(
+            angle, shift_x, shift_y, src_w, src_h)
 
     if fmt in (PixelFormat.RGB, PixelFormat.BGR, PixelFormat.RGB_32F):
         return (rotate_plane(planes[0], angle, shift_x, shift_y,
@@ -133,9 +148,28 @@ def rotate_batch(planes: Sequence[jnp.ndarray], fmt: PixelFormat,
         rx, ry = pw / src_w, ph / src_h
         # per-plane normalized right angles need re-derived shifts
         a2, sx2, sy2 = angle, shift_x * rx, shift_y * ry
-        if _is_canonical_right_angle(angle, shift_x, shift_y, src_w, src_h):
-            a2, sx2, sy2 = normalize_right_angle(angle, 0.0, 0.0, pw, ph)
         oh = int(round(dst_h * ph / src_h))
         ow = int(round(dst_w * pw / src_w))
+        if concrete and _is_canonical_right_angle(angle, shift_x, shift_y,
+                                                  src_w, src_h):
+            k = int(angle) // 90
+            rot_shape = (pw, ph) if k % 2 else (ph, pw)
+            if rot_shape != (oh, ow):
+                # Anisotropic subsampling (YUV422 chroma at 90/270): the
+                # subsampling axis does not rotate with the content, so
+                # rotate full-resolution chroma and re-subsample the new
+                # horizontal axis (2-tap mean, the 4:2:2 siting average).
+                full = jnp.repeat(plane, 2, axis=2)
+                a3, sx3, sy3 = normalize_right_angle(
+                    angle, 0.0, 0.0, pw * 2, ph)
+                rot = rotate_plane(full, a3, sx3, sy3, oh, ow * 2)
+                pair = (rot[:, :, 0::2].astype(jnp.float32)
+                        + rot[:, :, 1::2].astype(jnp.float32)) * 0.5
+                if jnp.issubdtype(plane.dtype, jnp.integer):
+                    maxv = float(jnp.iinfo(plane.dtype).max)
+                    pair = jnp.clip(jnp.round(pair), 0.0, maxv)
+                out_planes.append(pair.astype(plane.dtype))
+                continue
+            a2, sx2, sy2 = normalize_right_angle(angle, 0.0, 0.0, pw, ph)
         out_planes.append(rotate_plane(plane, a2, sx2, sy2, oh, ow))
     return tuple(out_planes)

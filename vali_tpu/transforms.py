@@ -16,6 +16,7 @@ import functools
 from typing import Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .core.details import ColorspaceConversionContext
@@ -50,6 +51,16 @@ def _jit_resize(planes, *, fmt, sw, sh, dw, dh, method):
 @functools.partial(jax.jit, static_argnames=(
     "fmt", "sw", "sh", "dw", "dh", "angle", "shift_x", "shift_y"))
 def _jit_rotate(planes, *, fmt, sw, sh, dw, dh, angle, shift_x, shift_y):
+    return rotate.rotate_batch(planes, fmt, sw, sh, dw, dh,
+                               angle, shift_x, shift_y)
+
+
+@functools.partial(jax.jit, static_argnames=("fmt", "sw", "sh", "dw", "dh"))
+def _jit_rotate_dynamic(planes, angle, shift_x, shift_y, *, fmt, sw, sh,
+                        dw, dh):
+    """Arbitrary-angle rotation with angle/shifts as TRACED scalars: one
+    compile per shape, not per angle (a per-frame varying angle would
+    otherwise pay a full remote recompile every call)."""
     return rotate.rotate_batch(planes, fmt, sw, sh, dw, dh,
                                angle, shift_x, shift_y)
 
@@ -192,11 +203,23 @@ class PySurfaceRotator(_SurfaceOp):
         if src.Format not in rotate.SUPPORTED_FORMATS:
             return _fail(TaskExecInfo.NOT_SUPPORTED)
         planes = tuple(p[None] for p in src.plane_arrays())
+        import math as _math
+
+        angle, shift_x, shift_y = float(angle), float(shift_x), float(shift_y)
+        right_angle = _math.fmod(angle, 90.0) == 0.0
         with op_scope("RotateSurface"):
-            out = _jit_rotate(planes, fmt=src.Format, sw=src.Width,
-                              sh=src.Height, dw=dst.Width, dh=dst.Height,
-                              angle=float(angle), shift_x=float(shift_x),
-                              shift_y=float(shift_y))
+            if right_angle:
+                # few canonical variants: static args keep the rot90
+                # layout-transform lowering
+                out = _jit_rotate(planes, fmt=src.Format, sw=src.Width,
+                                  sh=src.Height, dw=dst.Width,
+                                  dh=dst.Height, angle=angle,
+                                  shift_x=shift_x, shift_y=shift_y)
+            else:
+                out = _jit_rotate_dynamic(
+                    planes, jnp.float32(angle), jnp.float32(shift_x),
+                    jnp.float32(shift_y), fmt=src.Format, sw=src.Width,
+                    sh=src.Height, dw=dst.Width, dh=dst.Height)
         return self._finish(dst, out, sync)
 
     def Run(self, src, dst, angle, shift_x=0.0, shift_y=0.0):
@@ -243,7 +266,9 @@ class PyFrameUploader:
         self._stream = get_stream(stream)
 
     def Run(self, src: np.ndarray, dst: Surface):
-        """Copy a host frame into the device surface (parity: PyFrameUploader.cpp; numpy auto-resize on size mismatch)."""
+        """Copy a host frame into the device surface (parity:
+        PyFrameUploader.cpp — size mismatches fail with INVALID_INPUT;
+        only the DOWNLOADER auto-resizes in the reference)."""
         try:
             flat = np.ascontiguousarray(src).reshape(-1).view(np.uint8)
             if flat.nbytes != dst.HostSize:
@@ -276,11 +301,18 @@ class PySurfaceDownloader:
             return _fail(TaskExecInfo.INVALID_INPUT)
         with op_scope("CudaDownloadSurface"):
             flat = planes_to_host_frame(src.plane_arrays())
+        if flat.nbytes % dst.dtype.itemsize:
+            return _fail(TaskExecInfo.INVALID_INPUT)
         if dst.nbytes != flat.nbytes:
             try:
                 dst.resize((flat.nbytes // dst.dtype.itemsize,),
                            refcheck=False)
             except ValueError:
                 return _fail(TaskExecInfo.INVALID_INPUT)
-        dst.reshape(-1).view(np.uint8)[:] = flat
+        view = dst.reshape(-1)
+        if not np.shares_memory(view, dst):
+            # reshape had to copy (non-contiguous dst): writing into the
+            # copy would silently lose the data
+            return _fail(TaskExecInfo.INVALID_INPUT)
+        view.view(np.uint8)[:] = flat
         return _OK
