@@ -148,6 +148,17 @@ def main():
         nv12_4k)
     resize_4k_fps_xla = B4 / per_batch_resize_xla
 
+    # 4K straight to model input in ONE fused pass (same kernel, bigger
+    # source: decimation makes it even closer to its DMA floor)
+    pad4p = required_pad_rows(3840, 2160, DH)
+    nv12_4kp = jnp.asarray(rng.integers(
+        0, 256, (B4, 2160 * 3 // 2 + pad4p, 3840), dtype=np.uint8))
+    per_batch_pre4k, _ = _time_kernel(
+        lambda x: pallas_nv12_preprocess(x, src_w=3840, src_h=2160,
+                                         dst_w=DW, dst_h=DH),
+        nv12_4kp)
+    preprocess_4k_fps = B4 / per_batch_pre4k
+
     # secondary: H2D staging bandwidth (the pipeline's device_put path;
     # through the axon tunnel this is RPC-bound — locally-attached TPUs
     # see PCIe rates instead)
@@ -200,6 +211,7 @@ def main():
         "hbm_gbytes_per_sec": round(gbps, 1),
         "resize_4k_to_1080p_nv12_fps": round(resize_4k_fps, 1),
         "resize_4k_to_1080p_nv12_fps_xla": round(resize_4k_fps_xla, 1),
+        "preprocess_4k_to_224_fps": round(preprocess_4k_fps, 1),
         "h2d_staging_gbytes_per_sec": round(h2d_gbps, 2),
         "sw_decode_fps_single_stream_848x464": round(decode_fps, 1),
         "configs": configs,
