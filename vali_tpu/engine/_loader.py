@@ -44,6 +44,11 @@ def load_native():
             return _native
         except (subprocess.CalledProcessError, ImportError) as e:
             _error = e
+            detail = ""
+            stderr = getattr(e, "stderr", None)
+            if stderr:  # surface the actual compiler/linker error
+                detail = "\n" + "\n".join(stderr.splitlines()[-15:])
             raise ImportError(
-                f"Failed to build vali_tpu native engine: {e}") from e
+                f"Failed to build vali_tpu native engine: {e}{detail}"
+            ) from e
     raise ImportError("vali_tpu._native extension not found")

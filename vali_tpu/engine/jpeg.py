@@ -62,12 +62,12 @@ class PyNvJpegEncoder:
                     frame, surf.Width, surf.Height)
                 if TaskExecInfo(info) != TaskExecInfo.SUCCESS:
                     return ([], TaskExecInfo(info))
-                out.append(np.frombuffer(payload, dtype=np.uint8))
+                out.append(np.frombuffer(bytearray(payload), dtype=np.uint8))
         return (out, TaskExecInfo.SUCCESS)
 
 
 def jpeg_encode_device(surfaces, quality: int = 85,
-                       subsample420: bool = True):
+                       subsample420=None):
     """TPU-assisted batch JPEG encode (SURVEY §7 stretch goal).
 
     The device runs color conversion, chroma subsampling, 8x8 DCT and
@@ -75,7 +75,9 @@ def jpeg_encode_device(surfaces, quality: int = 85,
     (ops/jpeg.py); the host only entropy-codes the quantized coefficients
     via libjpeg's jpeg_write_coefficients. Accepts RGB/BGR/RGB_PLANAR/Y/
     YUV444/YUV420 surfaces of equal geometry; returns a list of numpy JPEG
-    byte arrays.
+    byte arrays. ``subsample420=None`` picks the format's natural
+    subsampling (4:2:0 except for YUV444); pass an explicit bool to
+    override either way.
     """
     import jax.numpy as jnp
 
@@ -94,8 +96,10 @@ def jpeg_encode_device(surfaces, quality: int = 85,
     batched = tuple(
         jnp.stack([s.plane_arrays()[j] for s in surfaces])
         for j in range(n_planes))
-    is420 = (subsample420 or fmt == PixelFormat.YUV420) and \
-        fmt != PixelFormat.YUV444
+    if subsample420 is None:
+        is420 = fmt != PixelFormat.YUV444
+    else:
+        is420 = bool(subsample420) or fmt == PixelFormat.YUV420
     y_c, cb_c, cr_c = jpeg_transform_batch(
         batched, src_fmt=int(fmt), width=w, height=h, quality=quality,
         subsample420=is420)
@@ -120,5 +124,5 @@ def jpeg_encode_device(surfaces, quality: int = 85,
                 np.ascontiguousarray(y_np[i]), None, None, **kwargs)
         if TaskExecInfo(info) != TaskExecInfo.SUCCESS:
             raise RuntimeError(f"JPEG entropy coding failed: {payload}")
-        out.append(np.frombuffer(payload, dtype=np.uint8))
+        out.append(np.frombuffer(bytearray(payload), dtype=np.uint8))
     return out

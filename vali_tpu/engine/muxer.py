@@ -53,6 +53,8 @@ class PyMuxer:
 
     def Close(self) -> Tuple[bool, TaskExecInfo]:
         """Write the container trailer and close the file (idempotent)."""
+        if self._closed:
+            return True, TaskExecInfo.SUCCESS
         self._closed = True
         info, msg = self._mux.close()
         info = TaskExecInfo(info)

@@ -38,19 +38,19 @@ def _chroma_weights(n_in: int, n_out: int, full_res: int, method: str):
     destination pixel o samples full-res position (o+0.5)*scale - 0.5.
     Solving in chroma coordinates gives center (pos - 0.5) / 2.
     """
-    scale = full_res / n_out
-    dst_pos = (np.arange(n_out) + 0.5) * scale - 0.5
-    centers = (dst_pos - 0.5) / 2.0
-    # Evaluate a Lanczos-3/bilinear kernel with antialias for the
-    # chroma->dst ratio.
-    from .resize import _bilinear, _lanczos
+    from .resize import method_conventions, phase_positions
 
+    kern, support, phase, antialias = method_conventions(method)
+    scale = full_res / n_out
+    dst_pos = phase_positions(n_out, scale, phase)
+    centers = (dst_pos - 0.5) / 2.0
     cscale = (full_res / 2) / n_out
-    fscale = max(1.0, cscale)
-    if method.startswith("lanczos"):
-        kern = lambda x: _lanczos(x, 3.0)
-    else:
-        kern = _bilinear
+    fscale = max(1.0, cscale) if antialias else 1.0
+    if kern is None:  # nearest
+        w = np.zeros((n_out, n_in), dtype=np.float32)
+        idx = np.clip(np.round(centers), 0, n_in - 1).astype(np.int64)
+        w[np.arange(n_out), idx] = 1.0
+        return w
     pos = np.arange(n_in)[None, :]
     w = kern((pos - centers[:, None]) / fscale)
     s = w.sum(axis=1, keepdims=True)
@@ -79,6 +79,8 @@ def fused_preprocess(
     [0,1] — fuses the model's input normalization into the same pass.
     Returns [N, dst_h, dst_w, 3] (or [N, 3, dst_h, dst_w] when planar).
     """
+    if normalize is not None and np.dtype(out_dtype) == np.uint8:
+        raise ValueError("normalize requires a float out_dtype")
     src_fmt = PixelFormat(src_fmt)
     bit_depth = 8
     if src_fmt in (PixelFormat.NV12, PixelFormat.P10, PixelFormat.P12):

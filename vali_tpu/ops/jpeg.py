@@ -85,9 +85,16 @@ def _dct_quant(plane: jnp.ndarray, qtable: np.ndarray,
 
 
 def _subsample2(c: jnp.ndarray) -> jnp.ndarray:
-    """h2v2 box downsample (libjpeg default)."""
+    """h2v2 box downsample (libjpeg default). Odd dimensions are
+    edge-replicated to even first (libjpeg's h2v2_downsample does the
+    same via expand_right/bottom_edge); the 2x2 mean itself is shared
+    with the CSC module."""
+    from .csc import subsample420
+
     n, h, w = c.shape
-    return c.reshape(n, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+    if h % 2 or w % 2:
+        c = jnp.pad(c, ((0, 0), (0, h % 2), (0, w % 2)), mode="edge")
+    return subsample420(c)
 
 
 def _pad_to_blocks(plane: jnp.ndarray) -> jnp.ndarray:

@@ -59,22 +59,22 @@ def _banded_h_weights(n_in: int, n_out: int, method: str,
     Returns (starts [n_tiles] int32 — absolute frame rows,
              blocks [n_tiles, TILE, WIN] f32, win, max_end).
     """
+    from .resize import method_conventions, phase_positions
+
+    kern, support, phase, antialias = method_conventions(method)
     if chroma_of is not None:
         # 4:2:0 siting: chroma i sits at full-res 2i + 0.5
         scale = chroma_of / n_out
-        dst_pos = (np.arange(n_out) + 0.5) * scale - 0.5
-        centers = (dst_pos - 0.5) / 2.0
+        centers = (phase_positions(n_out, scale, phase) - 0.5) / 2.0
         cscale = (chroma_of / 2) / n_out
     else:
         scale = n_in / n_out
-        centers = (np.arange(n_out) + 0.5) * scale - 0.5
+        centers = phase_positions(n_out, scale, phase)
         cscale = scale
-    if method.startswith("lanczos"):
-        kern, support = (lambda x: _lanczos(x, 3.0)), 3.0
-    else:
-        kern, support = _bilinear, 1.0
-    fscale = max(1.0, cscale)
-    radius = support * fscale
+    if kern is None:  # nearest: a one-hot "kernel" with a half-px box
+        kern = lambda x: (np.abs(x) <= 0.5).astype(np.float64)
+    fscale = (max(1.0, cscale) if antialias else 1.0)
+    radius = max(support * fscale, 1.0)
 
     n_tiles = (n_out + TILE - 1) // TILE
     span = (TILE - 1) * cscale + 2 * radius + 2
@@ -103,28 +103,17 @@ def _banded_h_weights(n_in: int, n_out: int, method: str,
 def _w_weights(n_in: int, n_out: int, method: str) -> np.ndarray:
     from .resize import resize_weights
 
-    m = "lanczos_aa" if method.startswith("lanczos") else "bilinear_aa"
-    return resize_weights(n_in, n_out, m).T.copy()  # [n_in, n_out]
+    return resize_weights(n_in, n_out, method).T.copy()  # [n_in, n_out]
 
 
 def _chroma_w_weights_interleaved(full_w: int, n_out: int,
                                   method: str) -> np.ndarray:
     """[W, 2*DW] weights consuming an interleaved UV row directly:
     columns [:DW] produce U (even source lanes), [DW:] produce V (odd)."""
+    from .fused import _chroma_weights
+
     n_in = full_w // 2
-    scale = full_w / n_out
-    dst_pos = (np.arange(n_out) + 0.5) * scale - 0.5
-    centers = (dst_pos - 0.5) / 2.0
-    cscale = (full_w / 2) / n_out
-    fscale = max(1.0, cscale)
-    if method.startswith("lanczos"):
-        kern = lambda x: _lanczos(x, 3.0)
-    else:
-        kern = _bilinear
-    pos = np.arange(n_in)[:, None]
-    w = kern((pos - centers[None, :]) / fscale)  # [n_in, n_out]
-    s = w.sum(axis=0, keepdims=True)
-    w = (w / np.where(s == 0.0, 1.0, s)).astype(np.float32)
+    w = _chroma_weights(n_in, n_out, full_w, method).T  # [n_in, n_out]
     out = np.zeros((full_w, 2 * n_out), dtype=np.float32)
     out[0::2, :n_out] = w  # U taps on even lanes
     out[1::2, n_out:] = w  # V taps on odd lanes
@@ -653,20 +642,9 @@ def pallas_yuv422_preprocess(
 
 def _plain_w_weights_half(full_w: int, n_out: int, method: str) -> np.ndarray:
     """[W/2, DW] chroma W-pass weights for planar (non-interleaved) chroma."""
-    n_in = full_w // 2
-    scale = full_w / n_out
-    dst_pos = (np.arange(n_out) + 0.5) * scale - 0.5
-    centers = (dst_pos - 0.5) / 2.0
-    cscale = (full_w / 2) / n_out
-    fscale = max(1.0, cscale)
-    if method.startswith("lanczos"):
-        kern = lambda x: _lanczos(x, 3.0)
-    else:
-        kern = _bilinear
-    pos = np.arange(n_in)[:, None]
-    w = kern((pos - centers[None, :]) / fscale)
-    s = w.sum(axis=0, keepdims=True)
-    return (w / np.where(s == 0.0, 1.0, s)).astype(np.float32)
+    from .fused import _chroma_weights
+
+    return _chroma_weights(full_w // 2, n_out, full_w, method).T.copy()
 
 
 def required_pad_rows_yuv420(src_w: int, src_h: int, dst_h: int,

@@ -51,6 +51,40 @@ SUPPORTED_FORMATS = (
 )
 
 
+def method_conventions(method: str):
+    """(kern, support, phase, antialias) for a resize-method string,
+    mirroring resize_weights' normalization — so chroma/banded weight
+    builders resample with exactly the same kernel, phase and antialias
+    as the luma path. kern is None for NEAREST."""
+    antialias, phase = None, None
+    m = method
+    if m == LANCZOS_AA:
+        m, antialias, phase = LANCZOS, True, "center"
+    elif m == BILINEAR_AA:
+        m, antialias, phase = BILINEAR, True, "center"
+    if antialias is None:
+        antialias = False
+    phase = phase or "corner"
+    if m == LANCZOS:
+        kern, support = (lambda x: _lanczos(x, 3.0)), 3.0
+    elif m == BILINEAR:
+        kern, support = _bilinear, 1.0
+    elif m == NEAREST:
+        kern, support = None, 0.5
+    else:
+        raise ValueError(f"Unknown resize method {method!r}")
+    return kern, support, phase, antialias
+
+
+def phase_positions(n_out: int, scale: float, phase: str) -> np.ndarray:
+    """Destination sample positions in source coordinates for a phase."""
+    if phase == "corner":
+        return np.arange(n_out) * scale
+    if phase == "tex":
+        return np.arange(n_out) * scale - 0.5
+    return (np.arange(n_out) + 0.5) * scale - 0.5
+
+
 def _lanczos(x: np.ndarray, a: float) -> np.ndarray:
     x = np.abs(x)
     out = np.sinc(x) * np.sinc(x / a)

@@ -85,8 +85,9 @@ def sharded_preprocess(
     [B@data, dst_h, dst_w, 3] (spatial gathered — dst is small).
     """
     in_spec = P("data", "spatial", None)
-    out_spec = P("data", None, None, None) if not planar else P(
-        "data", None, None, None)
+    # output batch shards over data either way (dst is small, spatial
+    # gathers)
+    out_spec = P("data", None, None, None)
 
     def fn(planes):
         return fused_preprocess(planes, src_fmt, src_w, src_h, dst_w, dst_h,
@@ -111,13 +112,10 @@ def sharded_pallas_preprocess(mesh: Mesh, src_w: int, src_h: int,
     sharded over the mesh's "data" axis and each chip runs the kernel on
     its local shard (embarrassingly parallel — no collectives). Input must
     be [B, H*3/2(+pad), W] with B divisible by the data-axis size."""
-    import jax.numpy as jnp
-
     from ..ops.pallas_fused import pallas_nv12_preprocess
 
     if out_dtype is None:
         out_dtype = jnp.uint8
-    data_axes = ("data",)
 
     def local_fn(nv12_shard):
         out = pallas_nv12_preprocess(
