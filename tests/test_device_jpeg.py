@@ -115,3 +115,29 @@ def test_device_jpeg_odd_size():
     decoded = decode_jpeg(blobs[0])
     assert decoded.shape == (90, 100, 3)
     assert psnr(decoded, img) > 35.0
+
+
+def test_device_jpeg_odd_dimensions_subsampled():
+    """Odd geometry + 4:2:0: chroma is edge-padded to even before the
+    2x2 mean (used to crash with a reshape TypeError on e.g. 101x91)."""
+    rng = np.random.default_rng(9)
+    rgb = rng.integers(0, 255, (91, 101 * 3), np.uint8)
+    s = vali.Surface.from_numpy(rgb, F.RGB, width=101, height=91)
+    blobs = jpeg_encode_device([s], quality=85)
+    assert bytes(blobs[0][:2]) == b"\xff\xd8"
+    blobs[0][0] = 0  # returned packets are writable (reference parity)
+
+
+def test_device_jpeg_yuv444_subsample_override():
+    """YUV444 defaults to 4:4:4 output but an explicit subsample420=True
+    is honored (smaller file) instead of silently dropped."""
+    rng = np.random.default_rng(10)
+    planes = [rng.integers(0, 255, (64, 64), np.uint8) for _ in range(3)]
+    from vali_tpu.memory.host import planes_to_host_frame
+
+    s = vali.Surface.Make(F.YUV444, 64, 64)
+    assert vali.PyFrameUploader(gpu_id=0).Run(
+        planes_to_host_frame(planes), s)[0]
+    full = jpeg_encode_device([s], quality=85)
+    sub = jpeg_encode_device([s], quality=85, subsample420=True)
+    assert len(sub[0]) < len(full[0])
