@@ -319,24 +319,25 @@ struct MuxerObject {
 };
 
 int Muxer_init(MuxerObject* self, PyObject* args, PyObject* kwds) {
-  // order must match the "sii|sisii" format units / C varargs below
+  // order must match the "sii|sisiiO" format units / C varargs below
   static const char* kwlist[] = {"path",   "width",  "height", "codec",
                                  "timebase_den", "format", "fps_num",
-                                 "fps_den", nullptr};
+                                 "fps_den", "opts", nullptr};
   const char* path;
   const char* codec = "h264";
   int width, height, tb_den = 90000, fps_num = 0, fps_den = 1;
   const char* format = "";
+  PyObject* opts = nullptr;
   self->mux = nullptr;
-  if (!PyArg_ParseTupleAndKeywords(args, kwds, "sii|sisii",
+  if (!PyArg_ParseTupleAndKeywords(args, kwds, "sii|sisiiO",
                                    const_cast<char**>(kwlist), &path, &width,
                                    &height, &codec, &tb_den, &format,
-                                   &fps_num, &fps_den)) {
+                                   &fps_num, &fps_den, &opts)) {
     return -1;
   }
   try {
     self->mux = new vali::Muxer(path, codec, width, height, tb_den, format,
-                                fps_num, fps_den);
+                                fps_num, fps_den, optmap_from_pydict(opts));
     return 0;
   } catch (const std::exception& e) {
     PyErr_SetString(PyExc_RuntimeError, e.what());

@@ -79,8 +79,8 @@ bool is_key_au(const uint8_t* data, size_t size, bool hevc) {
 
 Muxer::Muxer(const std::string& path, const std::string& codec, int width,
              int height, int timebase_den, const std::string& format,
-             int fps_num, int fps_den)
-    : m_tb_den(timebase_den) {
+             int fps_num, int fps_den, const OptMap& opts)
+    : m_tb_den(timebase_den), m_opts(opts) {
   std::string c = codec;
   std::transform(c.begin(), c.end(), c.begin(), ::tolower);
   m_is_hevc = (c == "hevc" || c == "h265");
@@ -200,7 +200,9 @@ Info Muxer::WritePacket(const uint8_t* data, size_t size, int64_t pts,
     if (m_codec_kind == kAv1 && !m_stream->codecpar->extradata) {
       ExtractAv1Extradata(data, size);
     }
-    int res = avformat_write_header(m_ctx, nullptr);
+    AVDictionary* hopts = dict_from_map(m_opts);
+    int res = avformat_write_header(m_ctx, &hopts);
+    if (hopts) av_dict_free(&hopts);
     if (res < 0) {
       msg = "write_header: " + av_err_str(res);
       return Info::FAIL;

@@ -25,7 +25,8 @@ class Muxer {
   /// "mpegts") is given. pts/dts are expressed in 1/timebase_den seconds.
   Muxer(const std::string& path, const std::string& codec, int width,
         int height, int timebase_den = 90000,
-        const std::string& format = "", int fps_num = 0, int fps_den = 1);
+        const std::string& format = "", int fps_num = 0, int fps_den = 1,
+        const OptMap& opts = {});
   ~Muxer();
 
   Muxer(const Muxer&) = delete;
@@ -49,6 +50,8 @@ class Muxer {
   AVFormatContext* m_ctx = nullptr;
   AVStream* m_stream = nullptr;
   bool m_header_written = false;
+  OptMap m_opts;  // muxer AVOptions (e.g. movflags=faststart), applied
+                  // at avformat_write_header
   bool m_closed = false;
   enum CodecKind { kAnnexB, kVp8, kVp9, kAv1 };
   CodecKind m_codec_kind = kAnnexB;

@@ -181,3 +181,30 @@ def test_mux_vpx_av1_roundtrip(tmp_path, codec, container):
     assert len(means) == len(fills)
     for got, want in zip(means, fills):
         assert abs(got - want) < 6.0
+
+
+def test_mux_opts_faststart(tmp_path):
+    """Muxer AVOptions pass through to the container writer: faststart
+    relocates the moov atom before mdat (web-streamable MP4)."""
+    from tests.test_codecs import _encode_packets
+
+    w, h = 320, 240
+    pkts = _encode_packets("h264", w, h, [60, 90, 120, 150])
+    paths = {}
+    for name, opts in (("plain", None), ("fast", {"movflags": "faststart"})):
+        p = str(tmp_path / f"{name}.mp4")
+        mux = vali.PyMuxer(p, w, h, fps=30.0, opts=opts)
+        for i, pkt in enumerate(pkts):
+            assert mux.Mux(pkt, pts=i / 30.0)[0]
+        assert mux.Close()[0]
+        data = open(p, "rb").read()
+        paths[name] = (data.find(b"moov"), data.find(b"mdat"))
+    assert paths["plain"][0] > paths["plain"][1]  # moov after mdat
+    assert paths["fast"][0] < paths["fast"][1]    # faststart: moov first
+    # both stay decodable
+    dec = vali.PyDecoder(str(tmp_path / "fast.mp4"), {}, gpu_id=-1)
+    frame = np.empty(dec.HostFrameSize, np.uint8)
+    n = 0
+    while dec.DecodeSingleFrame(frame)[0]:
+        n += 1
+    assert n == len(pkts)

@@ -545,14 +545,16 @@ class PyNvEncoder:
     def Height(self) -> int: ...
 
 class PyMuxer:
-    """Write encoded H.264/HEVC access units into MP4/MKV/MPEG-TS.
+    """Write encoded H.264/HEVC/VP8/VP9/AV1 access units into
+    MP4/MKV/WebM/MPEG-TS.
 
     Not present in the reference (which emits raw elementary streams
     only); completes the transcode story for this framework."""
     def __init__(self, path: str, width: int, height: int,
                  codec: str = ..., timebase_den: int = ...,
                  format: Optional[str] = ...,
-                 fps: Optional[float] = ...) -> None: ...
+                 fps: Optional[float] = ...,
+                 opts: Optional[dict] = ...) -> None: ...
     def Mux(self, packet, pts: float, dts: Optional[float] = ...,
             key: bool = ...) -> Tuple[bool, TaskExecInfo]: ...
     def Close(self) -> Tuple[bool, TaskExecInfo]: ...

@@ -29,14 +29,17 @@ class PyMuxer:
     def __init__(self, path: str, width: int, height: int,
                  codec: str = "h264", timebase_den: int = 90000,
                  format: Optional[str] = None,
-                 fps: Optional[float] = None):
+                 fps: Optional[float] = None,
+                 opts: Optional[dict] = None):
+        """``opts``: muxer AVOptions passed to the container writer,
+        e.g. ``{"movflags": "faststart"}`` for web-streamable MP4."""
         native = load_native()
         fps_num, fps_den = 0, 1
         if fps:
             fps_num, fps_den = int(round(fps * 1000)), 1000
         self._mux = native.Muxer(path, int(width), int(height), str(codec),
                                  int(timebase_den), format or "",
-                                 fps_num, fps_den)
+                                 fps_num, fps_den, opts or {})
         self._tb_den = int(timebase_den)
         self._closed = False
 
