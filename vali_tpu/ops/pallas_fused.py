@@ -39,7 +39,7 @@ import numpy as np
 
 from ..core.enums import ColorRange, ColorSpace
 from . import colors
-from .resize import LANCZOS_AA, _bilinear, _lanczos
+from .resize import LANCZOS_AA
 
 TILE = 32    # output rows per banded H-pass step
 # (TILE sweep on v5e: 8 -> 1.05ms, 32 -> 0.41ms, 64 -> 0.46ms, 128 -> 0.86ms
