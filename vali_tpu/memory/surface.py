@@ -42,6 +42,14 @@ def _device_of(arr) -> "jax.Device":
     return jax.devices()[0]
 
 
+_TPU_DLPACK_HINT = (
+    "DLPack export is not available for TPU-resident surfaces (the DLPack "
+    "protocol has no TPU device type, and host frameworks cannot address "
+    "HBM). Consume the surface as a jax.Array via Surface.to_jax() / "
+    "SurfacePlane.to_jax() (zero-copy), or bring it to the host with "
+    "Surface.to_numpy() / PySurfaceDownloader for torch and friends.")
+
+
 class SurfacePlane:
     """A single dense 2-D plane of a Surface.
 
@@ -98,10 +106,16 @@ class SurfacePlane:
             return 0
 
     def __dlpack__(self, stream=None, **kwargs):
-        return self._array.__dlpack__(**kwargs)
+        try:
+            return self._array.__dlpack__(**kwargs)
+        except BufferError as e:
+            raise BufferError(_TPU_DLPACK_HINT) from e
 
     def __dlpack_device__(self):
-        return self._array.__dlpack_device__()
+        try:
+            return self._array.__dlpack_device__()
+        except BufferError as e:
+            raise BufferError(_TPU_DLPACK_HINT) from e
 
     def to_jax(self):
         """Zero-copy handle to the plane's jax.Array."""
@@ -384,14 +398,20 @@ class Surface:
             [np.asarray(a).reshape(-1) for a in self._arrays])
 
     def __dlpack__(self, stream=None, **kwargs):
-        return self.to_jax().__dlpack__(**kwargs)
+        try:
+            return self.to_jax().__dlpack__(**kwargs)
+        except BufferError as e:
+            raise BufferError(_TPU_DLPACK_HINT) from e
 
     def __dlpack_device__(self):
         if self._info.export_shape is None:
             raise RuntimeError(
                 f"{self._format.name} is multi-plane; DLPack export is "
                 f"unsupported (parity: Surfaces.hpp:168-176)")
-        return self._arrays[0].__dlpack_device__()
+        try:
+            return self._arrays[0].__dlpack_device__()
+        except BufferError as e:
+            raise BufferError(_TPU_DLPACK_HINT) from e
 
     @property
     def __cuda_array_interface__(self):
