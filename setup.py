@@ -23,7 +23,8 @@ def pkg_config(packages, kind):
 
 
 FFMPEG_PKGS = ["libavformat", "libavcodec", "libavutil", "libswscale"]
-DIRECT_LINK = os.environ.get("VALI_DIRECT_LINK", "0") not in ("", "0")
+DIRECT_LINK = os.environ.get("VALI_DIRECT_LINK", "").strip().lower() in (
+    "1", "true", "yes", "on")
 
 include_dirs = []
 library_dirs = []

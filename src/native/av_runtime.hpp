@@ -33,25 +33,45 @@ namespace vali_dl {
 
 enum Lib { kAvUtil = 0, kAvCodec = 1, kAvFormat = 2, kSwScale = 3 };
 
-inline void* open_lib(const char* base, std::initializer_list<int> vers) {
-  std::string name = std::string("lib") + base + ".so";
-  if (void* h = dlopen(name.c_str(), RTLD_NOW | RTLD_GLOBAL)) return h;
-  for (int v : vers) {
-    std::string vn = name + "." + std::to_string(v);
-    if (void* h = dlopen(vn.c_str(), RTLD_NOW | RTLD_GLOBAL)) return h;
-  }
-  return nullptr;
-}
-
 inline void* lib_handle(Lib which) {
   static void* handles[4];
   static std::once_flag once;
   std::call_once(once, [] {
-    // avutil first: the others depend on it (RTLD_GLOBAL exports it)
-    handles[kAvUtil] = open_lib("avutil", {59, 58, 57, 56});
-    handles[kAvCodec] = open_lib("avcodec", {61, 60, 59, 58});
-    handles[kAvFormat] = open_lib("avformat", {61, 60, 59, 58});
-    handles[kSwScale] = open_lib("swscale", {8, 7, 6, 5});
+    const char* bases[4] = {"avutil", "avcodec", "avformat", "swscale"};
+    auto try_set = [&](auto name_for) -> bool {
+      for (int i = 0; i < 4; i++) {
+        // avutil first: the others depend on it (RTLD_GLOBAL exports it)
+        handles[i] = dlopen(name_for(i).c_str(), RTLD_NOW | RTLD_GLOBAL);
+        if (!handles[i]) {
+          for (int j = 0; j < i; j++) {
+            if (handles[j]) dlclose(handles[j]);
+            handles[j] = nullptr;
+          }
+          handles[i] = nullptr;
+          return false;
+        }
+      }
+      return true;
+    };
+    // Unversioned first (the dynamic linker resolves a consistent set),
+    // then KNOWN-CONSISTENT major sets per FFmpeg release — never mix
+    // majors across libs (AVFrame/SwsContext layouts differ and mixing
+    // corrupts memory instead of failing cleanly).
+    if (try_set([&](int i) { return std::string("lib") + bases[i] + ".so"; }))
+      return;
+    static const int sets[4][4] = {
+        {59, 61, 61, 8},  // FFmpeg 7.x
+        {58, 60, 60, 7},  // FFmpeg 6.x
+        {57, 59, 59, 6},  // FFmpeg 5.x
+        {56, 58, 58, 5},  // FFmpeg 4.x
+    };
+    for (const auto& ver : sets) {
+      if (try_set([&](int i) {
+            return std::string("lib") + bases[i] + ".so." +
+                   std::to_string(ver[i]);
+          }))
+        return;
+    }
   });
   return handles[which];
 }

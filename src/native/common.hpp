@@ -158,6 +158,9 @@ inline PixFmt from_av_pix_fmt(AVPixelFormat f) {
     case AV_PIX_FMT_GRAY8: return PixFmt::Y;
     case AV_PIX_FMT_GRAY12LE: return PixFmt::GRAY12;
     case AV_PIX_FMT_P010: return PixFmt::P10;
+#ifdef AV_PIX_FMT_P012
+    case AV_PIX_FMT_P012: return PixFmt::P12;
+#endif
     default: return PixFmt::UNDEFINED;
   }
 }

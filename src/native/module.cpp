@@ -41,8 +41,10 @@ int py_reader_read(void* opaque, uint8_t* buf, int buf_size) {
     Py_ssize_t len = 0;
     if (PyBytes_Check(data) &&
         PyBytes_AsStringAndSize(data, &ptr, &len) == 0) {
-      if (len > 0) {
-        if (len > buf_size) len = buf_size;
+      if (len > buf_size) {
+        // silently truncating would put holes in the bitstream
+        result = AVERROR(EIO);
+      } else if (len > 0) {
         memcpy(buf, ptr, len);
         result = static_cast<int>(len);
       } else {
@@ -65,9 +67,18 @@ int64_t py_reader_seek(void* opaque, int64_t offset, int whence) {
   PyObject* pos = PyObject_CallMethod(reader, "seek", "Li", (long long)offset,
                                       whence);
   if (pos) {
-    // file.seek returns the new absolute position (or None for raw streams)
-    result = pos == Py_None ? offset : PyLong_AsLongLong(pos);
-    Py_DECREF(pos);
+    if (pos == Py_None) {
+      // py2-style seek() returns None; the position comes from tell()
+      Py_DECREF(pos);
+      PyObject* told = PyObject_CallMethod(reader, "tell", nullptr);
+      if (told) {
+        result = PyLong_AsLongLong(told);
+        Py_DECREF(told);
+      }
+    } else {
+      result = PyLong_AsLongLong(pos);
+      Py_DECREF(pos);
+    }
   }
   if (PyErr_Occurred()) {
     PyErr_Clear();
@@ -87,10 +98,15 @@ struct DecoderObject {
   PyObject* reader;  // strong ref to the BufferedReader-style object
 };
 
-PyObject* DecErr(const std::exception& e) {
-  PyErr_SetString(PyExc_RuntimeError, e.what());
-  return nullptr;
-}
+// Guard against objects whose __init__ never ran (tp_alloc zero-fills):
+// every method would otherwise null-deref and crash the interpreter.
+#define REQUIRE_DEC(self)                                                  \
+  do {                                                                     \
+    if (!(self)->dec) {                                                    \
+      PyErr_SetString(PyExc_RuntimeError, "Decoder not initialized");      \
+      return nullptr;                                                      \
+    }                                                                      \
+  } while (0)
 
 int Decoder_init(DecoderObject* self, PyObject* args, PyObject* kwds) {
   static const char* kwlist[] = {"input", "opts", "reader", "probe", nullptr};
@@ -103,8 +119,10 @@ int Decoder_init(DecoderObject* self, PyObject* args, PyObject* kwds) {
                                    &reader, &probe)) {
     return -1;
   }
+  // re-initialization: release the previous engine + reader ref
+  delete self->dec;
   self->dec = nullptr;
-  self->reader = nullptr;
+  Py_CLEAR(self->reader);
   try {
     OptMap o = optmap_from_pydict(opts);
     vali::IoHooks hooks;
@@ -133,13 +151,25 @@ int Decoder_init(DecoderObject* self, PyObject* args, PyObject* kwds) {
   }
 }
 
+int Decoder_traverse(DecoderObject* self, visitproc visit, void* arg) {
+  Py_VISIT(self->reader);
+  return 0;
+}
+
+int Decoder_clear_refs(DecoderObject* self) {
+  Py_CLEAR(self->reader);
+  return 0;
+}
+
 void Decoder_dealloc(DecoderObject* self) {
+  PyObject_GC_UnTrack(self);
   delete self->dec;
   Py_CLEAR(self->reader);
   Py_TYPE(self)->tp_free(reinterpret_cast<PyObject*>(self));
 }
 
 PyObject* Decoder_decode(DecoderObject* self, PyObject*) {
+  REQUIRE_DEC(self);
   std::string msg;
   Info info;
   Py_BEGIN_ALLOW_THREADS
@@ -149,6 +179,7 @@ PyObject* Decoder_decode(DecoderObject* self, PyObject*) {
 }
 
 PyObject* Decoder_seek(DecoderObject* self, PyObject* args) {
+  REQUIRE_DEC(self);
   long long frame_num = 0;
   double ts_sec = 0.0;
   int by_number = 0;
@@ -164,6 +195,7 @@ PyObject* Decoder_seek(DecoderObject* self, PyObject* args) {
 }
 
 PyObject* Decoder_copy_frame(DecoderObject* self, PyObject* args) {
+  REQUIRE_DEC(self);
   PyObject* buf_obj = nullptr;
   if (!PyArg_ParseTuple(args, "O", &buf_obj)) return nullptr;
   Py_buffer view;
@@ -175,6 +207,7 @@ PyObject* Decoder_copy_frame(DecoderObject* self, PyObject* args) {
 }
 
 PyObject* Decoder_props(DecoderObject* self, PyObject*) {
+  REQUIRE_DEC(self);
   vali::VideoDecoder* d = self->dec;
   PyObject* dict = PyDict_New();
   auto set = [&](const char* k, PyObject* v) {
@@ -209,6 +242,7 @@ PyObject* Decoder_props(DecoderObject* self, PyObject*) {
 }
 
 PyObject* Decoder_packet_data(DecoderObject* self, PyObject*) {
+  REQUIRE_DEC(self);
   const vali::PacketDataC& p = self->dec->LastPacketData();
   return Py_BuildValue("{s:L,s:L,s:L,s:L,s:L,s:L}", "pts", p.pts, "dts",
                        p.dts, "pos", p.pos, "bsl", p.bsl, "duration",
@@ -216,8 +250,10 @@ PyObject* Decoder_packet_data(DecoderObject* self, PyObject*) {
 }
 
 PyObject* Decoder_motion_vectors(DecoderObject* self, PyObject*) {
+  REQUIRE_DEC(self);
   const auto& mvs = self->dec->MotionVectors();
   PyObject* list = PyList_New(mvs.size());
+  if (!list) return nullptr;
   for (size_t i = 0; i < mvs.size(); i++) {
     const AVMotionVector& m = mvs[i];
     PyObject* t = Py_BuildValue(
@@ -227,12 +263,17 @@ PyObject* Decoder_motion_vectors(DecoderObject* self, PyObject*) {
         static_cast<int>(m.dst_x), static_cast<int>(m.dst_y),
         static_cast<int>(m.motion_x), static_cast<int>(m.motion_y),
         static_cast<int>(m.motion_scale));
+    if (!t) {
+      Py_DECREF(list);
+      return nullptr;
+    }
     PyList_SET_ITEM(list, i, t);
   }
   return list;
 }
 
 PyObject* Decoder_display_rotation(DecoderObject* self, PyObject*) {
+  REQUIRE_DEC(self);
   if (!self->dec->HasDisplayRotation()) {
     // parity: reference returns 361.0 when no display matrix present
     return PyFloat_FromDouble(361.0);
@@ -241,6 +282,7 @@ PyObject* Decoder_display_rotation(DecoderObject* self, PyObject*) {
 }
 
 PyObject* Decoder_metadata(DecoderObject* self, PyObject*) {
+  REQUIRE_DEC(self);
   auto md = self->dec->Metadata();
   PyObject* outer = PyDict_New();
   for (auto& src : md) {
@@ -268,6 +310,7 @@ PyObject* stream_params_to_dict(const vali::StreamParamsC& p) {
 }
 
 PyObject* Decoder_stream_params(DecoderObject* self, PyObject* args) {
+  REQUIRE_DEC(self);
   int idx = 0;
   if (!PyArg_ParseTuple(args, "i", &idx)) return nullptr;
   vali::StreamParamsC p;
@@ -276,6 +319,7 @@ PyObject* Decoder_stream_params(DecoderObject* self, PyObject* args) {
 }
 
 PyObject* Decoder_set_mode(DecoderObject* self, PyObject* args) {
+  REQUIRE_DEC(self);
   int mode = 0;
   if (!PyArg_ParseTuple(args, "i", &mode)) return nullptr;
   self->dec->SetMode(mode);
@@ -336,7 +380,12 @@ PyMODINIT_FUNC PyInit__native(void) {
   av_log_set_level(AV_LOG_ERROR);
 
   DecoderType.tp_basicsize = sizeof(DecoderObject);
-  DecoderType.tp_flags = Py_TPFLAGS_DEFAULT;
+  // HAVE_GC: the reader ref can participate in cycles (stream adapters
+  // holding back-refs); without traverse/clear those cycles leak the
+  // decoder's open file descriptors
+  DecoderType.tp_flags = Py_TPFLAGS_DEFAULT | Py_TPFLAGS_HAVE_GC;
+  DecoderType.tp_traverse = (traverseproc)Decoder_traverse;
+  DecoderType.tp_clear = (inquiry)Decoder_clear_refs;
   DecoderType.tp_doc = "FFmpeg demux+decode engine";
   DecoderType.tp_new = PyType_GenericNew;
   DecoderType.tp_init = (initproc)Decoder_init;

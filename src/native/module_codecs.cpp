@@ -28,11 +28,22 @@ struct EncoderObject {
   vali::VideoEncoder* enc;
 };
 
+
+// Guard against objects whose __init__ never ran (tp_alloc zero-fills).
+#define REQUIRE_MEMBER(self, member, what)                                 \
+  do {                                                                     \
+    if (!(self)->member) {                                                 \
+      PyErr_SetString(PyExc_RuntimeError, what " not initialized");        \
+      return nullptr;                                                      \
+    }                                                                      \
+  } while (0)
+
 int Encoder_init(EncoderObject* self, PyObject* args, PyObject* kwds) {
   static const char* kwlist[] = {"opts", "format", "verbose", nullptr};
   PyObject* opts = nullptr;
   int format = static_cast<int>(vali::PixFmt::NV12);
   int verbose = 0;
+  delete self->enc;  // re-init releases the old engine
   self->enc = nullptr;
   if (!PyArg_ParseTupleAndKeywords(args, kwds, "O|ip",
                                    const_cast<char**>(kwlist), &opts, &format,
@@ -57,6 +68,7 @@ void Encoder_dealloc(EncoderObject* self) {
 
 PyObject* Encoder_encode(EncoderObject* self, PyObject* args,
                          PyObject* kwds) {
+  REQUIRE_MEMBER(self, enc, "Encoder");
   static const char* kwlist[] = {"frame", "force_idr", "sei", nullptr};
   PyObject* frame_obj = Py_None;
   int force_idr = 0;
@@ -102,6 +114,7 @@ PyObject* Encoder_encode(EncoderObject* self, PyObject* args,
 }
 
 PyObject* Encoder_flush(EncoderObject* self, PyObject*) {
+  REQUIRE_MEMBER(self, enc, "Encoder");
   std::string msg;
   Info info;
   Py_BEGIN_ALLOW_THREADS
@@ -111,6 +124,7 @@ PyObject* Encoder_flush(EncoderObject* self, PyObject*) {
 }
 
 PyObject* Encoder_pop_packet(EncoderObject* self, PyObject*) {
+  REQUIRE_MEMBER(self, enc, "Encoder");
   std::vector<uint8_t> pkt;
   if (!self->enc->PopPacket(pkt)) Py_RETURN_NONE;
   return PyBytes_FromStringAndSize(
@@ -119,6 +133,7 @@ PyObject* Encoder_pop_packet(EncoderObject* self, PyObject*) {
 
 PyObject* Encoder_reconfigure(EncoderObject* self, PyObject* args,
                               PyObject* kwds) {
+  REQUIRE_MEMBER(self, enc, "Encoder");
   static const char* kwlist[] = {"opts", "force_idr", "reset_enc", nullptr};
   PyObject* opts = nullptr;
   int force_idr = 0;
@@ -141,6 +156,7 @@ PyObject* Encoder_reconfigure(EncoderObject* self, PyObject* args,
 }
 
 PyObject* Encoder_props(EncoderObject* self, PyObject*) {
+  REQUIRE_MEMBER(self, enc, "Encoder");
   return Py_BuildValue(
       "{s:i,s:i,s:i,s:n,s:n,s:i}", "width", self->enc->Width(), "height",
       self->enc->Height(), "format", static_cast<int>(self->enc->Format()),
@@ -177,6 +193,7 @@ int FrameConv_init(FrameConvObject* self, PyObject* args, PyObject* kwds) {
   static const char* kwlist[] = {"width", "height", "src_format",
                                  "dst_format", nullptr};
   int w, h, src_fmt, dst_fmt;
+  delete self->conv;  // re-init releases the old engine
   self->conv = nullptr;
   if (!PyArg_ParseTupleAndKeywords(args, kwds, "iiii",
                                    const_cast<char**>(kwlist), &w, &h,
@@ -200,6 +217,7 @@ void FrameConv_dealloc(FrameConvObject* self) {
 }
 
 PyObject* FrameConv_run(FrameConvObject* self, PyObject* args) {
+  REQUIRE_MEMBER(self, conv, "FrameConverter");
   PyObject* src_obj;
   PyObject* dst_obj;
   int color_space = 2;
@@ -228,6 +246,7 @@ PyObject* FrameConv_run(FrameConvObject* self, PyObject* args) {
 }
 
 PyObject* FrameConv_sizes(FrameConvObject* self, PyObject*) {
+  REQUIRE_MEMBER(self, conv, "FrameConverter");
   return Py_BuildValue("(nn)",
                        static_cast<Py_ssize_t>(self->conv->SrcSize()),
                        static_cast<Py_ssize_t>(self->conv->DstSize()));
@@ -256,6 +275,7 @@ int Jpeg_init(JpegObject* self, PyObject* args, PyObject* kwds) {
   static const char* kwlist[] = {"quality", "format", nullptr};
   int quality = 85;
   int format = static_cast<int>(vali::PixFmt::RGB);
+  delete self->enc;  // re-init releases the old engine
   self->enc = nullptr;
   if (!PyArg_ParseTupleAndKeywords(args, kwds, "|ii",
                                    const_cast<char**>(kwlist), &quality,
@@ -278,6 +298,7 @@ void Jpeg_dealloc(JpegObject* self) {
 }
 
 PyObject* Jpeg_encode(JpegObject* self, PyObject* args) {
+  REQUIRE_MEMBER(self, enc, "JpegEncoder");
   PyObject* buf_obj;
   int width, height;
   if (!PyArg_ParseTuple(args, "Oii", &buf_obj, &width, &height)) {
@@ -328,6 +349,7 @@ int Muxer_init(MuxerObject* self, PyObject* args, PyObject* kwds) {
   int width, height, tb_den = 90000, fps_num = 0, fps_den = 1;
   const char* format = "";
   PyObject* opts = nullptr;
+  delete self->mux;  // re-init releases the old engine
   self->mux = nullptr;
   if (!PyArg_ParseTupleAndKeywords(args, kwds, "sii|sisiiO",
                                    const_cast<char**>(kwlist), &path, &width,
@@ -351,6 +373,7 @@ void Muxer_dealloc(MuxerObject* self) {
 }
 
 PyObject* Muxer_write(MuxerObject* self, PyObject* args, PyObject* kwds) {
+  REQUIRE_MEMBER(self, mux, "Muxer");
   static const char* kwlist[] = {"packet", "pts", "dts", "key", nullptr};
   PyObject* pkt_obj;
   long long pts, dts = LLONG_MIN;
@@ -374,6 +397,7 @@ PyObject* Muxer_write(MuxerObject* self, PyObject* args, PyObject* kwds) {
 }
 
 PyObject* Muxer_close(MuxerObject* self, PyObject*) {
+  REQUIRE_MEMBER(self, mux, "Muxer");
   std::string msg;
   Info info;
   Py_BEGIN_ALLOW_THREADS

@@ -50,13 +50,13 @@ class Muxer {
   AVFormatContext* m_ctx = nullptr;
   AVStream* m_stream = nullptr;
   bool m_header_written = false;
-  OptMap m_opts;  // muxer AVOptions (e.g. movflags=faststart), applied
-                  // at avformat_write_header
   bool m_closed = false;
   enum CodecKind { kAnnexB, kVp8, kVp9, kAv1 };
   CodecKind m_codec_kind = kAnnexB;
   bool m_is_hevc = false;
   int m_tb_den = 90000;
+  OptMap m_opts;  // muxer AVOptions (e.g. movflags=faststart), applied
+                  // at avformat_write_header
 };
 
 }  // namespace vali

@@ -20,23 +20,32 @@ inline OptMap optmap_from_pydict(PyObject* dict) {
   if (!PyDict_Check(dict)) {
     throw std::runtime_error("opts must be a dict of str->str");
   }
+  // Accept str directly and int/float via str() (safe __str__); reject
+  // everything else — PyObject_Str on arbitrary objects would mangle
+  // bytes to "b'..'" and could run user __str__ that mutates the dict
+  // mid-PyDict_Next.
+  auto as_string = [](PyObject* o, std::string& out) -> bool {
+    PyObject* str_obj = nullptr;
+    if (PyUnicode_Check(o)) {
+      str_obj = Py_NewRef(o);
+    } else if (PyLong_Check(o) || PyFloat_Check(o)) {
+      str_obj = PyObject_Str(o);
+    }
+    const char* c = str_obj ? PyUnicode_AsUTF8(str_obj) : nullptr;
+    if (c) out = c;
+    Py_XDECREF(str_obj);
+    return c != nullptr;
+  };
   PyObject *key, *value;
   Py_ssize_t pos = 0;
   while (PyDict_Next(dict, &pos, &key, &value)) {
-    PyObject* kstr = PyObject_Str(key);
-    PyObject* vstr = PyObject_Str(value);
-    const char* k = kstr ? PyUnicode_AsUTF8(kstr) : nullptr;
-    const char* v = vstr ? PyUnicode_AsUTF8(vstr) : nullptr;
-    if (k && v) {
-      opts[k] = v;
-    }
-    Py_XDECREF(kstr);
-    Py_XDECREF(vstr);
-    if (!k || !v) {
+    std::string k, v;
+    if (!as_string(key, k) || !as_string(value, v)) {
       PyErr_Clear();
       throw std::runtime_error(
-          "opts keys/values must be UTF-8 encodable strings");
+          "opts keys/values must be str (or int/float values)");
     }
+    opts[k] = v;
   }
   return opts;
 }

@@ -41,6 +41,17 @@ def SetFFMpegLogLevel(level: FfmpegLogLevel) -> None:
     load_native().set_ffmpeg_log_level(int(level))
 
 
+def _opt_str(v) -> str:
+    """Options are str->str like the reference; numbers stringify, bytes
+    would silently become "b'..'" and are decoded instead."""
+    if isinstance(v, bytes):
+        return v.decode()
+    if isinstance(v, (str, int, float)):
+        return str(v)
+    raise TypeError(f"option keys/values must be str/int/float, got "
+                    f"{type(v).__name__}")
+
+
 class BufferedReader:
     """Thin adapter marking an object as a custom-IO source.
 
@@ -61,7 +72,7 @@ class PyDecoder:
                  **kwargs):
         if opts is None:
             opts = {}
-        opts = {str(k): str(v) for k, v in opts.items()}
+        opts = {_opt_str(k): _opt_str(v) for k, v in opts.items()}
         native = load_native()
         self._gpu_id = gpu_id
         self._device = get_device(gpu_id) if gpu_id >= 0 else None
