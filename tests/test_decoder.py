@@ -551,3 +551,57 @@ def test_corrupt_input_never_crashes(tmp_path):
             if not ok:
                 break
             n += 1
+
+
+def test_uninitialized_native_objects_raise():
+    """Objects whose __init__ never ran (tp_alloc zero-fills) must raise,
+    not crash the interpreter."""
+    from vali_tpu.engine._loader import load_native
+
+    n = load_native()
+    d = n.Decoder.__new__(n.Decoder)
+    with pytest.raises(RuntimeError, match="not initialized"):
+        d.decode()
+    e = n.Encoder.__new__(n.Encoder)
+    with pytest.raises(RuntimeError, match="not initialized"):
+        e.flush()
+
+
+def test_py2_style_reader_seek_none():
+    """A reader whose seek() returns None (py2 file-likes) must still
+    demux correctly — avio_size probes via seek(0, SEEK_END) and the
+    position comes from tell()."""
+    rec = gt("basic")
+
+    class R:
+        def __init__(self, p):
+            self.f = open(p, "rb")
+
+        def read(self, n):
+            return self.f.read(n)
+
+        def seek(self, off, whence=0):
+            self.f.seek(off, whence)
+            return None  # py2 contract
+
+        def tell(self):
+            return self.f.tell()
+
+    dec = vali.PyDecoder(R(rec["uri"]), {}, gpu_id=-1)
+    frame = np.empty(dec.HostFrameSize, np.uint8)
+    n = 0
+    while dec.DecodeSingleFrame(frame)[0]:
+        n += 1
+    assert n == rec["num_frames"]
+
+
+def test_option_value_types():
+    """Opts accept str/int/float and real bytes (decoded); arbitrary
+    objects raise instead of being mangled by str()."""
+    rec = gt("basic")
+    dec = vali.PyDecoder(rec["uri"], {"threads": 2}, gpu_id=-1)
+    assert dec.NumFrames == rec["num_frames"]
+    dec = vali.PyDecoder(rec["uri"], {"threads": b"2"}, gpu_id=-1)
+    assert dec.NumFrames == rec["num_frames"]
+    with pytest.raises(TypeError):
+        vali.PyDecoder(rec["uri"], {"threads": object()}, gpu_id=-1)
