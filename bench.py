@@ -94,6 +94,8 @@ def _time_kernel(kernel_fn, x):
 
 
 def main():
+    _t_start = time.monotonic()
+
     import jax
     import jax.numpy as jnp
 
@@ -198,7 +200,8 @@ def main():
     if os.environ.get("VALI_BENCH_CONFIGS", "1") != "0":
         import bench_configs
 
-        configs = bench_configs.run_all()
+        budget = float(os.environ.get("VALI_BENCH_BUDGET_S", "420"))
+        configs = bench_configs.run_all(deadline=_t_start + budget)
 
     result = {
         "metric": "64x1080p NV12->RGB->224x224 fused CSC+resize frames/sec/chip",
