@@ -344,3 +344,22 @@ def test_resizer_p10_turbo():
     a = out_ref.to_numpy().view(np.uint16).astype(int)
     b = out_tur.to_numpy().view(np.uint16).astype(int)
     assert np.abs(a - b).max() <= 1
+
+
+def test_rotator_static_and_dynamic_paths_agree():
+    """The traced-angle path must produce exactly what the static-jit
+    path produces for the same (non-canonical) parameters."""
+    from vali_tpu.transforms import _jit_rotate, _jit_rotate_dynamic
+    import jax.numpy as jnp
+
+    w, h = 40, 32
+    rng = np.random.default_rng(6)
+    plane = (rng.integers(0, 255, (1, h, w), np.uint8),)
+    kw = dict(fmt=vali.PixelFormat.Y, sw=w, sh=h, dw=w, dh=h)
+    for ang, sx, sy in ((33.0, 20.0, 16.0), (200.5, 5.0, 30.0)):
+        a = np.asarray(_jit_rotate(plane, angle=ang, shift_x=sx,
+                                   shift_y=sy, **kw)[0])
+        b = np.asarray(_jit_rotate_dynamic(
+            plane, jnp.float32(ang), jnp.float32(sx), jnp.float32(sy),
+            **kw)[0])
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
