@@ -208,3 +208,20 @@ def test_mux_opts_faststart(tmp_path):
     while dec.DecodeSingleFrame(frame)[0]:
         n += 1
     assert n == len(pkts)
+
+
+def test_probe_muxed_webm(tmp_path):
+    """PyDecoder.Probe reads back sensible StreamParams from a WebM this
+    muxer wrote."""
+    from tests.test_codecs import _encode_packets
+
+    w, h = 320, 240
+    pkts = _encode_packets("vp9", w, h, [60, 90, 120])
+    path = str(tmp_path / "probe.webm")
+    mux = vali.PyMuxer(path, w, h, codec="vp9", fps=30.0)
+    for i, p in enumerate(pkts):
+        assert mux.Mux(p, pts=i / 30.0, key=(i == 0))[0]
+    assert mux.Close()[0]
+    params = vali.PyDecoder.Probe(path)
+    assert len(params) == 1
+    assert (params[0].width, params[0].height) == (w, h)

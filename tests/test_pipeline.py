@@ -651,3 +651,32 @@ def test_staging_buffers_are_reused():
             off += ph * w * isz
     finally:
         pipe.stop()
+
+
+def test_pipeline_yuv444_stream(tmp_path):
+    """End-to-end YUV444: a C444 y4m decodes to PixelFormat.YUV444 and
+    flows through the pipeline's planar-444 preprocess path."""
+    import vali_tpu as vali
+    from vali_tpu.pipeline.multistream import MultiStreamPipeline
+
+    w, h = 64, 48
+    rng = np.random.default_rng(12)
+    path = str(tmp_path / "c444.y4m")
+    with open(path, "wb") as f:
+        f.write(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode())
+        for _ in range(6):
+            f.write(b"FRAME\n")
+            for _ in range(3):
+                f.write(rng.integers(0, 255, (h, w), np.uint8).tobytes())
+
+    probe = vali.PyDecoder(path, {}, gpu_id=-1)
+    assert probe.Format == PixelFormat.YUV444
+    del probe
+    pipe = MultiStreamPipeline([path], dst_w=32, dst_h=32, gpu_id=0,
+                               batch_size=2)
+    total = 0
+    for batch, ids in pipe:
+        assert batch.shape[1:] == (32, 32, 3)
+        assert np.asarray(batch).std() > 1.0
+        total += batch.shape[0]
+    assert total == 6
