@@ -680,3 +680,31 @@ def test_pipeline_yuv444_stream(tmp_path):
         assert np.asarray(batch).std() > 1.0
         total += batch.shape[0]
     assert total == 6
+
+def test_pipeline_yuv422_stream(tmp_path):
+    """End-to-end YUV422 via a C422 y4m (full-height, half-width chroma
+    planes through the 422 preprocess path)."""
+    import vali_tpu as vali
+    from vali_tpu.pipeline.multistream import MultiStreamPipeline
+
+    w, h = 64, 48
+    rng = np.random.default_rng(13)
+    path = str(tmp_path / "c422.y4m")
+    with open(path, "wb") as f:
+        f.write(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C422\n".encode())
+        for _ in range(4):
+            f.write(b"FRAME\n")
+            f.write(rng.integers(0, 255, (h, w), np.uint8).tobytes())
+            f.write(rng.integers(0, 255, (h, w // 2), np.uint8).tobytes())
+            f.write(rng.integers(0, 255, (h, w // 2), np.uint8).tobytes())
+
+    probe = vali.PyDecoder(path, {}, gpu_id=-1)
+    assert probe.Format == PixelFormat.YUV422
+    del probe
+    pipe = MultiStreamPipeline([path], dst_w=32, dst_h=32, gpu_id=0,
+                               batch_size=2)
+    total = 0
+    for batch, ids in pipe:
+        assert batch.shape[1:] == (32, 32, 3)
+        total += batch.shape[0]
+    assert total == 4
