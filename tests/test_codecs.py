@@ -733,3 +733,40 @@ def test_decode_breadth_codecs(tmp_path, codec, fourcc, suffix):
     assert len(means) == len(fills), (codec, len(means))
     for got, want in zip(means, fills):
         assert abs(got - want) < 6.0, (codec, got, want)
+
+
+def test_encoder_mux_loop_rss_stable(tmp_path):
+    """Sustained encode->mux->close cycles must not grow RSS (the
+    decode soak has an equivalent; this covers the encoder/muxer side)."""
+    import resource
+
+    w, h = 320, 240
+
+    def one_cycle(i):
+        enc = vali.PyNvEncoder({"s": f"{w}x{h}", "gop": "4",
+                                "bitrate": "1M"}, gpu_id=0, format=F.NV12)
+        up = vali.PyFrameUploader(gpu_id=0)
+        surf = vali.Surface.Make(F.NV12, w, h)
+        mux = vali.PyMuxer(str(tmp_path / f"s{i % 2}.mp4"), w, h, fps=30.0)
+        pkt = np.zeros(0, np.uint8)
+        k = 0
+        for f_i in range(12):
+            y = np.full((h, w), 40 + 10 * f_i, np.uint8)
+            uv = np.full((h // 2, w), 128, np.uint8)
+            up.Run(np.concatenate([y.reshape(-1), uv.reshape(-1)]), surf)
+            if enc.EncodeSingleSurface(surf, pkt):
+                assert mux.Mux(pkt, pts=k / 30.0)[0]
+                k += 1
+        fl = np.zeros(0, np.uint8)
+        enc.Flush(fl)
+        if fl.size:
+            mux.Mux(fl, pts=k / 30.0)
+        assert mux.Close()[0]
+
+    for i in range(3):  # warm-up: allocators, jit caches
+        one_cycle(i)
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    for i in range(12):
+        one_cycle(i)
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert rss1 - rss0 < 40 * 1024, f"RSS grew {rss1 - rss0} KB"
