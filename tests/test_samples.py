@@ -91,3 +91,8 @@ def test_sample_torch_interop():
 def test_sample_multichip():
     out = run_sample("sample_multichip.py", CLIP, "4", "2", timeout=300)
     assert "OK: 2 sharded batches across 4 devices" in out
+
+
+def test_sample_profile(tmp_path):
+    out = run_sample("sample_profile.py", str(tmp_path), timeout=300)
+    assert "trace" in out.lower()
