@@ -98,8 +98,11 @@ def test_resizer_format_mismatch():
 
 
 def test_resizer_unsupported_format_ctor():
+    # YUV420_10bit has no resize path (parity: the reference ctor throws
+    # for unknown formats; Y/GRAY12/P10/P12/YUV422 are documented
+    # beyond-reference extensions here)
     with pytest.raises(RuntimeError):
-        vali.PySurfaceResizer(F.Y, gpu_id=0)
+        vali.PySurfaceResizer(F.YUV420_10bit, gpu_id=0)
 
 
 def test_rotator_90():
@@ -363,3 +366,41 @@ def test_rotator_static_and_dynamic_paths_agree():
             plane, jnp.float32(ang), jnp.float32(sx), jnp.float32(sy),
             **kw)[0])
         assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("fmt", ["Y", "YUV420", "YUV444", "RGB_PLANAR",
+                                 "RGB_32F_PLANAR", "GRAY12"])
+def test_resizer_turbo_planar_formats(fmt):
+    """turbo routes every planar format through the banded plane-resize
+    kernel and stays within rounding of the XLA path."""
+    from vali_tpu.core.formats import format_info
+    from vali_tpu.memory.host import planes_to_host_frame
+
+    F = vali.PixelFormat[fmt]
+    w, h, dw, dh = 128, 96, 64, 48
+    rng = np.random.default_rng(8)
+    info = format_info(F)
+    planes = []
+    for (ph, pw) in info.plane_dims(w, h):
+        if info.dtype == np.dtype(np.float32):
+            planes.append(rng.random((ph, pw)).astype(np.float32))
+        else:
+            planes.append(rng.integers(
+                0, np.iinfo(info.dtype).max, (ph, pw),
+                dtype=info.dtype))
+    src = vali.Surface.Make(F, w, h)
+    assert vali.PyFrameUploader(gpu_id=0).Run(
+        planes_to_host_frame(planes), src)[0]
+    ref_dst = vali.Surface.Make(F, dw, dh)
+    tur_dst = vali.Surface.Make(F, dw, dh)
+    assert vali.PySurfaceResizer(F, gpu_id=0,
+                                 method="lanczos_aa").Run(src, ref_dst)[0]
+    assert vali.PySurfaceResizer(F, gpu_id=0, method="lanczos_aa",
+                                 turbo=True).Run(src, tur_dst)[0]
+    for a, b in zip(ref_dst.plane_arrays(), tur_dst.plane_arrays()):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype == np.float32:
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-3)
+        else:
+            tol = 3 if a.dtype == np.uint8 else 12  # GRAY12 u16 LSBs
+            assert np.abs(a.astype(int) - b.astype(int)).max() <= tol

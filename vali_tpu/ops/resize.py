@@ -45,9 +45,13 @@ SUPPORTED_FORMATS = (
     PixelFormat.RGB_32F_PLANAR,
     PixelFormat.NV12,
     # beyond reference (its ResizeSurface ctor throws for these): the
-    # 10/12-bit semi-planar formats resize fine on the same paths
+    # 10/12-bit semi-planar formats and single-plane grayscale resize
+    # fine on the same paths
     PixelFormat.P10,
     PixelFormat.P12,
+    PixelFormat.Y,
+    PixelFormat.GRAY12,
+    PixelFormat.YUV422,
 )
 
 

@@ -136,11 +136,13 @@ class PySurfaceResizer(_SurfaceOp):
     def __init__(self, format: PixelFormat, gpu_id: int = 0,
                  stream: Optional[int] = None, method: str = resize.LANCZOS,
                  turbo: bool = False):
-        """``turbo=True`` (beyond reference) routes NV12/P10/P12 through
-        the banded Pallas resize kernel — ~9x the dense XLA path on TPU
-        at 4K->1080p, within compute-dtype rounding of it (uint8 resizes
-        in bfloat16 instead of float32; PSNR >48 dB, often bit-equal).
-        Other formats and CPU backends keep the exact XLA path."""
+        """``turbo=True`` (beyond reference) routes NV12/P10/P12 and
+        the planar formats (Y/GRAY12/YUV420/YUV444/RGB_PLANAR/
+        RGB_32F_PLANAR) through the banded Pallas resize kernels — ~9x
+        the dense XLA path on TPU at 4K->1080p, within compute-dtype
+        rounding of it (uint8 resizes in bfloat16 instead of float32;
+        PSNR >48 dB, often bit-equal; float planes stay float32).
+        Packed formats and the default mode keep the exact XLA path."""
         super().__init__(gpu_id, stream)
         format = PixelFormat(format)
         if format not in resize.SUPPORTED_FORMATS:
@@ -160,21 +162,56 @@ class PySurfaceResizer(_SurfaceOp):
         if src.IsEmpty or dst.IsEmpty:
             return _fail(TaskExecInfo.INVALID_INPUT)
         planes = tuple(p[None] for p in src.plane_arrays())
+        fmt = self._format
+        semi = fmt in (PixelFormat.NV12, PixelFormat.P10, PixelFormat.P12)
+        planar = fmt in (PixelFormat.Y, PixelFormat.GRAY12,
+                         PixelFormat.YUV420, PixelFormat.YUV444,
+                         PixelFormat.RGB_PLANAR, PixelFormat.RGB_32F_PLANAR)
+        even_ok = (dst.Width % 2 == 0 and dst.Height % 2 == 0) or not semi
         with op_scope("ResizeSurface"):
-            if (self._turbo and dst.Width % 2 == 0 and dst.Height % 2 == 0
-                    and self._format in (PixelFormat.NV12, PixelFormat.P10,
-                                         PixelFormat.P12)):
+            if self._turbo and even_ok and (semi or planar):
                 import jax
 
-                from .ops.pallas_fused import pallas_nv12_resize
+                from .ops.pallas_fused import (pallas_nv12_resize,
+                                               pallas_plane_resize)
 
                 interp = jax.default_backend() == "cpu"
-                out = (pallas_nv12_resize(
-                    planes[0], src_w=src.Width, src_h=src.Height,
-                    dst_w=dst.Width, dst_h=dst.Height, method=self._method,
-                    interpret=interp),)
+                dw, dh = dst.Width, dst.Height
+                if semi:
+                    out = (pallas_nv12_resize(
+                        planes[0], src_w=src.Width, src_h=src.Height,
+                        dst_w=dw, dst_h=dh, method=self._method,
+                        interpret=interp),)
+                elif fmt in (PixelFormat.YUV444,):
+                    stacked = jnp.concatenate(planes, axis=0)
+                    r = pallas_plane_resize(
+                        stacked, src_h=src.Height, dst_h=dh, dst_w=dw,
+                        method=self._method, interpret=interp)
+                    out = tuple(r[i:i + 1] for i in range(3))
+                elif fmt in (PixelFormat.RGB_PLANAR,
+                             PixelFormat.RGB_32F_PLANAR):
+                    n, h3, w = planes[0].shape
+                    chans = planes[0].reshape(3, h3 // 3, w)
+                    r = pallas_plane_resize(
+                        chans, src_h=src.Height, dst_h=dh, dst_w=dw,
+                        method=self._method, interpret=interp)
+                    out = (r.reshape(1, 3 * dh, dw),)
+                elif fmt == PixelFormat.YUV420:
+                    y = pallas_plane_resize(
+                        planes[0], src_h=src.Height, dst_h=dh, dst_w=dw,
+                        method=self._method, interpret=interp)
+                    c = pallas_plane_resize(
+                        jnp.concatenate(planes[1:], axis=0),
+                        src_h=src.Height // 2, dst_h=dh // 2,
+                        dst_w=dw // 2, method=self._method,
+                        interpret=interp)
+                    out = (y, c[0:1], c[1:2])
+                else:  # Y / GRAY12
+                    out = (pallas_plane_resize(
+                        planes[0], src_h=src.Height, dst_h=dh, dst_w=dw,
+                        method=self._method, interpret=interp),)
             else:
-                out = _jit_resize(planes, fmt=self._format, sw=src.Width,
+                out = _jit_resize(planes, fmt=fmt, sw=src.Width,
                                   sh=src.Height, dw=dst.Width,
                                   dh=dst.Height, method=self._method)
         return self._finish(dst, out, sync)
