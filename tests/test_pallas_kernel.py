@@ -258,3 +258,27 @@ class TestPallasResize:
             (jnp.asarray(nv12[:, :H * 3 // 2]),), PixelFormat.NV12,
             W, H, DW, DH, method="lanczos_aa")[0])
         assert np.abs(got.astype(int) - want.astype(int)).max() <= 3
+
+
+def test_bf16_normalized_output():
+    """Model-feed configuration: bf16 output with folded normalization
+    (half the output bytes of f32, MXU-native for the consumer)."""
+    from vali_tpu.ops.pallas_fused import (pallas_nv12_preprocess,
+                                           required_pad_rows)
+
+    H, W, DH, DW = 96, 256, 32, 64
+    rng = np.random.default_rng(0)
+    pad = required_pad_rows(W, H, DH)
+    nv = np.zeros((2, H * 3 // 2 + pad, W), np.uint8)
+    nv[:, :H * 3 // 2] = rng.integers(0, 256, (2, H * 3 // 2, W),
+                                      dtype=np.uint8)
+    norm = ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225))
+    out = pallas_nv12_preprocess(
+        jnp.asarray(nv), src_w=W, src_h=H, dst_w=DW, dst_h=DH,
+        out_dtype=jnp.bfloat16, normalize=norm, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = pallas_nv12_preprocess(
+        jnp.asarray(nv), src_w=W, src_h=H, dst_w=DW, dst_h=DH,
+        out_dtype=jnp.float32, normalize=norm, interpret=True)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref), rtol=0.02, atol=0.02)
