@@ -605,3 +605,36 @@ def test_option_value_types():
     assert dec.NumFrames == rec["num_frames"]
     with pytest.raises(TypeError):
         vali.PyDecoder(rec["uri"], {"threads": object()}, gpu_id=-1)
+
+
+def test_reader_reference_cycle_collected():
+    """A cycle wrapper -> decoder -> reader -> wrapper must be
+    collectable (the native Decoder participates in GC via
+    tp_traverse/tp_clear)."""
+    import gc
+    import weakref
+
+    rec = gt("basic")
+
+    class Wrapper:
+        pass
+
+    class Reader:
+        def __init__(self, path, owner):
+            self.f = open(path, "rb")
+            self.owner = owner  # back-ref closes the cycle
+
+        def read(self, n):
+            return self.f.read(n)
+
+        def seek(self, off, whence=0):
+            return self.f.seek(off, whence)
+
+    w = Wrapper()
+    r = Reader(rec["uri"], w)
+    w.dec = vali.PyDecoder(r, {}, gpu_id=-1)
+    w.reader = r
+    ref = weakref.ref(w)
+    del w, r
+    gc.collect()
+    assert ref() is None, "cycle through the native decoder not collected"

@@ -164,3 +164,15 @@ def test_plane_resize_real_vs_interpret():
     got = np.asarray(pallas_plane_resize(x, **kw))
     want = np.asarray(pallas_plane_resize(x, interpret=True, **kw))
     assert np.array_equal(got, want)
+
+
+def test_plane_resize_u16_real_vs_interpret():
+    """High-bit-depth (f32 compute) plane resize on the real chip."""
+    from vali_tpu.ops.pallas_fused import pallas_plane_resize
+
+    H, W, DH, DW = 96, 256, 40, 120
+    x = jnp.asarray(RNG.integers(0, 4096, (2, H, W), dtype=np.uint16))
+    kw = dict(src_h=H, dst_h=DH, dst_w=DW)
+    got = np.asarray(pallas_plane_resize(x, **kw))
+    want = np.asarray(pallas_plane_resize(x, interpret=True, **kw))
+    assert np.array_equal(got, want)
