@@ -225,3 +225,17 @@ def test_probe_muxed_webm(tmp_path):
     params = vali.PyDecoder.Probe(path)
     assert len(params) == 1
     assert (params[0].width, params[0].height) == (w, h)
+
+
+@pytest.mark.parametrize("codec", ["h264", "hevc", "vp9", "av1"])
+def test_mux_garbage_packets_no_crash(tmp_path, codec):
+    """Arbitrary bytes through the muxer (bad encoders, corrupt streams)
+    must fail softly or produce an unplayable file — never crash."""
+    rng = np.random.default_rng(0)
+    p = str(tmp_path / f"junk_{codec}.mkv")
+    mux = vali.PyMuxer(p, 64, 64, codec=codec, fps=30.0)
+    for i in range(4):
+        blob = rng.integers(0, 256, int(rng.integers(1, 5000)),
+                            dtype=np.uint8).tobytes()
+        mux.Mux(blob, pts=i / 30.0, key=(i == 0))
+    mux.Close()
