@@ -225,7 +225,7 @@ def config5_pipeline_64streams(max_batches=3, jpeg_sample=16):
             continue
         n += batch.shape[0]
         batches += 1
-        if batches >= max_batches:
+        if batches >= max_batches or _over_deadline():
             pipe.stop()
             break
     fps = n / (time.perf_counter() - t0)
@@ -253,14 +253,23 @@ ALL_CONFIGS = [
 ]
 
 
+_DEADLINE = None
+
+
+def _over_deadline() -> bool:
+    return _DEADLINE is not None and time.monotonic() > _DEADLINE
+
+
 def run_all(deadline: float = None):
     """Run the five configs; a per-run deadline (time.monotonic value)
-    skips remaining configs with a note instead of overrunning the
-    caller's timeout (the host-decode-bound configs are slow on this
-    one-core machine)."""
+    skips remaining configs — and the slow host-bound configs also check
+    it between frames/batches — instead of overrunning the caller's
+    timeout (this is a one-core machine)."""
+    global _DEADLINE
+    _DEADLINE = deadline
     results = {}
     for name, fn in ALL_CONFIGS:
-        if deadline is not None and time.monotonic() > deadline:
+        if _over_deadline():
             results[name] = {"skipped": "bench time budget exhausted"}
             continue
         try:

@@ -59,7 +59,8 @@ inline void* lib_handle(Lib which) {
     // corrupts memory instead of failing cleanly).
     if (try_set([&](int i) { return std::string("lib") + bases[i] + ".so"; }))
       return;
-    static const int sets[4][4] = {
+    static const int sets[5][4] = {
+        {60, 62, 62, 9},  // FFmpeg 8.x
         {59, 61, 61, 8},  // FFmpeg 7.x
         {58, 60, 60, 7},  // FFmpeg 6.x
         {57, 59, 59, 6},  // FFmpeg 5.x

@@ -119,10 +119,13 @@ int Decoder_init(DecoderObject* self, PyObject* args, PyObject* kwds) {
                                    &reader, &probe)) {
     return -1;
   }
-  // re-initialization: release the previous engine + reader ref
-  delete self->dec;
-  self->dec = nullptr;
-  Py_CLEAR(self->reader);
+  if (self->dec) {
+    // Re-initializing a live engine would free it while another thread
+    // may be executing inside (decode releases the GIL): refuse.
+    PyErr_SetString(PyExc_RuntimeError,
+                    "Decoder is already initialized; create a new one");
+    return -1;
+  }
   try {
     OptMap o = optmap_from_pydict(opts);
     vali::IoHooks hooks;

@@ -43,7 +43,11 @@ int Encoder_init(EncoderObject* self, PyObject* args, PyObject* kwds) {
   PyObject* opts = nullptr;
   int format = static_cast<int>(vali::PixFmt::NV12);
   int verbose = 0;
-  delete self->enc;  // re-init releases the old engine
+  if (self->enc) {
+    PyErr_SetString(PyExc_RuntimeError,
+                    "Encoder is already initialized; create a new one");
+    return -1;
+  }
   self->enc = nullptr;
   if (!PyArg_ParseTupleAndKeywords(args, kwds, "O|ip",
                                    const_cast<char**>(kwlist), &opts, &format,
@@ -193,7 +197,11 @@ int FrameConv_init(FrameConvObject* self, PyObject* args, PyObject* kwds) {
   static const char* kwlist[] = {"width", "height", "src_format",
                                  "dst_format", nullptr};
   int w, h, src_fmt, dst_fmt;
-  delete self->conv;  // re-init releases the old engine
+  if (self->conv) {
+    PyErr_SetString(PyExc_RuntimeError,
+                    "FrameConverter is already initialized; create a new one");
+    return -1;
+  }
   self->conv = nullptr;
   if (!PyArg_ParseTupleAndKeywords(args, kwds, "iiii",
                                    const_cast<char**>(kwlist), &w, &h,
@@ -275,7 +283,11 @@ int Jpeg_init(JpegObject* self, PyObject* args, PyObject* kwds) {
   static const char* kwlist[] = {"quality", "format", nullptr};
   int quality = 85;
   int format = static_cast<int>(vali::PixFmt::RGB);
-  delete self->enc;  // re-init releases the old engine
+  if (self->enc) {
+    PyErr_SetString(PyExc_RuntimeError,
+                    "JpegEncoder is already initialized; create a new one");
+    return -1;
+  }
   self->enc = nullptr;
   if (!PyArg_ParseTupleAndKeywords(args, kwds, "|ii",
                                    const_cast<char**>(kwlist), &quality,
@@ -349,7 +361,11 @@ int Muxer_init(MuxerObject* self, PyObject* args, PyObject* kwds) {
   int width, height, tb_den = 90000, fps_num = 0, fps_den = 1;
   const char* format = "";
   PyObject* opts = nullptr;
-  delete self->mux;  // re-init releases the old engine
+  if (self->mux) {
+    PyErr_SetString(PyExc_RuntimeError,
+                    "Muxer is already initialized; create a new one");
+    return -1;
+  }
   self->mux = nullptr;
   if (!PyArg_ParseTupleAndKeywords(args, kwds, "sii|sisiiO",
                                    const_cast<char**>(kwlist), &path, &width,

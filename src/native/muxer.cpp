@@ -202,6 +202,20 @@ Info Muxer::WritePacket(const uint8_t* data, size_t size, int64_t pts,
     }
     AVDictionary* hopts = dict_from_map(m_opts);
     int res = avformat_write_header(m_ctx, &hopts);
+    const AVDictionaryEntry* leftover =
+        hopts ? av_dict_get(hopts, "", nullptr, AV_DICT_IGNORE_SUFFIX)
+              : nullptr;
+    if (res >= 0 && leftover) {
+      // entries the muxer did not consume: typo'd or unsupported
+      // options must not be silently dropped
+      msg = "unknown muxer option(s):";
+      for (const AVDictionaryEntry* e = leftover; e;
+           e = av_dict_get(hopts, "", e, AV_DICT_IGNORE_SUFFIX)) {
+        msg += std::string(" ") + e->key;
+      }
+      av_dict_free(&hopts);
+      return Info::INVALID_INPUT;
+    }
     if (hopts) av_dict_free(&hopts);
     if (res < 0) {
       msg = "write_header: " + av_err_str(res);

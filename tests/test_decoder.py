@@ -638,3 +638,17 @@ def test_reader_reference_cycle_collected():
     del w, r
     gc.collect()
     assert ref() is None, "cycle through the native decoder not collected"
+
+
+def test_live_reinit_refused():
+    """Re-initializing a live native object is refused (freeing an
+    engine that another thread may be executing inside would be a
+    use-after-free)."""
+    from vali_tpu.engine._loader import load_native
+
+    rec = gt("basic")
+    n = load_native()
+    d = n.Decoder(rec["uri"], {})
+    with pytest.raises(RuntimeError, match="already initialized"):
+        d.__init__(rec["uri"], {})
+    assert d.props()["width"] == rec["width"]  # object still usable

@@ -239,3 +239,13 @@ def test_mux_garbage_packets_no_crash(tmp_path, codec):
                             dtype=np.uint8).tobytes()
         mux.Mux(blob, pts=i / 30.0, key=(i == 0))
     mux.Close()
+
+
+def test_mux_unknown_option_rejected(tmp_path):
+    """Typo'd/unsupported container options fail with INVALID_INPUT
+    instead of being silently dropped."""
+    p = str(tmp_path / "typo.mp4")
+    mux = vali.PyMuxer(p, 64, 64, fps=30.0, opts={"movflag": "faststart"})
+    ok, info = mux.Mux(b"\x00\x00\x01\x65" + b"\x00" * 50, pts=0.0,
+                       key=True)
+    assert not ok and info == vali.TaskExecInfo.INVALID_INPUT

@@ -34,22 +34,12 @@ from ..memory.host import host_frame_to_planes
 from ..memory.surface import Surface
 from ..utils.device import get_device, get_stream
 from ._loader import load_native
+from ._opts import opt_str
 
 
 def SetFFMpegLogLevel(level: FfmpegLogLevel) -> None:
     """Parity: reference VALI.cpp:512-521."""
     load_native().set_ffmpeg_log_level(int(level))
-
-
-def _opt_str(v) -> str:
-    """Options are str->str like the reference; numbers stringify, bytes
-    would silently become "b'..'" and are decoded instead."""
-    if isinstance(v, bytes):
-        return v.decode()
-    if isinstance(v, (str, int, float)):
-        return str(v)
-    raise TypeError(f"option keys/values must be str/int/float, got "
-                    f"{type(v).__name__}")
 
 
 class BufferedReader:
@@ -72,7 +62,7 @@ class PyDecoder:
                  **kwargs):
         if opts is None:
             opts = {}
-        opts = {_opt_str(k): _opt_str(v) for k, v in opts.items()}
+        opts = {opt_str(k): opt_str(v) for k, v in opts.items()}
         native = load_native()
         self._gpu_id = gpu_id
         self._device = get_device(gpu_id) if gpu_id >= 0 else None

@@ -17,6 +17,7 @@ from ..core.enums import NV_ENC_CAPS, PixelFormat, TaskExecInfo
 from ..memory.host import planes_to_host_frame
 from ..memory.surface import Surface
 from ._loader import load_native
+from ._opts import opt_str
 
 
 def GetNvencParams() -> Dict[str, str]:
@@ -38,17 +39,6 @@ def _append_packet(packet: np.ndarray, data: bytes, append: bool) -> None:
         packet[:] = arr
 
 
-def _opt_str(v) -> str:
-    """Options are str->str like the reference; numbers stringify, bytes
-    would silently become "b'..'" and are decoded instead."""
-    if isinstance(v, bytes):
-        return v.decode()
-    if isinstance(v, (str, int, float)):
-        return str(v)
-    raise TypeError(f"option keys/values must be str/int/float, got "
-                    f"{type(v).__name__}")
-
-
 class PyNvEncoder:
     """Video encoder with the reference's option-dict interface."""
 
@@ -57,7 +47,7 @@ class PyNvEncoder:
                  format: PixelFormat = PixelFormat.NV12,
                  verbose: bool = False):
         native = load_native()
-        self._settings = {_opt_str(k): _opt_str(v) for k, v in settings.items()}
+        self._settings = {opt_str(k): opt_str(v) for k, v in settings.items()}
         self._format = PixelFormat(format)
         self._gpu_id = gpu_id
         self._verbose = verbose
@@ -198,6 +188,6 @@ class PyNvEncoder:
                     verbose: bool = False) -> bool:
         """Merge new options and re-tune the encoder; resolution changes require reset_encoder=True (parity: PyNvEncoder.cpp:88-103)."""
         info, msg = self._enc.reconfigure(
-            {_opt_str(k): _opt_str(v) for k, v in settings.items()},
+            {opt_str(k): opt_str(v) for k, v in settings.items()},
             bool(force_idr), bool(reset_encoder))
         return TaskExecInfo(info) == TaskExecInfo.SUCCESS

@@ -17,6 +17,7 @@ import numpy as np
 
 from ..core.enums import TaskExecInfo
 from ._loader import load_native
+from ._opts import opt_str
 
 
 class PyMuxer:
@@ -37,9 +38,11 @@ class PyMuxer:
         fps_num, fps_den = 0, 1
         if fps:
             fps_num, fps_den = int(round(fps * 1000)), 1000
+        norm_opts = {opt_str(k): opt_str(v)
+                     for k, v in (opts or {}).items()}
         self._mux = native.Muxer(path, int(width), int(height), str(codec),
                                  int(timebase_den), format or "",
-                                 fps_num, fps_den, opts or {})
+                                 fps_num, fps_den, norm_opts)
         self._tb_den = int(timebase_den)
         self._closed = False
 

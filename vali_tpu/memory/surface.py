@@ -108,7 +108,9 @@ class SurfacePlane:
     def __dlpack__(self, stream=None, **kwargs):
         try:
             return self._array.__dlpack__(**kwargs)
-        except BufferError as e:
+        except (BufferError, RuntimeError) as e:
+            # TPU backends raise JaxRuntimeError (a RuntimeError) from
+            # __dlpack__ and BufferError from __dlpack_device__
             raise BufferError(_TPU_DLPACK_HINT) from e
 
     def __dlpack_device__(self):
@@ -400,7 +402,7 @@ class Surface:
     def __dlpack__(self, stream=None, **kwargs):
         try:
             return self.to_jax().__dlpack__(**kwargs)
-        except BufferError as e:
+        except (BufferError, RuntimeError) as e:
             raise BufferError(_TPU_DLPACK_HINT) from e
 
     def __dlpack_device__(self):

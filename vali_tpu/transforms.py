@@ -167,9 +167,10 @@ class PySurfaceResizer(_SurfaceOp):
         planar = fmt in (PixelFormat.Y, PixelFormat.GRAY12,
                          PixelFormat.YUV420, PixelFormat.YUV444,
                          PixelFormat.RGB_PLANAR, PixelFormat.RGB_32F_PLANAR)
-        even_ok = (dst.Width % 2 == 0 and dst.Height % 2 == 0) or not semi
         with op_scope("ResizeSurface"):
-            if self._turbo and even_ok and (semi or planar):
+            # (semi-planar Surfaces cannot have odd dims — FormatInfo
+            # validates at construction — so no parity guard is needed)
+            if self._turbo and (semi or planar):
                 import jax
 
                 from .ops.pallas_fused import (pallas_nv12_resize,
