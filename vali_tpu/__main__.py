@@ -56,7 +56,7 @@ def cmd_transcode(args):
     dec = vali.PyDecoder(src_url, {}, gpu_id=0)
     w = w or dec.Width
     h = h or dec.Height
-    rsz = vali.PySurfaceResizer(dec.Format, gpu_id=0)
+    rsz = vali.PySurfaceResizer(dec.Format, gpu_id=0, turbo=True)
     cvt = vali.PySurfaceConverter(gpu_id=0)
     enc = vali.PyNvEncoder({"s": f"{w}x{h}", "bitrate": "4M"}, gpu_id=0,
                            format=vali.PixelFormat.NV12)
