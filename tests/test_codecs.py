@@ -770,3 +770,18 @@ def test_encoder_mux_loop_rss_stable(tmp_path):
         one_cycle(i)
     rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     assert rss1 - rss0 < 40 * 1024, f"RSS grew {rss1 - rss0} KB"
+
+
+def test_vp9_decode_device_path(tmp_path):
+    """Breadth codecs also flow through the device-surface path with
+    exact content (not just the CPU frame path)."""
+    w, h = 320, 240
+    pkts = _encode_packets("vp9", w, h, [60, 100, 140])
+    path = str(tmp_path / "clip.ivf")
+    _write_ivf(path, b"VP90", w, h, pkts)
+    dec = vali.PyDecoder(path, {}, gpu_id=0)
+    surf = vali.Surface.Make(dec.Format, w, h, gpu_id=0)
+    means = []
+    while dec.DecodeSingleSurface(surf)[0]:
+        means.append(float(np.asarray(surf.plane_arrays()[0]).mean()))
+    assert [round(m) for m in means] == [60, 100, 140]
