@@ -176,3 +176,27 @@ def test_plane_resize_u16_real_vs_interpret():
     got = np.asarray(pallas_plane_resize(x, **kw))
     want = np.asarray(pallas_plane_resize(x, interpret=True, **kw))
     assert np.array_equal(got, want)
+
+
+def test_preprocess_batch_routes_to_pallas_on_tpu():
+    """The pipeline's one-shot entry must route NV12 to the banded
+    kernel on TPU and match the XLA path on real hardware."""
+    from vali_tpu.core.enums import PixelFormat
+    from vali_tpu.ops.fused import fused_preprocess
+    from vali_tpu.ops.pallas_fused import required_pad_rows
+    from vali_tpu.pipeline.multistream import _pallas_usable, preprocess_batch
+
+    assert _pallas_usable(PixelFormat.NV12, ColorSpace.BT_709,
+                          ColorRange.MPEG)
+    B, H, W, DH, DW = 2, 96, 256, 32, 64
+    pad = required_pad_rows(W, H, DH)
+    nv = np.zeros((B, H * 3 // 2 + pad, W), np.uint8)
+    nv[:, :H * 3 // 2] = RNG.integers(0, 256, (B, H * 3 // 2, W),
+                                      dtype=np.uint8)
+    x = jnp.asarray(nv)
+    got = np.asarray(preprocess_batch((x,), PixelFormat.NV12, W, H, DW, DH,
+                                      planar=True))
+    want = np.asarray(fused_preprocess((x[:, :H * 3 // 2],),
+                                       PixelFormat.NV12, W, H, DW, DH,
+                                       planar=True))
+    assert np.array_equal(got, want)
