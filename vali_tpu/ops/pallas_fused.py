@@ -54,50 +54,28 @@ ALIGN = 8    # window starts are STATIC slices (host constants baked into
 def _banded_h_weights(n_in: int, n_out: int, method: str,
                       row_offset: int = 0,
                       chroma_of: Optional[int] = None):
-    """Blocked banded H-pass weights with 32-aligned absolute starts.
+    """Blocked banded H-pass weights with aligned absolute starts.
 
     Returns (starts [n_tiles] int32 — absolute frame rows,
              blocks [n_tiles, TILE, WIN] f32, win, max_end).
+
+    Blocks are sliced out of the SAME dense matrices the XLA paths use
+    (resize_weights for luma, fused._chroma_weights for 4:2:0-sited
+    chroma), so kernel/phase/antialias conventions can never drift
+    between the banded and dense implementations. Every tile's window
+    covers its rows' full bands, so slicing is exact (no tap clipping).
     """
-    from .resize import method_conventions, phase_positions
+    from .resize import resize_weights
 
-    kern, support, phase, antialias = method_conventions(method)
     if chroma_of is not None:
-        # 4:2:0 siting: chroma i sits at full-res 2i + 0.5
-        scale = chroma_of / n_out
-        centers = (phase_positions(n_out, scale, phase) - 0.5) / 2.0
-        cscale = (chroma_of / 2) / n_out
+        from .fused import _chroma_weights
+
+        dense = _chroma_weights(n_in, n_out, chroma_of, method)
     else:
-        scale = n_in / n_out
-        centers = phase_positions(n_out, scale, phase)
-        cscale = scale
-    if kern is None:  # nearest: a one-hot "kernel" with a half-px box
-        kern = lambda x: (np.abs(x) <= 0.5).astype(np.float64)
-    fscale = (max(1.0, cscale) if antialias else 1.0)
-    radius = max(support * fscale, 1.0)
-
-    n_tiles = (n_out + TILE - 1) // TILE
-    span = (TILE - 1) * cscale + 2 * radius + 2
-    win = max(ALIGN, int(math.ceil((span + ALIGN) / ALIGN)) * ALIGN)
-
-    starts = np.zeros(n_tiles, dtype=np.int32)
-    blocks = np.zeros((n_tiles, TILE, win), dtype=np.float32)
-    max_end = 0
-    for t in range(n_tiles):
-        rows = np.arange(t * TILE, min((t + 1) * TILE, n_out))
-        c = centers[rows]
-        lo = int(np.floor(c.min() - radius))
-        abs_start = max(0, ((row_offset + lo) // ALIGN) * ALIGN)
-        starts[t] = abs_start
-        max_end = max(max_end, abs_start + win)
-        local = abs_start - row_offset + np.arange(win)[None, :]
-        w = kern((local - c[:, None]) / fscale)
-        in_range = (local >= 0) & (local < n_in)
-        w = w * in_range
-        s = w.sum(axis=1, keepdims=True)
-        w = w / np.where(s == 0.0, 1.0, s)
-        blocks[t, :len(rows)] = w
-    return starts, blocks, win, max_end
+        dense = resize_weights(n_in, n_out, method)
+    return _banded_blocks_from_dense(dense, TILE, ALIGN,
+                                     n_in + row_offset,
+                                     row_offset=row_offset)
 
 
 def _w_weights(n_in: int, n_out: int, method: str) -> np.ndarray:
