@@ -879,56 +879,18 @@ def _interleave_w_blocks(wdense_half: np.ndarray, full_in_w: int,
                          full_out_w: int, tile: int, align: int):
     """Chroma W-pass blocks consuming AND producing interleaved UV lanes.
 
-    wdense_half: [out_w/2, in_w/2] half-grid resize matrix. Block weight
-    [l, c] = wdense_half[j, k] when input lane (start+l) and output lane
-    (tile_base+c) have the same parity (k, j = their chroma indices).
+    Built by expanding the half-grid matrix into a dense parity pattern
+    (U on even in/out lanes, V on odd) and slicing banded blocks with
+    the shared dense-slicer — no custom band/clamp logic to drift.
+    Returns (starts, blocks [n_tiles, win, tile], win).
     """
     n_out_c, n_in_c = wdense_half.shape
-    n_tiles = (full_out_w + tile - 1) // tile
-    # band span in full-res lanes
-    span = 0
-    bands = []
-    for t in range(n_tiles):
-        j_lo, j_hi = (t * tile) // 2, min(((t + 1) * tile - 1) // 2 + 1,
-                                          n_out_c)
-        rows = wdense_half[j_lo:j_hi]
-        nz = np.nonzero(np.abs(rows).sum(axis=0) > 0.0)[0]
-        lo, hi = (int(nz[0]), int(nz[-1]) + 1) if len(nz) else (0, 1)
-        bands.append((lo * 2, hi * 2))
-        span = max(span, hi * 2 - lo * 2)
-    win = int(math.ceil((span + align) / align)) * align
-    dense = False
-    if win >= full_in_w:
-        win, dense = full_in_w, True
-    else:
-        for lo, hi in bands:
-            start = min((lo // align) * align,
-                        ((full_in_w - win) // align) * align)
-            if start + win < hi:
-                win, dense = full_in_w, True
-                break
-
-    starts = np.zeros(n_tiles, dtype=np.int32)
-    blocks = np.zeros((n_tiles, win, tile), dtype=np.float32)
-    for t, (lo, hi) in enumerate(bands):
-        if dense:
-            start = 0
-        else:
-            start = max(0, min((lo // align) * align,
-                               ((full_in_w - win) // align) * align))
-        starts[t] = start
-        lanes = start + np.arange(win)          # absolute input lanes
-        outs = t * tile + np.arange(tile)       # absolute output lanes
-        k = lanes // 2
-        j = outs // 2
-        valid_in = (lanes < full_in_w)
-        valid_out = (outs < full_out_w)
-        parity = (lanes[:, None] % 2) == (outs[None, :] % 2)
-        kk = np.clip(k, 0, n_in_c - 1)
-        jj = np.clip(j, 0, n_out_c - 1)
-        w = wdense_half[jj[None, :], kk[:, None]]
-        blocks[t] = w * parity * valid_in[:, None] * valid_out[None, :]
-    return starts, blocks, win
+    dense = np.zeros((full_out_w, full_in_w), dtype=np.float32)
+    dense[0::2, 0::2] = wdense_half[:, :]
+    dense[1::2, 1::2] = wdense_half[:, :]
+    starts, blocks, win, _ = _banded_blocks_from_dense(
+        dense, tile, align, full_in_w, clamp_to_extent=True)
+    return starts, np.transpose(blocks, (0, 2, 1)).copy(), win
 
 
 def required_pad_rows_resize(src_w: int, src_h: int, dst_w: int, dst_h: int,
