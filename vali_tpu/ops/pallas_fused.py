@@ -884,10 +884,9 @@ def _interleave_w_blocks(wdense_half: np.ndarray, full_in_w: int,
     the shared dense-slicer — no custom band/clamp logic to drift.
     Returns (starts, blocks [n_tiles, win, tile], win).
     """
-    n_out_c, n_in_c = wdense_half.shape
     dense = np.zeros((full_out_w, full_in_w), dtype=np.float32)
-    dense[0::2, 0::2] = wdense_half[:, :]
-    dense[1::2, 1::2] = wdense_half[:, :]
+    dense[0::2, 0::2] = wdense_half
+    dense[1::2, 1::2] = wdense_half
     starts, blocks, win, _ = _banded_blocks_from_dense(
         dense, tile, align, full_in_w, clamp_to_extent=True)
     return starts, np.transpose(blocks, (0, 2, 1)).copy(), win
