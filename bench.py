@@ -128,6 +128,16 @@ def main():
     out_bytes = B * DH * DW * 3
     gbps = (in_bytes + out_bytes) / per_batch_pallas / 1e9
 
+    # total wall budget: the driver must get the JSON line even when the
+    # tunnel is slow — secondary sections degrade to zeros and configs
+    # shrink to the quick ones rather than risking a timeout kill
+    import os
+
+    total_budget = float(os.environ.get("VALI_BENCH_BUDGET_S", "460"))
+
+    def time_left():
+        return total_budget - (time.monotonic() - _t_start)
+
     # secondary: batched 4K NV12 -> 1080p resize. Headline = the banded
     # Pallas kernel (pallas_nv12_resize); the dense-einsum XLA path
     # (PySurfaceResizer's op) is kept as the contrast number.
@@ -136,30 +146,34 @@ def main():
     from vali_tpu.ops.resize import resize_batch
 
     B4 = 8
-    pad4 = required_pad_rows_resize(3840, 2160, 1920, 1080)
-    nv12_4k = jnp.asarray(rng.integers(
-        0, 256, (B4, 2160 * 3 // 2 + pad4, 3840), dtype=np.uint8))
-    per_batch_resize, _ = _time_kernel(
-        lambda x: pallas_nv12_resize(x, src_w=3840, src_h=2160,
-                                     dst_w=1920, dst_h=1080),
-        nv12_4k)
-    resize_4k_fps = B4 / per_batch_resize
-    per_batch_resize_xla, _ = _time_kernel(
-        lambda x: resize_batch((x[:, :2160 * 3 // 2],), PixelFormat.NV12,
-                               3840, 2160, 1920, 1080)[0],
-        nv12_4k)
-    resize_4k_fps_xla = B4 / per_batch_resize_xla
+    resize_4k_fps = resize_4k_fps_xla = preprocess_4k_fps = 0.0
+    if time_left() > 220:
+        pad4 = required_pad_rows_resize(3840, 2160, 1920, 1080)
+        nv12_4k = jnp.asarray(rng.integers(
+            0, 256, (B4, 2160 * 3 // 2 + pad4, 3840), dtype=np.uint8))
+        per_batch_resize, _ = _time_kernel(
+            lambda x: pallas_nv12_resize(x, src_w=3840, src_h=2160,
+                                         dst_w=1920, dst_h=1080),
+            nv12_4k)
+        resize_4k_fps = B4 / per_batch_resize
+        per_batch_resize_xla, _ = _time_kernel(
+            lambda x: resize_batch((x[:, :2160 * 3 // 2],),
+                                   PixelFormat.NV12,
+                                   3840, 2160, 1920, 1080)[0],
+            nv12_4k)
+        resize_4k_fps_xla = B4 / per_batch_resize_xla
 
     # 4K straight to model input in ONE fused pass (same kernel, bigger
     # source: decimation makes it even closer to its DMA floor)
-    pad4p = required_pad_rows(3840, 2160, DH)
-    nv12_4kp = jnp.asarray(rng.integers(
-        0, 256, (B4, 2160 * 3 // 2 + pad4p, 3840), dtype=np.uint8))
-    per_batch_pre4k, _ = _time_kernel(
-        lambda x: pallas_nv12_preprocess(x, src_w=3840, src_h=2160,
-                                         dst_w=DW, dst_h=DH),
-        nv12_4kp)
-    preprocess_4k_fps = B4 / per_batch_pre4k
+    if time_left() > 150:
+        pad4p = required_pad_rows(3840, 2160, DH)
+        nv12_4kp = jnp.asarray(rng.integers(
+            0, 256, (B4, 2160 * 3 // 2 + pad4p, 3840), dtype=np.uint8))
+        per_batch_pre4k, _ = _time_kernel(
+            lambda x: pallas_nv12_preprocess(x, src_w=3840, src_h=2160,
+                                             dst_w=DW, dst_h=DH),
+            nv12_4kp)
+        preprocess_4k_fps = B4 / per_batch_pre4k
 
     # secondary: H2D staging bandwidth (the pipeline's device_put path;
     # through the axon tunnel this is RPC-bound — locally-attached TPUs
@@ -194,14 +208,11 @@ def main():
 
     # all five BASELINE.json configs (see bench_configs.py); skippable
     # via VALI_BENCH_CONFIGS=0 for a fast headline-only run
-    import os
-
     configs = {}
     if os.environ.get("VALI_BENCH_CONFIGS", "1") != "0":
         import bench_configs
 
-        budget = float(os.environ.get("VALI_BENCH_BUDGET_S", "420"))
-        configs = bench_configs.run_all(deadline=_t_start + budget)
+        configs = bench_configs.run_all(deadline=_t_start + total_budget)
 
     result = {
         "metric": "64x1080p NV12->RGB->224x224 fused CSC+resize frames/sec/chip",

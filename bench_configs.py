@@ -244,11 +244,13 @@ def config5_pipeline_64streams(max_batches=3, jpeg_sample=16):
             "jpeg_per_sec": round(jpeg_rate, 1)}
 
 
+# ordered cheap-first so a tight time budget still records the quick
+# configs; the host-decode-bound slow ones (3, 5) go last
 ALL_CONFIGS = [
     ("1_sw_decode_cpu_convert", config1_decode_convert_cpu),
     ("2_tpu_two_stage_convert_resize", config2_convert_resize_tpu),
-    ("3_transcode_4k_hevc", config3_full_transcode_4k),
     ("4_decode_preprocess_inference_e2e", config4_inference_e2e),
+    ("3_transcode_4k_hevc", config3_full_transcode_4k),
     ("5_pipeline_64x1080p_jpeg", config5_pipeline_64streams),
 ]
 
@@ -266,6 +268,10 @@ def run_all(deadline: float = None):
     it between frames/batches — instead of overrunning the caller's
     timeout (this is a one-core machine)."""
     global _DEADLINE
+    if deadline is not None:
+        # even when the headline sections ran long (slow tunnel), give
+        # the configs a minimum window so the quick ones still record
+        deadline = max(deadline, time.monotonic() + 150.0)
     _DEADLINE = deadline
     results = {}
     for name, fn in ALL_CONFIGS:
