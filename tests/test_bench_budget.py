@@ -1,0 +1,41 @@
+"""The bench time-budget plumbing must degrade, never starve entirely."""
+
+import time
+
+import bench_configs as bc
+
+
+def test_exhausted_deadline_still_runs_minimum_window(monkeypatch):
+    ran = []
+    monkeypatch.setattr(bc, "ALL_CONFIGS", [
+        ("a", lambda: (ran.append("a"), {"v": 1})[1]),
+        ("b", lambda: (ran.append("b"), {"v": 2})[1]),
+    ])
+    # deadline long past: the minimum window must still let the quick
+    # configs record instead of skipping everything
+    res = bc.run_all(deadline=time.monotonic() - 9999)
+    assert res["a"] == {"v": 1} and res["b"] == {"v": 2}
+    assert ran == ["a", "b"]
+
+
+def test_mid_run_deadline_skips_remaining(monkeypatch):
+    def slow():
+        bc._DEADLINE = time.monotonic() - 1  # simulate budget exhaustion
+        return {"v": 1}
+
+    monkeypatch.setattr(bc, "ALL_CONFIGS", [
+        ("a", slow), ("b", lambda: {"v": 2})])
+    res = bc.run_all(deadline=time.monotonic() + 9999)
+    assert res["a"] == {"v": 1}
+    assert res["b"] == {"skipped": "bench time budget exhausted"}
+
+
+def test_config_error_is_contained(monkeypatch):
+    def boom():
+        raise RuntimeError("nope")
+
+    monkeypatch.setattr(bc, "ALL_CONFIGS", [
+        ("a", boom), ("b", lambda: {"v": 2})])
+    res = bc.run_all()
+    assert "RuntimeError" in res["a"]["error"]
+    assert res["b"] == {"v": 2}
