@@ -449,8 +449,9 @@ def test_sharded_pallas_preprocess_cpu_mesh():
     # interpret-mode pallas inside shard_map on the CPU backend
     from vali_tpu.ops.pallas_fused import (pallas_nv12_preprocess,
                                            required_pad_rows)
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+
+    from vali_tpu.parallel.mesh import _shard_map
 
     B, H, W, DH, DW = 8, 96, 256, 32, 64
     pad = required_pad_rows(W, H, DH)
@@ -462,9 +463,9 @@ def test_sharded_pallas_preprocess_cpu_mesh():
         return pallas_nv12_preprocess(
             shard, src_w=W, src_h=H, dst_w=DW, dst_h=DH, interpret=True)
 
-    fn = jax.jit(shard_map(local_fn, mesh=mesh, in_specs=P("data", None, None),
-                           out_specs=P("data", None, None, None),
-                           check_rep=False))
+    fn = jax.jit(_shard_map(local_fn, mesh=mesh,
+                            in_specs=P("data", None, None),
+                            out_specs=P("data", None, None, None)))
     out = np.asarray(fn(nv12))
     ref = np.asarray(pallas_nv12_preprocess(
         nv12, src_w=W, src_h=H, dst_w=DW, dst_h=DH, interpret=True))
