@@ -165,6 +165,10 @@ class MultiStreamPipeline:
         self.method = method
         # per-channel (mean, std) folded into the preprocess kernel so
         # model-ready tensors come straight off the chip
+        if normalize is not None and np.dtype(out_dtype) == np.uint8:
+            raise ValueError(
+                "normalize requires a float out_dtype (e.g. jnp.float32 "
+                "or jnp.bfloat16)")
         self.normalize = normalize
         self.sync_streams = sync_streams
         self.prefetch = max(1, int(prefetch))
