@@ -709,3 +709,12 @@ def test_pipeline_yuv422_stream(tmp_path):
         assert batch.shape[1:] == (32, 32, 3)
         total += batch.shape[0]
     assert total == 4
+
+
+@pytest.mark.skipif(not os.path.exists(GT), reason="no reference data")
+def test_pipeline_normalize_requires_float_dtype():
+    from vali_tpu.pipeline.multistream import MultiStreamPipeline
+
+    with pytest.raises(ValueError, match="float out_dtype"):
+        MultiStreamPipeline([GT], dst_w=32, dst_h=32,
+                            normalize=((0.5,) * 3, (0.25,) * 3))
