@@ -428,11 +428,16 @@ int VideoDecoder::CopyFrame(uint8_t* dst, size_t capacity) {
                                   m_frame->data, m_frame->linesize, ffmt,
                                   m_frame->width, m_frame->height, 1);
   if (n < 0) return n;
-  if (ffmt == AV_PIX_FMT_YUV420P12 && m_frame->width % 2 == 0 &&
-      m_frame->height % 2 == 0) {
+  if (ffmt == AV_PIX_FMT_YUV420P12 &&
+      (m_frame->width % 2 != 0 || m_frame->height % 2 != 0)) {
     // Odd geometry cannot be expressed in the semi-planar P012 layout
-    // (interleaved UV rows need 2*ceil(w/2) samples > w); such streams
-    // keep FFmpeg's planar bytes, matching the reference's CPU path.
+    // (interleaved UV rows need 2*ceil(w/2) samples > w). Mislabeling
+    // planar LSB-aligned bytes as PixFmt::P12 would hand consumers wrong
+    // data with no way to detect it, so fail the copy loudly instead
+    // (kErrUnrepresentableLayout, surfaced as UNSUPPORTED_FMT_CONV).
+    return kErrUnrepresentableLayout;
+  }
+  if (ffmt == AV_PIX_FMT_YUV420P12) {
     // PixFmt::P12 means the NVDEC P012 layout everywhere above this
     // layer (semi-planar, MSB-aligned 16-bit — see formats.py and the
     // reference's GPU path). Software decoders hand us planar

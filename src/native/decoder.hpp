@@ -46,7 +46,10 @@ class VideoDecoder {
             std::string& msg);
 
   /// Copy the pending decoded frame into dst (host layout, alignment 1).
-  /// Returns bytes written, or <0 on failure.
+  /// Returns bytes written, or <0 on failure
+  /// (kErrUnrepresentableLayout: frame layout cannot be expressed in the
+  /// advertised PixFmt, e.g. odd-dimension yuv420p12 vs semi-planar P012).
+  static constexpr int kErrUnrepresentableLayout = -1000;
   int CopyFrame(uint8_t* dst, size_t capacity);
 
   // --- stream / codec properties ---------------------------------------

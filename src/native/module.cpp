@@ -275,6 +275,36 @@ PyObject* Decoder_motion_vectors(DecoderObject* self, PyObject*) {
   return list;
 }
 
+// Packed int32 MV records for a vectorized numpy view on the Python side
+// (parity: the reference registers a numpy dtype for MotionVector and
+// returns a structured array, VALI.cpp:125-128). Layout: 10 little-endian
+// int32 per vector — source,w,h,src_x,src_y,dst_x,dst_y,motion_x,motion_y,
+// motion_scale — matching the all-int struct in VALI.hpp:46-56.
+PyObject* Decoder_motion_vectors_packed(DecoderObject* self, PyObject*) {
+  REQUIRE_DEC(self);
+  const auto& mvs = self->dec->MotionVectors();
+  const Py_ssize_t nbytes =
+      static_cast<Py_ssize_t>(mvs.size()) * 10 * sizeof(int32_t);
+  PyObject* bytes = PyBytes_FromStringAndSize(nullptr, nbytes);
+  if (!bytes) return nullptr;
+  auto* out = reinterpret_cast<int32_t*>(PyBytes_AS_STRING(bytes));
+  for (size_t i = 0; i < mvs.size(); i++) {
+    const AVMotionVector& m = mvs[i];
+    int32_t* r = out + i * 10;
+    r[0] = static_cast<int32_t>(m.source);
+    r[1] = static_cast<int32_t>(m.w);
+    r[2] = static_cast<int32_t>(m.h);
+    r[3] = static_cast<int32_t>(m.src_x);
+    r[4] = static_cast<int32_t>(m.src_y);
+    r[5] = static_cast<int32_t>(m.dst_x);
+    r[6] = static_cast<int32_t>(m.dst_y);
+    r[7] = static_cast<int32_t>(m.motion_x);
+    r[8] = static_cast<int32_t>(m.motion_y);
+    r[9] = static_cast<int32_t>(m.motion_scale);
+  }
+  return bytes;
+}
+
 PyObject* Decoder_display_rotation(DecoderObject* self, PyObject*) {
   REQUIRE_DEC(self);
   if (!self->dec->HasDisplayRotation()) {
@@ -342,6 +372,9 @@ PyMethodDef Decoder_methods[] = {
      "Packet data of the last decoded frame."},
     {"motion_vectors", (PyCFunction)Decoder_motion_vectors, METH_NOARGS,
      "Motion vectors of the last decoded frame as tuples."},
+    {"motion_vectors_packed", (PyCFunction)Decoder_motion_vectors_packed,
+     METH_NOARGS,
+     "Motion vectors packed as 10 little-endian int32 per record."},
     {"display_rotation", (PyCFunction)Decoder_display_rotation, METH_NOARGS,
      "Display rotation in degrees, 361.0 if absent."},
     {"metadata", (PyCFunction)Decoder_metadata, METH_NOARGS,

@@ -207,7 +207,10 @@ Info Muxer::WritePacket(const uint8_t* data, size_t size, int64_t pts,
               : nullptr;
     if (res >= 0 && leftover) {
       // entries the muxer did not consume: typo'd or unsupported
-      // options must not be silently dropped
+      // options must not be silently dropped. The header IS written at
+      // this point, so mark it as such: a retried WritePacket must not
+      // call avformat_write_header a second time on the same context.
+      m_header_written = true;
       msg = "unknown muxer option(s):";
       for (const AVDictionaryEntry* e = leftover; e;
            e = av_dict_get(hopts, "", e, AV_DICT_IGNORE_SUFFIX)) {
@@ -243,10 +246,18 @@ Info Muxer::WritePacket(const uint8_t* data, size_t size, int64_t pts,
       detected_key = size > 0 && (data[0] & 0x01) == 0;
       break;
     case kVp9:
-      // VP9 uncompressed header (profile 0/2): frame_marker(2) profile
-      // bits, show_existing_frame(0x08), frame_type(0x04, 0 = key)
-      detected_key = size > 0 && (data[0] & 0x08) == 0 &&
-                     (data[0] & 0x04) == 0;
+      // VP9 uncompressed header: frame_marker(2 bits) then
+      // profile_low_bit, profile_high_bit. Profile 3 carries an extra
+      // reserved bit, shifting show_existing_frame and frame_type down
+      // one position (VP9 bitstream spec 6.2 uncompressed_header).
+      if (size > 0) {
+        uint8_t b0 = data[0];
+        int profile = (((b0 >> 4) & 1) << 1) | ((b0 >> 5) & 1);
+        uint8_t show_existing_mask = profile == 3 ? 0x04 : 0x08;
+        uint8_t frame_type_mask = profile == 3 ? 0x02 : 0x04;
+        detected_key = (b0 & show_existing_mask) == 0 &&
+                       (b0 & frame_type_mask) == 0;
+      }
       break;
     case kAv1:
       detected_key = false;  // OBU parsing out of scope: caller's flag

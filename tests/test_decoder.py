@@ -210,8 +210,19 @@ def test_motion_vectors():
     assert ok
     mvs = dec.MotionVectors
     assert len(mvs) > 0
-    assert isinstance(mvs[0], vali.MotionVector)
-    assert mvs[0].w > 0 and mvs[0].h > 0
+    # Structured numpy array (parity: reference VALI.cpp:125-128 registers
+    # a numpy dtype and returns a vectorized array).
+    assert isinstance(mvs, np.ndarray)
+    assert mvs.dtype == vali.MOTION_VECTOR_DTYPE
+    assert mvs.dtype.names == (
+        "source", "w", "h", "src_x", "src_y", "dst_x", "dst_y",
+        "motion_x", "motion_y", "motion_scale")
+    assert (mvs["w"] > 0).all() and (mvs["h"] > 0).all()
+    # Vectorized values match the native per-record tuples exactly.
+    raw = dec._dec.motion_vectors()
+    assert len(raw) == len(mvs)
+    for i in (0, len(mvs) // 2, len(mvs) - 1):
+        assert tuple(int(mvs[i][k]) for k in mvs.dtype.names) == raw[i]
 
 
 def test_probe():

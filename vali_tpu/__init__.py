@@ -21,6 +21,7 @@ from .core.enums import (  # noqa: F401
     TaskExecStatus,
 )
 from .core.details import (  # noqa: F401
+    MOTION_VECTOR_DTYPE,
     ColorspaceConversionContext,
     MotionVector,
     PacketData,

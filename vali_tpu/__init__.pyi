@@ -256,6 +256,8 @@ class PacketData:
     duration: int
     key: int
 
+MOTION_VECTOR_DTYPE: numpy.dtype
+
 class MotionVector:
     source: int
     w: int
@@ -438,7 +440,7 @@ class PyDecoder:
     @property
     def Metadata(self) -> Dict[str, Dict[str, str]]: ...
     @property
-    def MotionVectors(self) -> List[MotionVector]: ...
+    def MotionVectors(self) -> numpy.ndarray: ...
     @property
     def DisplayRotation(self) -> float: ...
 

@@ -12,6 +12,8 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import numpy as _np
+
 from .enums import (
     ColorRange,
     ColorSpace,
@@ -134,6 +136,26 @@ class MotionVector:
     motion_x: int = 0
     motion_y: int = 0
     motion_scale: int = 0
+
+
+# Registered numpy dtype for vectorized motion-vector access (parity:
+# PYBIND11_NUMPY_DTYPE_EX on the all-int MotionVector struct, reference
+# VALI.cpp:125-128 + VALI.hpp:46-56). PyDecoder.MotionVectors returns a
+# structured array with this dtype.
+MOTION_VECTOR_DTYPE = _np.dtype(
+    [
+        ("source", "<i4"),
+        ("w", "<i4"),
+        ("h", "<i4"),
+        ("src_x", "<i4"),
+        ("src_y", "<i4"),
+        ("dst_x", "<i4"),
+        ("dst_y", "<i4"),
+        ("motion_x", "<i4"),
+        ("motion_y", "<i4"),
+        ("motion_scale", "<i4"),
+    ]
+)
 
 
 @dataclasses.dataclass

@@ -16,6 +16,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ..core.details import (
+    MOTION_VECTOR_DTYPE,
     MotionVector,
     PacketData,
     SeekContext,
@@ -40,6 +41,18 @@ from ._opts import opt_str
 def SetFFMpegLogLevel(level: FfmpegLogLevel) -> None:
     """Parity: reference VALI.cpp:512-521."""
     load_native().set_ffmpeg_log_level(int(level))
+
+
+# Native CopyFrame error code for a frame layout that cannot be expressed
+# in the advertised PixFmt (e.g. odd-dimension yuv420p12 vs semi-planar
+# P012 — see decoder.hpp kErrUnrepresentableLayout).
+_ERR_UNREPRESENTABLE_LAYOUT = -1000
+
+
+def _copy_frame_error(written: int) -> TaskExecInfo:
+    if written == _ERR_UNREPRESENTABLE_LAYOUT:
+        return TaskExecInfo.UNSUPPORTED_FMT_CONV_PARAMS
+    return TaskExecInfo.FAIL
 
 
 class BufferedReader:
@@ -129,7 +142,7 @@ class PyDecoder:
                 return (False, TaskExecInfo.INVALID_INPUT)
         written = self._dec.copy_frame(frame)
         if written < 0:
-            return (False, TaskExecInfo.FAIL)
+            return (False, _copy_frame_error(written))
         self._fill_pkt_data(pkt_data)
         return (True, info)
 
@@ -159,7 +172,7 @@ class PyDecoder:
             self._stage = np.zeros(size, dtype=np.uint8)
         written = self._dec.copy_frame(self._stage)
         if written < 0:
-            return (False, TaskExecInfo.FAIL)
+            return (False, _copy_frame_error(written))
         planes = host_frame_to_planes(
             self._stage, self.Format, self.Width, self.Height)
         import jax
@@ -341,15 +354,14 @@ class PyDecoder:
         return self._dec.metadata()
 
     @property
-    def MotionVectors(self) -> List[MotionVector]:
-        """Motion vectors of the last decoded frame (requires flags2=+export_mvs)."""
-        out = []
-        for t in self._dec.motion_vectors():
-            out.append(MotionVector(
-                source=t[0], w=t[1], h=t[2], src_x=t[3], src_y=t[4],
-                dst_x=t[5], dst_y=t[6], motion_x=t[7], motion_y=t[8],
-                motion_scale=t[9]))
-        return out
+    def MotionVectors(self) -> "np.ndarray":
+        """Motion vectors of the last decoded frame (requires
+        flags2=+export_mvs) as a structured numpy array with dtype
+        ``MOTION_VECTOR_DTYPE`` (parity: the reference registers a numpy
+        dtype and returns a vectorized array, VALI.cpp:125-128). Fields
+        are readable by name: ``mvs["motion_x"]`` etc."""
+        buf = self._dec.motion_vectors_packed()
+        return np.frombuffer(buf, dtype=MOTION_VECTOR_DTYPE)
 
     @property
     def DisplayRotation(self) -> float:
