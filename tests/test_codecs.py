@@ -785,3 +785,163 @@ def test_vp9_decode_device_path(tmp_path):
     while dec.DecodeSingleSurface(surf)[0]:
         means.append(float(np.asarray(surf.plane_arrays()[0]).mean()))
     assert [round(m) for m in means] == [60, 100, 140]
+
+
+# ---------------------------------------------------------------------------
+# HEVC-side observable-option matrix (mirrors the h264 assertions above;
+# parity: NvCodecCliOptions.cpp:85-107 applies the same keys per codec)
+# ---------------------------------------------------------------------------
+
+def _hevc_nal_types(es):
+    out, i = [], 0
+    while True:
+        i = es.find(b"\x00\x00\x01", i)
+        if i < 0:
+            return out
+        out.append((es[i + 3] >> 1) & 0x3F)
+        i += 3
+
+
+def test_encoder_gop_observable_hevc():
+    """gop=4 on hevc must yield an IRAP every 4 frames in the bitstream
+    (HEVC NAL types 16..23; x265 emits IDR_W_RADL=19/IDR_N_LP=20)."""
+    es = _encode_es({"s": f"{W}x{H}", "codec": "hevc", "gop": "4",
+                     "bf": "0", "lookahead": "0"}, n_frames=12)
+    nals = _hevc_nal_types(es)
+    iraps = sum(1 for t in nals if 16 <= t <= 23)
+    assert iraps == 3, nals
+
+
+def test_encoder_profile_observable_hevc(tmp_path):
+    """HEVC profile must land in the stream: Main (1) for 8-bit NV12,
+    Main10 (2) for YUV420_10bit input, as reported by the decoder."""
+    from vali_tpu.memory.host import planes_to_host_frame
+
+    es8 = _encode_es({"s": f"{W}x{H}", "codec": "hevc", "gop": "4"},
+                     n_frames=4)
+    p8 = tmp_path / "main.h265"
+    p8.write_bytes(es8)
+    assert vali.PyDecoder(str(p8), {}, gpu_id=-1).Profile == 1  # Main
+
+    enc = vali.PyNvEncoder({"s": f"{W}x{H}", "codec": "hevc", "gop": "1"},
+                           gpu_id=0, format=F.YUV420_10bit)
+    up = vali.PyFrameUploader(gpu_id=0)
+    chunks = []
+    pkt = np.zeros(0, np.uint8)
+    for fill in (256, 640):
+        planes = [np.full((H, W), fill, np.uint16),
+                  np.full((H // 2, W // 2), 512, np.uint16),
+                  np.full((H // 2, W // 2), 512, np.uint16)]
+        surf = vali.Surface.Make(F.YUV420_10bit, W, H)
+        assert up.Run(planes_to_host_frame(planes), surf)[0]
+        if enc.EncodeSingleSurface(surf, pkt):
+            chunks.append(pkt.tobytes())
+    flush = np.zeros(0, np.uint8)
+    enc.Flush(flush)
+    p10 = tmp_path / "main10.h265"
+    p10.write_bytes(b"".join(chunks) + flush.tobytes())
+    dec10 = vali.PyDecoder(str(p10), {}, gpu_id=-1)
+    # 10-bit input must NOT be squeezed into 8-bit Main: the stream
+    # carries a 10-bit-capable profile — Main10 (2) or, as this libx265
+    # build labels its auto-selected 10-bit profile, Rext (4) — and
+    # decodes back as 10-bit.
+    assert dec10.Profile in (2, 4), dec10.Profile
+    assert dec10.Format == F.YUV420_10bit
+
+
+def test_encoder_10bit_roundtrip_hevc(tmp_path):
+    """10-bit HEVC (x265 main10) encode -> decode round trip with value
+    fidelity (the 10-bit path the reference serves via NVENC main10)."""
+    from vali_tpu.memory.host import planes_to_host_frame
+
+    enc = vali.PyNvEncoder({"s": f"{W}x{H}", "codec": "hevc",
+                            "bitrate": "2M", "gop": "1"},
+                           gpu_id=0, format=F.YUV420_10bit)
+    fills = [150, 512, 900]
+    up = vali.PyFrameUploader(gpu_id=0)
+    chunks = []
+    pkt = np.zeros(0, np.uint8)
+    for fill in fills:
+        planes = [np.full((H, W), fill, np.uint16),
+                  np.full((H // 2, W // 2), 512, np.uint16),
+                  np.full((H // 2, W // 2), 512, np.uint16)]
+        surf = vali.Surface.Make(F.YUV420_10bit, W, H)
+        assert up.Run(planes_to_host_frame(planes), surf)[0]
+        if enc.EncodeSingleSurface(surf, pkt):
+            chunks.append(pkt.tobytes())
+    flush = np.zeros(0, np.uint8)
+    enc.Flush(flush)
+    es = tmp_path / "ten.h265"
+    es.write_bytes(b"".join(chunks) + flush.tobytes())
+
+    dec = vali.PyDecoder(str(es), {}, gpu_id=-1)
+    assert dec.Format == F.YUV420_10bit
+    frame = np.zeros(dec.HostFrameSize, dtype=np.uint8)
+    means = []
+    while dec.DecodeSingleFrame(frame)[0]:
+        means.append(float(frame.view(np.uint16)[:W * H].mean()))
+    assert len(means) == len(fills)
+    for got, want in zip(means, fills):
+        assert abs(got - want) < 8.0
+
+
+def test_encoder_capability_limits_honest(tmp_path):
+    """Capabilities must not promise what the codec build can't do:
+    encode one frame at the claimed WIDTH_MAX x HEIGHT_MAX and at
+    WIDTH_MIN x HEIGHT_MIN, and decode the big one back."""
+    caps = vali.PyNvEncoder({"s": f"{W}x{H}"}, gpu_id=0).Capabilities
+    wmax, hmax = caps[vali.NV_ENC_CAPS.WIDTH_MAX], \
+        caps[vali.NV_ENC_CAPS.HEIGHT_MAX]
+    wmin, hmin = caps[vali.NV_ENC_CAPS.WIDTH_MIN], \
+        caps[vali.NV_ENC_CAPS.HEIGHT_MIN]
+    up = vali.PyFrameUploader(gpu_id=0)
+    for w, h in ((wmax, hmax), (wmin, hmin)):
+        enc = vali.PyNvEncoder({"s": f"{w}x{h}", "preset": "P1",
+                                "gop": "1"}, gpu_id=0, format=F.NV12)
+        y = np.full((h, w), 100, np.uint8)
+        uv = np.full((h // 2, w), 128, np.uint8)
+        surf = vali.Surface.Make(F.NV12, w, h)
+        assert up.Run(np.concatenate([y.reshape(-1), uv.reshape(-1)]),
+                      surf)[0]
+        pkt = np.zeros(0, np.uint8)
+        enc.EncodeSingleSurface(surf, pkt)
+        flush = np.zeros(0, np.uint8)
+        enc.Flush(flush)
+        es = pkt.tobytes() + flush.tobytes()
+        assert es, (w, h)
+        p = tmp_path / f"{w}x{h}.h264"
+        p.write_bytes(es)
+        dec = vali.PyDecoder(str(p), {}, gpu_id=-1)
+        assert (dec.Width, dec.Height) == (w, h)
+        out = np.zeros(dec.HostFrameSize, np.uint8)
+        assert dec.DecodeSingleFrame(out)[0]
+        assert abs(float(out[:w * h].mean()) - 100) < 2.0
+
+
+def test_encoder_sync_packet_arrival_contract():
+    """Pin the documented sync=True contract (encoder.py:133-140):
+    packet arrival follows the codec's frame-delay queue identically for
+    sync=True and sync=False (libavcodec cannot drain a single frame
+    mid-stream, matching NVENC's async frame queue), and a delayed
+    configuration returns False (empty packet) until the queue fills."""
+    arrivals = {}
+    for sync in (False, True):
+        enc = vali.PyNvEncoder({"s": f"{W}x{H}", "bf": "0",
+                                "lookahead": "0", "gop": "4"},
+                               gpu_id=0, format=F.NV12)
+        pkt = np.zeros(0, np.uint8)
+        seq = []
+        for i in range(8):
+            ok = enc.EncodeSingleSurface(nv12_surface(60 + 10 * i), pkt,
+                                         sync=sync)
+            assert ok == bool(pkt.size), (sync, i)
+            seq.append(ok)
+        arrivals[sync] = seq
+        assert any(seq), (sync, seq)
+    assert arrivals[True] == arrivals[False], arrivals
+
+    enc = vali.PyNvEncoder({"s": f"{W}x{H}", "bf": "2", "gop": "30",
+                            "lookahead": "4"}, gpu_id=0, format=F.NV12)
+    pkt = np.zeros(0, np.uint8)
+    first = enc.EncodeSingleSurface(nv12_surface(80), pkt, sync=True)
+    assert not first and not pkt.size
