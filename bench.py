@@ -177,32 +177,44 @@ def main():
 
     # secondary: H2D staging bandwidth (the pipeline's device_put path;
     # through the axon tunnel this is RPC-bound — locally-attached TPUs
-    # see PCIe rates instead)
-    h2d_gbps = 0.0
+    # see PCIe rates instead). 3 timed reps -> median + relative spread,
+    # so drift is attributable (like the Pallas slope spread).
+    h2d_gbps = h2d_spread = 0.0
     try:
         stage = np.ascontiguousarray(
             np.asarray(nv12_padded)[:16])  # ~50 MB host batch
-        for _ in range(2):
+        jax.block_until_ready(jax.device_put(stage))  # warm
+        samples = []
+        for _ in range(3):
             t0 = time.perf_counter()
             jax.block_until_ready(jax.device_put(stage))
-            h2d = time.perf_counter() - t0
-        h2d_gbps = stage.nbytes / h2d / 1e9
+            samples.append(stage.nbytes / (time.perf_counter() - t0) / 1e9)
+        h2d_gbps = float(np.median(samples))
+        if h2d_gbps > 0:
+            h2d_spread = (max(samples) - min(samples)) / h2d_gbps
     except Exception:
         pass
 
-    # secondary: single-stream software decode fps (host CPU)
-    decode_fps = 0.0
+    # secondary: single-stream software decode fps (host CPU), 3 full
+    # passes -> median + spread (host-load variance showed up as a
+    # 712-vs-1000 fps drift between rounds with single samples)
+    decode_fps = decode_spread = 0.0
     try:
         import vali_tpu as vali
 
-        dec = vali.PyDecoder("/root/reference/tests/data/test.mp4", {},
-                             gpu_id=-1)
-        frame = np.zeros(dec.HostFrameSize, dtype=np.uint8)
-        n = 0
-        td = time.perf_counter()
-        while dec.DecodeSingleFrame(frame)[0]:
-            n += 1
-        decode_fps = n / (time.perf_counter() - td)
+        samples = []
+        for _ in range(3):
+            dec = vali.PyDecoder("/root/reference/tests/data/test.mp4", {},
+                                 gpu_id=-1)
+            frame = np.zeros(dec.HostFrameSize, dtype=np.uint8)
+            n = 0
+            td = time.perf_counter()
+            while dec.DecodeSingleFrame(frame)[0]:
+                n += 1
+            samples.append(n / (time.perf_counter() - td))
+        decode_fps = float(np.median(samples))
+        if decode_fps > 0:
+            decode_spread = (max(samples) - min(samples)) / decode_fps
     except Exception:
         pass
 
@@ -227,7 +239,9 @@ def main():
         "resize_4k_to_1080p_nv12_fps_xla": round(resize_4k_fps_xla, 1),
         "preprocess_4k_to_224_fps": round(preprocess_4k_fps, 1),
         "h2d_staging_gbytes_per_sec": round(h2d_gbps, 2),
+        "h2d_staging_spread": round(h2d_spread, 3),
         "sw_decode_fps_single_stream_848x464": round(decode_fps, 1),
+        "sw_decode_fps_spread": round(decode_spread, 3),
         "configs": configs,
         "device": str(jax.devices()[0]),
     }

@@ -244,14 +244,85 @@ def config5_pipeline_64streams(max_batches=3, jpeg_sample=16):
             "jpeg_per_sec": round(jpeg_rate, 1)}
 
 
+def config5_pipeline_chipside():
+    """The north-star config through the PRODUCT pipeline code,
+    device-resident: MultiStreamPipeline's real staging/split/dispatch
+    path (`_stage_padded` -> `_split` -> `_dispatch_planes`) run from an
+    HBM-resident ring of staged batches of REAL decoded 1080p frames —
+    the H2D (tunnel-RTT-bound here, see `h2d_staging_gbytes_per_sec`)
+    replaced by buffer reuse, exactly how a locally-attached deployment
+    overlaps staging with compute. Also times the device JPEG stage
+    (ops/jpeg.py DCT+quant) on the pipeline's output batch separately
+    from host entropy coding."""
+    import jax
+    import jax.numpy as jnp
+
+    from vali_tpu.core.enums import PixelFormat
+    from vali_tpu.ops.jpeg import jpeg_transform_batch
+    from vali_tpu.pipeline.multistream import MultiStreamPipeline
+
+    B = 64
+    pipe = MultiStreamPipeline([CLIP_1080] * B, dst_w=224, dst_h=224,
+                               gpu_id=0, batch_size=B)
+    # one real batch through the FULL path (decode -> stage -> H2D ->
+    # kernel): validates the e2e contract and leaves the staged host
+    # batch of real decoded frames in the staging ring
+    it = iter(pipe)
+    batch, ids = next(it)
+    np.asarray(batch[0, 0, 0])
+    assert batch.shape == (B, 224, 224, 3), batch.shape
+    assert pipe._staging_inflight, "expected a staged batch in flight"
+    staged_host = pipe._staging_inflight[0][0].copy()
+    pipe.stop()
+
+    # HBM-resident staged planes, exactly as production dispatches them:
+    # _stage_one splits the staged batch on the HOST (zero-copy views)
+    # and device_puts plane-shaped arrays — the ring holds the same
+    # plane-shaped batch and the slope loop carries (and perturbs) it
+    # on-device, the buffer-reuse pattern of a local deployment.
+    host_planes = pipe._split(staged_host)
+    dev_planes = tuple(jax.device_put(p) for p in host_planes)
+    jax.block_until_ready(dev_planes)
+
+    # the slope loop perturbs+carries the luma plane; chroma planes ride
+    # along as captured residents (same HBM-reuse pattern)
+    rest = dev_planes[1:]
+
+    def pipeline_dispatch(p):
+        return pipe._dispatch_planes((p,) + rest)
+
+    per_batch = _slope_time(pipeline_dispatch, dev_planes[0],
+                            K_short=40, K_long=200, reps=4)
+    fps = B / per_batch
+
+    # device JPEG stage on the pipeline's real output batch
+    packed = jnp.reshape(batch, (B, 224, 224 * 3))
+    per_jpeg = _slope_time(
+        lambda x: jpeg_transform_batch(
+            (x,), src_fmt=int(PixelFormat.RGB), width=224, height=224,
+            quality=85)[0],
+        packed, K_short=20, K_long=100, reps=3)
+    return {"value": round(fps, 1),
+            "unit": "frames/sec/chip (pipeline code, HBM-resident ring)",
+            "ms_per_batch": round(per_batch * 1000, 3),
+            "jpeg_device_ms_per_batch": round(per_jpeg * 1000, 3),
+            "jpeg_device_fps": round(B / per_jpeg, 1),
+            "note": ("decode+H2D excluded (host-bound on this 1-core "
+                     "tunneled host; see sw_decode_fps and h2d lines)")}
+
+
 # ordered cheap-first so a tight time budget still records the quick
-# configs; the host-decode-bound slow ones (3, 5) go last
+# configs; the host-decode-bound slow ones (3, 5) go last. The third
+# field is the minimum seconds of remaining budget a config needs (cold
+# remote compiles dominate — observed worst cases through a slow
+# tunnel); a config is skipped with a note when less remains.
 ALL_CONFIGS = [
-    ("1_sw_decode_cpu_convert", config1_decode_convert_cpu),
-    ("2_tpu_two_stage_convert_resize", config2_convert_resize_tpu),
-    ("4_decode_preprocess_inference_e2e", config4_inference_e2e),
-    ("3_transcode_4k_hevc", config3_full_transcode_4k),
-    ("5_pipeline_64x1080p_jpeg", config5_pipeline_64streams),
+    ("1_sw_decode_cpu_convert", config1_decode_convert_cpu, 30),
+    ("2_tpu_two_stage_convert_resize", config2_convert_resize_tpu, 90),
+    ("5_pipeline_chipside", config5_pipeline_chipside, 240),
+    ("4_decode_preprocess_inference_e2e", config4_inference_e2e, 90),
+    ("3_transcode_4k_hevc", config3_full_transcode_4k, 90),
+    ("5_pipeline_64x1080p_jpeg", config5_pipeline_64streams, 90),
 ]
 
 
@@ -274,9 +345,13 @@ def run_all(deadline: float = None):
         deadline = max(deadline, time.monotonic() + 150.0)
     _DEADLINE = deadline
     results = {}
-    for name, fn in ALL_CONFIGS:
-        if _over_deadline():
-            results[name] = {"skipped": "bench time budget exhausted"}
+    for name, fn, min_budget in ALL_CONFIGS:
+        left = (_DEADLINE - time.monotonic()) if _DEADLINE is not None \
+            else float("inf")
+        if left < min_budget:
+            results[name] = {"skipped": (f"bench time budget exhausted "
+                                         f"({left:.0f}s left, needs "
+                                         f"{min_budget}s)")}
             continue
         try:
             results[name] = fn()

@@ -8,8 +8,8 @@ import bench_configs as bc
 def test_exhausted_deadline_still_runs_minimum_window(monkeypatch):
     ran = []
     monkeypatch.setattr(bc, "ALL_CONFIGS", [
-        ("a", lambda: (ran.append("a"), {"v": 1})[1]),
-        ("b", lambda: (ran.append("b"), {"v": 2})[1]),
+        ("a", lambda: (ran.append("a"), {"v": 1})[1], 0),
+        ("b", lambda: (ran.append("b"), {"v": 2})[1], 0),
     ])
     # deadline long past: the minimum window must still let the quick
     # configs record instead of skipping everything
@@ -24,10 +24,21 @@ def test_mid_run_deadline_skips_remaining(monkeypatch):
         return {"v": 1}
 
     monkeypatch.setattr(bc, "ALL_CONFIGS", [
-        ("a", slow), ("b", lambda: {"v": 2})])
+        ("a", slow, 0), ("b", lambda: {"v": 2}, 0)])
     res = bc.run_all(deadline=time.monotonic() + 9999)
     assert res["a"] == {"v": 1}
-    assert res["b"] == {"skipped": "bench time budget exhausted"}
+    assert "skipped" in res["b"]
+
+
+def test_min_budget_skips_expensive_config(monkeypatch):
+    """A config whose min_budget exceeds the remaining window is skipped
+    with a note; cheaper ones after it still run."""
+    monkeypatch.setattr(bc, "ALL_CONFIGS", [
+        ("pricey", lambda: {"v": 1}, 100000),
+        ("cheap", lambda: {"v": 2}, 0)])
+    res = bc.run_all(deadline=time.monotonic() + 200)
+    assert "skipped" in res["pricey"]
+    assert res["cheap"] == {"v": 2}
 
 
 def test_config_error_is_contained(monkeypatch):
@@ -35,7 +46,7 @@ def test_config_error_is_contained(monkeypatch):
         raise RuntimeError("nope")
 
     monkeypatch.setattr(bc, "ALL_CONFIGS", [
-        ("a", boom), ("b", lambda: {"v": 2})])
+        ("a", boom, 0), ("b", lambda: {"v": 2}, 0)])
     res = bc.run_all()
     assert "RuntimeError" in res["a"]["error"]
     assert res["b"] == {"v": 2}

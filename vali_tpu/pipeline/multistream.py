@@ -374,23 +374,30 @@ class MultiStreamPipeline:
         planes = self._split(batch_host)
         target = self._batch_sharding or self.device
         planes = tuple(jax.device_put(p, target) for p in planes)
-        if self._batch_sharding is not None:
-            out = self._sharded_preprocess()(planes)
-            if out.shape[0] != n_real:
-                out = out[:n_real]
-        else:
-            out = preprocess_batch(
-                planes, self.src_fmt, self.src_w, self.src_h,
-                self.dst_w, self.dst_h, space=self.space,
-                crange=self.crange, out_dtype=self.out_dtype,
-                planar=self.planar, method=self.method,
-                normalize=self.normalize)
+        out = self._dispatch_planes(planes, n_real)
         if staged_buf is not None:
             # the mesh EOS-tail path copies into a fresh concatenated
             # array, releasing the staged buffer immediately (fut=None)
             fut = out if staged_buf is batch_host else None
             self._staging_inflight.append((staged_buf, fut))
         return out, ids
+
+    def _dispatch_planes(self, planes, n_real: Optional[int] = None):
+        """Device-side half of :meth:`_stage_one`: run the (sharded or
+        single-chip) fused preprocess over already-device-resident planes.
+        Factored out so device-resident benchmarks (bench_configs config
+        5 chip-side) exercise exactly the pipeline's dispatch path."""
+        if self._batch_sharding is not None:
+            out = self._sharded_preprocess()(planes)
+            if n_real is not None and out.shape[0] != n_real:
+                out = out[:n_real]
+            return out
+        return preprocess_batch(
+            planes, self.src_fmt, self.src_w, self.src_h,
+            self.dst_w, self.dst_h, space=self.space,
+            crange=self.crange, out_dtype=self.out_dtype,
+            planar=self.planar, method=self.method,
+            normalize=self.normalize)
 
     def _sharded_preprocess(self):
         """shard_map the fused preprocess over the mesh's data axis: each
@@ -439,6 +446,11 @@ class MultiStreamPipeline:
         t = threading.Thread(target=stager, daemon=True,
                              name="vali-stager")
         t.start()
+        # Local binding: the finally block can run at generator
+        # finalization during interpreter shutdown, when module globals
+        # (queue) may already be cleared — a global lookup there raises
+        # "catching classes that do not inherit from BaseException".
+        _empty = queue.Empty
         try:
             while True:
                 staged = out_q.get()
@@ -456,7 +468,7 @@ class MultiStreamPipeline:
             try:
                 while True:
                     out_q.get_nowait()
-            except queue.Empty:
+            except _empty:
                 pass
             t.join(timeout=10.0)
             # full teardown: unblock + join decode workers and recycle
