@@ -28,6 +28,16 @@ design. Measured on v5e (64x1080p -> 224x224, ms/batch):
      chain u8->i32->f32->bf16: ~1%, kept for simplicity — i16 halves the
      widening vregs and is exact; u8->bf16 and u16->bf16 stay unsupported)
 
+  COMBO (round 3): M2/M4 grid steps + static    0.358/0.358  (vs 0.327
+     windows + banded W + chroma-half padding    production same session;
+     — the round-2 "never combined" follow-up.   dead end: the W-pass M
+     The M2 win (0.431 vs 0.516) existed only    was already amortized by
+     under the dense-W structure; with banding   banding, and G>1 halves
+     the W matmuls are ~1.2us/frame and double-  the grid's DMA overlap
+     M saves less than the larger VMEM blocks    depth)
+     cost. TILE=64 re-confirmed catastrophic
+     under the current structure too:
+     G=1/tile=64 -> 1.049, G=2/tile=64 -> 1.088.
   banded W-pass (ADOPTED)                       0.392-0.399  (Lanczos
      bands cover ~60% of the dense [W, DW] matrices at 1080p->224;
      128-lane output tiles with aligned input windows, bit-identical)
@@ -985,3 +995,159 @@ def main_transposed():
               flush=True)
     except Exception as e:
         print(f"T: FAILED {type(e).__name__}: {str(e)[:300]}", flush=True)
+
+
+def combo_kernel(nv12, *, src_w, src_h, dst_w, dst_h, gframes=2,
+                 tile=32, space=ColorSpace.BT_709,
+                 crange=ColorRange.MPEG, interpret=False):
+    """Variant COMBO (round 3): multiframe G grid steps ON TOP OF the
+    current production structure — static windows, banded W-pass,
+    chroma W halves padded per lane tile, u8->i16->bf16 cast. The round-2
+    lab measured M2 winning (0.431 vs 0.516) under the OLD dense-W
+    dynamic-slice structure; this retries it against the 0.33 ms
+    static+banded kernel. M in the W-pass matmuls becomes G*DH."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import vali_tpu.ops.pallas_fused as pf
+
+    B = nv12.shape[0]
+    G = gframes
+    assert B % G == 0
+    H, W, DH, DW = src_h, src_w, dst_h, dst_w
+    cdt = jnp.bfloat16
+    method = LANCZOS_AA
+
+    ot = pf.TILE
+    pf.TILE = tile
+    try:
+        y_starts, y_blocks, y_win, y_end = pf._banded_h_weights(
+            H, DH, method)
+        c_starts, c_blocks, c_win, c_end = pf._banded_h_weights(
+            H // 2, DH, method, row_offset=H, chroma_of=H)
+    finally:
+        pf.TILE = ot
+    rows_needed = max(H * 3 // 2, y_end, c_end)
+    if nv12.shape[1] < rows_needed:
+        nv12 = jnp.pad(nv12, ((0, 0), (0, rows_needed - nv12.shape[1]),
+                              (0, 0)))
+    rows = nv12.shape[1]
+    n_tiles = y_blocks.shape[0]
+
+    LT, LA = pf.LANE_TILE, pf.LANE_ALIGN
+    wys, wyb, wy_winw, _ = pf._banded_blocks_from_dense(
+        _w_weights(W, DW, method).T, LT, LA, W, clamp_to_extent=True)
+    wy_blocks = np.transpose(wyb, (0, 2, 1)).copy()
+    DWp = ((DW + LT - 1) // LT) * LT
+    _wc = _chroma_w_weights_interleaved(W, DW, method)
+    wc_dense = np.zeros((W, 2 * DWp), dtype=np.float32)
+    wc_dense[:, :DW] = _wc[:, :DW]
+    wc_dense[:, DWp:DWp + DW] = _wc[:, DW:]
+    wcs, wcb, wc_winw, _ = pf._banded_blocks_from_dense(
+        wc_dense.T, LT, LA, W, clamp_to_extent=True)
+    wc_blocks = np.transpose(wcb, (0, 2, 1)).copy()
+    nwt, nct_w = wy_blocks.shape[0], wc_blocks.shape[0]
+
+    mo = colors.yuv2rgb_matrix(space, crange)
+    m, y_off = mo
+    m = m.astype(np.float32)
+    dh_pad = ((DH + tile - 1) // tile) * tile
+    GDH = G * dh_pad
+
+    def _to(x):
+        return x.astype(jnp.int16).astype(cdt)
+
+    def kernel(frame_ref, yblk_ref, cblk_ref, wyb_ref, wcb_ref, out_ref,
+               yh_ref, ch_ref, yw_ref, cw_ref):
+        for gi in range(G):
+            for t in range(n_tiles):
+                ys, cs = int(y_starts[t]), int(c_starts[t])
+                r0 = gi * dh_pad + t * tile
+                yh_ref[r0:r0 + tile, :] = jnp.dot(
+                    yblk_ref[t].astype(cdt),
+                    _to(frame_ref[gi, ys:ys + y_win, :]),
+                    preferred_element_type=jnp.float32).astype(cdt)
+                ch_ref[r0:r0 + tile, :] = jnp.dot(
+                    cblk_ref[t].astype(cdt),
+                    _to(frame_ref[gi, cs:cs + c_win, :]),
+                    preferred_element_type=jnp.float32).astype(cdt)
+
+        # banded W pass, M = G*dh_pad rows at once
+        for t in range(nwt):
+            ws = int(wys[t])
+            yw_ref[:, t * LT:(t + 1) * LT] = jnp.dot(
+                yh_ref[:, ws:ws + wy_winw], wyb_ref[t].astype(cdt),
+                preferred_element_type=jnp.float32)
+        for t in range(nct_w):
+            ws = int(wcs[t])
+            cw_ref[:, t * LT:(t + 1) * LT] = jnp.dot(
+                ch_ref[:, ws:ws + wc_winw], wcb_ref[t].astype(cdt),
+                preferred_element_type=jnp.float32)
+        u = cw_ref[:, :DW] - 128.0
+        v = cw_ref[:, DWp:DWp + DW] - 128.0
+        yv = yw_ref[:, :DW] - y_off
+        r = m[0, 0] * yv + m[0, 1] * u + m[0, 2] * v
+        g = m[1, 0] * yv + m[1, 1] * u + m[1, 2] * v
+        b = m[2, 0] * yv + m[2, 1] * u + m[2, 2] * v
+        for gi in range(G):
+            s = gi * dh_pad
+            for idx, ch in ((0, r), (1, g), (2, b)):
+                out_ref[gi, idx] = jnp.clip(
+                    jnp.round(ch[s:s + DH]), 0.0, 255.0).astype(
+                    jnp.int32).astype(jnp.uint8)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, rows, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, 3, DH, DW), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 3, DH, DW), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((GDH, W), cdt),
+            pltpu.VMEM((GDH, W), cdt),
+            pltpu.VMEM((GDH, nwt * LT), jnp.float32),
+            pltpu.VMEM((GDH, nct_w * LT), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(nv12, jnp.asarray(y_blocks), jnp.asarray(c_blocks),
+      jnp.asarray(wy_blocks).astype(cdt), jnp.asarray(wc_blocks).astype(cdt))
+
+
+def main_combo():
+    """Round-3 item: M2 grid steps + static windows + banded W (VERDICT
+    #3) and a TILE re-sweep under the current structure."""
+    B, H, W, DH, DW = 64, 1080, 1920, 224, 224
+    rng = np.random.default_rng(0)
+    pad = required_pad_rows(W, H, DH)
+    nv12 = jnp.asarray(
+        rng.integers(0, 256, (B, H * 3 // 2 + pad, W), dtype=np.uint8))
+    base = lambda x: pallas_nv12_preprocess(
+        x, src_w=W, src_h=H, dst_w=DW, dst_h=DH)
+    ref = np.asarray(base(nv12[:4]))
+    ms, spread = time_fn(base, nv12)
+    print(f"base(prod): {ms*1000:.3f} ms spread={spread:.1%}", flush=True)
+    cases = [(2, 32), (4, 32), (2, 64), (1, 64)]
+    import sys as _sys
+    if _sys.argv[1:]:
+        cases = [tuple(int(v) for v in a.split(",")) for a in _sys.argv[1:]]
+    for G, tile in cases:
+        fn = functools.partial(combo_kernel, src_w=W, src_h=H,
+                               dst_w=DW, dst_h=DH, gframes=G, tile=tile)
+        try:
+            out = np.asarray(fn(nv12[:4]))
+            md = np.abs(out.astype(int) - ref.astype(int)).max()
+            ms, spread = time_fn(fn, nv12)
+            print(f"COMBO G={G} tile={tile}: {ms*1000:.3f} ms "
+                  f"spread={spread:.1%} maxdiff={md}", flush=True)
+        except Exception as e:
+            print(f"COMBO G={G} tile={tile}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)

@@ -1,0 +1,170 @@
+"""Lab: pallas_nv12_to_rgb structural variants (config-2 stage 1).
+
+V0 production (group mode, per-tile casts, separate luma/chroma matmuls)
+V1 pre-cast luma + chroma into bf16 scratches once; slice bf16 windows
+V2 V1 + interleaved [luma|chroma] 256-lane group layout -> ONE K=256
+   matmul per group against a single shared [256, 384] block
+"""
+import functools
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bench_kernel_variants import time_fn
+from vali_tpu.core.details import ColorspaceConversionContext
+from vali_tpu.core.enums import ColorRange, ColorSpace, PixelFormat
+from vali_tpu.ops import colors, csc
+from vali_tpu.ops.pallas_fused import (TILE, ALIGN,
+                                       _banded_blocks_from_dense,
+                                       pallas_nv12_to_rgb)
+
+B, H, W = 64, 1080, 1920
+SPACE, CRANGE = ColorSpace.BT_709, ColorRange.MPEG
+rng = np.random.default_rng(0)
+NV12 = jnp.asarray(rng.integers(0, 256, (B, H * 3 // 2, W), dtype=np.uint8))
+
+
+def _repl_blocks():
+    R = np.zeros((H, H // 2), dtype=np.float32)
+    R[np.arange(H), np.arange(H) // 2] = 1.0
+    return _banded_blocks_from_dense(R, TILE, ALIGN, H * 3 // 2,
+                                     row_offset=H)
+
+
+def _group_mats(P=128):
+    m, y_off = colors.yuv2rgb_matrix(SPACE, CRANGE)
+    m = m.astype(np.float32)
+    p = np.arange(P)
+    Ag = np.zeros((P, 3 * P), dtype=np.float32)
+    Bg = np.zeros((P, 3 * P), dtype=np.float32)
+    for c in range(3):
+        Ag[p, 3 * p + c] = m[c, 0]
+        Bg[2 * (p // 2), 3 * p + c] = m[c, 1]
+        Bg[2 * (p // 2) + 1, 3 * p + c] = m[c, 2]
+    off = np.zeros((1, 3 * W), dtype=np.float32)
+    for c in range(3):
+        off[0, c::3][:W] = -(m[c, 0] * y_off + (m[c, 1] + m[c, 2]) * 128.0)
+    return Ag, Bg, off
+
+
+@functools.partial(jax.jit, static_argnames=("variant",))
+def variant_kernel(nv12, variant="V1"):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = nv12.shape[0]
+    cdt = jnp.bfloat16
+    P = 128
+    ng = W // P
+    OW = 3 * W
+    Ag, Bg, off = _group_mats(P)
+    r_starts, r_blocks, r_win, r_end = _repl_blocks()
+    n_rt = r_blocks.shape[0]
+    if nv12.shape[1] < r_end:
+        nv12 = jnp.pad(nv12, ((0, 0), (0, r_end - nv12.shape[1]), (0, 0)))
+    rows = nv12.shape[1]
+    h_pad = n_rt * TILE
+    AB = np.concatenate([Ag, Bg], axis=0)  # [2P, 3P] for V2
+
+    def kern_v1(f_ref, rblk_ref, a_ref, bref, off_ref, out_ref,
+                cf_ref, yb_ref):
+        yb_ref[:, :] = f_ref[0, :H, :].astype(jnp.int16).astype(cdt)
+        for t in range(n_rt):
+            rs = int(r_starts[t])
+            win = f_ref[0, rs:rs + r_win, :].astype(jnp.int16).astype(cdt)
+            cf_ref[t * TILE:(t + 1) * TILE, :] = jnp.dot(
+                rblk_ref[t].astype(cdt), win,
+                preferred_element_type=jnp.float32).astype(cdt)
+        for t in range(ng):
+            s = t * P
+            acc = jnp.dot(yb_ref[:, s:s + P], a_ref[...],
+                          preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(cf_ref[:H, s:s + P], bref[...],
+                                preferred_element_type=jnp.float32)
+            acc = acc + off_ref[0, t * 3 * P:(t + 1) * 3 * P]
+            out_ref[0, :, t * 3 * P:(t + 1) * 3 * P] = jnp.clip(
+                jnp.round(acc), 0.0, 255.0).astype(jnp.int32).astype(
+                jnp.uint8)
+
+    def kern_v2(f_ref, rblk_ref, ab_ref, off_ref, out_ref, cf_ref,
+                yc_ref):
+        # interleaved [luma128 | chroma128] per group in one scratch
+        for t in range(ng):
+            s = t * P
+            yc_ref[:H, 2 * s:2 * s + P] = f_ref[0, :H, s:s + P].astype(
+                jnp.int16).astype(cdt)
+        for t in range(n_rt):
+            rs = int(r_starts[t])
+            win = f_ref[0, rs:rs + r_win, :].astype(jnp.int16).astype(cdt)
+            cf_ref[t * TILE:(t + 1) * TILE, :] = jnp.dot(
+                rblk_ref[t].astype(cdt), win,
+                preferred_element_type=jnp.float32).astype(cdt)
+        for t in range(ng):
+            s = t * P
+            yc_ref[:H, 2 * s + P:2 * s + 2 * P] = cf_ref[:H, s:s + P]
+        for t in range(ng):
+            s = 2 * t * P
+            acc = jnp.dot(yc_ref[:H, s:s + 2 * P], ab_ref[...],
+                          preferred_element_type=jnp.float32)
+            acc = acc + off_ref[0, t * 3 * P:(t + 1) * 3 * P]
+            out_ref[0, :, t * 3 * P:(t + 1) * 3 * P] = jnp.clip(
+                jnp.round(acc), 0.0, 255.0).astype(jnp.int32).astype(
+                jnp.uint8)
+
+    common = dict(
+        grid=(b,),
+        out_specs=pl.BlockSpec((1, H, OW), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, H, OW), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )
+    if variant == "V1":
+        return pl.pallas_call(
+            kern_v1,
+            in_specs=[pl.BlockSpec((1, rows, W), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            scratch_shapes=[pltpu.VMEM((h_pad, W), cdt),
+                            pltpu.VMEM((H, W), cdt)],
+            **common,
+        )(nv12, jnp.asarray(r_blocks), jnp.asarray(Ag).astype(cdt),
+          jnp.asarray(Bg).astype(cdt), jnp.asarray(off))
+    return pl.pallas_call(
+        kern_v2,
+        in_specs=[pl.BlockSpec((1, rows, W), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        scratch_shapes=[pltpu.VMEM((h_pad, W), cdt),
+                        pltpu.VMEM((H, 2 * W), cdt)],
+        **common,
+    )(nv12, jnp.asarray(r_blocks), jnp.asarray(AB).astype(cdt),
+      jnp.asarray(off))
+
+
+def main():
+    cc = ColorspaceConversionContext(SPACE, CRANGE)
+    ref = np.asarray(csc.convert_batch(
+        (NV12[:2],), PixelFormat.NV12, PixelFormat.RGB, W, H, cc)[0])
+    variants = sys.argv[1:] or ["V0", "V1", "V2"]
+    for v in variants:
+        if v == "V0":
+            fn = lambda x: pallas_nv12_to_rgb(
+                x, src_w=W, src_h=H, space=SPACE, crange=CRANGE)
+        else:
+            fn = functools.partial(variant_kernel, variant=v)
+        try:
+            out = np.asarray(fn(NV12[:2]))
+            md = np.abs(out.astype(int) - ref.astype(int)).max()
+            ms, spread = time_fn(fn, NV12)
+            print(f"{v}: {ms*1000:.3f} ms/batch spread={spread:.1%} "
+                  f"maxdiff={md} fps={B/ms:,.0f}", flush=True)
+        except Exception as e:
+            print(f"{v}: FAILED {type(e).__name__}: {str(e)[:250]}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -282,3 +282,105 @@ def test_bf16_normalized_output():
         out_dtype=jnp.float32, normalize=norm, interpret=True)
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref), rtol=0.02, atol=0.02)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 kernels: packed-RGB conversion + packed resize (config-2 path)
+# ---------------------------------------------------------------------------
+
+class TestPackedConvert:
+    @pytest.mark.parametrize("wh", [(256, 96), (168, 64)],
+                             ids=["group128", "generic"])
+    def test_nv12_to_rgb_interpret_matches_xla(self, wh):
+        from vali_tpu.core.details import ColorspaceConversionContext
+        from vali_tpu.ops import csc
+        from vali_tpu.ops.pallas_fused import pallas_nv12_to_rgb
+
+        W, H = wh
+        nv12 = jnp.asarray(RNG.integers(0, 256, (2, H * 3 // 2, W),
+                                        dtype=np.uint8))
+        cc = ColorspaceConversionContext(ColorSpace.BT_709,
+                                         ColorRange.MPEG)
+        want = np.asarray(csc.convert_batch(
+            (nv12,), PixelFormat.NV12, PixelFormat.RGB, W, H, cc,
+            use_pallas=False)[0])
+        got = np.asarray(pallas_nv12_to_rgb(
+            nv12, src_w=W, src_h=H, space=ColorSpace.BT_709,
+            crange=ColorRange.MPEG, interpret=True))
+        assert got.shape == want.shape
+        diff = np.abs(got.astype(int) - want.astype(int))
+        assert diff.max() <= 2  # bf16 coefficient rounding
+        assert (diff > 1).mean() < 0.01
+
+    def test_nv12_to_bgr_swap(self):
+        from vali_tpu.core.details import ColorspaceConversionContext
+        from vali_tpu.ops import csc
+        from vali_tpu.ops.pallas_fused import pallas_nv12_to_rgb
+
+        W, H = 128, 32
+        nv12 = jnp.asarray(RNG.integers(0, 256, (1, H * 3 // 2, W),
+                                        dtype=np.uint8))
+        cc = ColorspaceConversionContext(ColorSpace.BT_601,
+                                         ColorRange.JPEG)
+        want = np.asarray(csc.convert_batch(
+            (nv12,), PixelFormat.NV12, PixelFormat.BGR, W, H, cc,
+            use_pallas=False)[0])
+        got = np.asarray(pallas_nv12_to_rgb(
+            nv12, src_w=W, src_h=H, space=ColorSpace.BT_601,
+            crange=ColorRange.JPEG, swap=True, interpret=True))
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 2
+
+    def test_convert_batch_cpu_stays_xla(self):
+        """On the CPU backend the auto route keeps the exact XLA path."""
+        from vali_tpu.ops import csc
+
+        assert not csc._pallas_convert_usable()
+
+
+class TestPackedResize:
+    @pytest.mark.parametrize("dtype,tol", [(np.uint8, 1),
+                                           (np.float32, 1e-5)])
+    def test_matches_xla_einsum(self, dtype, tol):
+        from vali_tpu.ops import resize
+        from vali_tpu.ops.pallas_fused import pallas_packed_resize
+
+        B, H, W, DH, DW = 2, 96, 256, 40, 64
+        if dtype == np.uint8:
+            rgb = jnp.asarray(RNG.integers(0, 256, (B, H, W * 3),
+                                           dtype=np.uint8))
+            fmt = PixelFormat.RGB
+        else:
+            rgb = jnp.asarray(
+                RNG.random((B, H, W * 3)).astype(np.float32))
+            fmt = PixelFormat.RGB_32F
+        want = np.asarray(resize.resize_batch(
+            (rgb,), fmt, W, H, DW, DH, method="lanczos_aa",
+            use_pallas=False)[0])
+        got = np.asarray(pallas_packed_resize(
+            rgb, src_w=W, src_h=H, dst_w=DW, dst_h=DH,
+            method="lanczos_aa", interpret=True))
+        assert got.shape == want.shape
+        if dtype == np.uint8:
+            assert np.abs(got.astype(int) - want.astype(int)).max() <= 4
+        else:
+            assert np.abs(got - want).max() < tol
+
+    def test_upscale_and_npp_method(self):
+        from vali_tpu.ops import resize
+        from vali_tpu.ops.pallas_fused import pallas_packed_resize
+
+        B, H, W, DH, DW = 1, 48, 128, 96, 256
+        rgb = jnp.asarray(RNG.integers(0, 256, (B, H, W * 3),
+                                       dtype=np.uint8))
+        want = np.asarray(resize.resize_batch(
+            (rgb,), PixelFormat.RGB, W, H, DW, DH, method="lanczos",
+            use_pallas=False)[0])
+        got = np.asarray(pallas_packed_resize(
+            rgb, src_w=W, src_h=H, dst_w=DW, dst_h=DH, method="lanczos",
+            interpret=True))
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 4
+
+    def test_resize_batch_cpu_stays_xla(self):
+        from vali_tpu.ops import resize
+
+        assert not resize._pallas_resize_usable()

@@ -116,9 +116,12 @@ def test_csc_layout_path_real_tpu():
     B, H, W = 2, 96, 256
     nv12 = RNG.integers(0, 256, (B, H * 3 // 2, W), dtype=np.uint8)
     cc = ColorspaceConversionContext(ColorSpace.BT_709, ColorRange.MPEG)
+    # use_pallas=False: this test pins the exact XLA channel-plane
+    # layout path; the TPU auto route (bf16 Pallas) has its own test
+    # below (test_nv12_to_rgb_packed_real_vs_xla).
     got = np.asarray(csc.convert_batch(
         (jnp.asarray(nv12),), PixelFormat.NV12, PixelFormat.RGB,
-        W, H, cc)[0])
+        W, H, cc, use_pallas=False)[0])
 
     # host reference: same nearest-upsample + matrix math in numpy f64->f32
     y = nv12[:, :H, :].astype(np.float32)
@@ -200,3 +203,48 @@ def test_preprocess_batch_routes_to_pallas_on_tpu():
                                        PixelFormat.NV12, W, H, DW, DH,
                                        planar=True))
     assert np.array_equal(got, want)
+
+
+def test_nv12_to_rgb_packed_real_vs_xla():
+    """Round-3 packed-convert kernel on the real chip: within 1 LSB of
+    the f32 XLA channel-plane path (bf16 coefficient rounding)."""
+    from vali_tpu.core.details import ColorspaceConversionContext
+    from vali_tpu.ops import csc
+    from vali_tpu.core.enums import PixelFormat
+    from vali_tpu.ops.pallas_fused import pallas_nv12_to_rgb
+
+    B, H, W = 2, 96, 256
+    nv12 = jnp.asarray(RNG.integers(0, 256, (B, H * 3 // 2, W),
+                                    dtype=np.uint8))
+    cc = ColorspaceConversionContext(ColorSpace.BT_709, ColorRange.MPEG)
+    want = np.asarray(csc.convert_batch(
+        (nv12,), PixelFormat.NV12, PixelFormat.RGB, W, H, cc,
+        use_pallas=False)[0])
+    got = np.asarray(pallas_nv12_to_rgb(
+        nv12, src_w=W, src_h=H, space=ColorSpace.BT_709,
+        crange=ColorRange.MPEG))
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+    # the auto route (what convert_batch does on TPU) picks this kernel
+    auto = np.asarray(csc.convert_batch(
+        (nv12,), PixelFormat.NV12, PixelFormat.RGB, W, H, cc)[0])
+    assert np.array_equal(auto, got)
+
+
+def test_packed_resize_real_vs_xla():
+    """Round-3 packed-resize kernel on the real chip."""
+    from vali_tpu.core.enums import PixelFormat
+    from vali_tpu.ops import resize
+    from vali_tpu.ops.pallas_fused import pallas_packed_resize
+
+    B, H, W, DH, DW = 2, 96, 256, 40, 64
+    rgb = jnp.asarray(RNG.integers(0, 256, (B, H, W * 3),
+                                   dtype=np.uint8))
+    want = np.asarray(resize.resize_batch(
+        (rgb,), PixelFormat.RGB, W, H, DW, DH, method="lanczos_aa",
+        use_pallas=False)[0])
+    got = np.asarray(pallas_packed_resize(
+        rgb, src_w=W, src_h=H, dst_w=DW, dst_h=DH, method="lanczos_aa"))
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+    auto = np.asarray(resize.resize_batch(
+        (rgb,), PixelFormat.RGB, W, H, DW, DH, method="lanczos_aa")[0])
+    assert np.array_equal(auto, got)

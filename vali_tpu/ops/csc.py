@@ -372,6 +372,13 @@ def supported_conversions() -> List[Tuple[PixelFormat, PixelFormat]]:
     return list(_REGISTRY.keys())
 
 
+def _pallas_convert_usable() -> bool:
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except RuntimeError:
+        return False
+
+
 def convert_batch(
     planes: Sequence[jnp.ndarray],
     src_fmt: PixelFormat,
@@ -379,20 +386,38 @@ def convert_batch(
     width: int,
     height: int,
     cc=None,
+    use_pallas: "bool | None" = None,
 ) -> Tuple[jnp.ndarray, ...]:
     """Convert batched planes [N, Hp, Wp] from src_fmt to dst_fmt.
+
+    On TPU the NV12 -> RGB/BGR pair routes to the banded Pallas
+    conversion kernel (ops/pallas_fused.pallas_nv12_to_rgb: the packed
+    interleave folded into lane-tile matmuls, ~2x the XLA channel-plane
+    path; within 1 LSB — bfloat16 coefficient rounding).
+    ``use_pallas=False`` forces the exact XLA path.
 
     Raises KeyError for unsupported pairs and
     UnsupportedConversionParams for unsupported (space, range) combos.
     """
-    conv = _REGISTRY.get((PixelFormat(src_fmt), PixelFormat(dst_fmt)))
+    src_fmt, dst_fmt = PixelFormat(src_fmt), PixelFormat(dst_fmt)
+    conv = _REGISTRY.get((src_fmt, dst_fmt))
     if conv is None:
         raise KeyError(
-            f"Conversion {PixelFormat(src_fmt).name} -> "
-            f"{PixelFormat(dst_fmt).name} is not supported")
+            f"Conversion {src_fmt.name} -> "
+            f"{dst_fmt.name} is not supported")
     space, crange = colors.resolve_cc(cc, *conv.default)
     if conv.combos is not None and (space, crange) not in conv.combos:
         raise UnsupportedConversionParams(
-            f"{PixelFormat(src_fmt).name}->{PixelFormat(dst_fmt).name} does "
+            f"{src_fmt.name}->{dst_fmt.name} does "
             f"not support {space.name}+{crange.name}")
+    if use_pallas is None:
+        use_pallas = _pallas_convert_usable()
+    if (use_pallas and src_fmt == PixelFormat.NV12
+            and dst_fmt in (PixelFormat.RGB, PixelFormat.BGR)
+            and np.dtype(planes[0].dtype) == np.uint8):
+        from .pallas_fused import pallas_nv12_to_rgb
+
+        return (pallas_nv12_to_rgb(
+            planes[0], src_w=width, src_h=height, space=space,
+            crange=crange, swap=dst_fmt == PixelFormat.BGR),)
     return tuple(conv.impl(tuple(planes), width, height, space, crange))

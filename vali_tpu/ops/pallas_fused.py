@@ -1157,3 +1157,339 @@ def pallas_plane_resize(
         interpret=interpret,
     )(plane, jnp.asarray(h_blocks), jnp.asarray(w_blocks))
     return out[:, :, :DW]
+
+
+# ---------------------------------------------------------------------------
+# Banded NV12 -> packed RGB/BGR conversion (full resolution, no resize)
+# ---------------------------------------------------------------------------
+#
+# The composed-op path (PySurfaceConverter -> PySurfaceResizer, reference
+# TaskConvertSurface.cpp:1036-1086 chained with TaskResizeSurface.cpp) must
+# materialize a packed-RGB surface between the two calls. Packed
+# interleaved lanes are the hard part on TPU (a [.,.,3]-minor layout runs
+# at 3/128 lane occupancy, and Mosaic has no strided lane stores). The
+# trick here: the ENTIRE per-pixel pipeline — chroma W-upsample (nearest,
+# matching csc.upsample2x_nearest / NPP), the 3x3 CSC matrix, AND the
+# RGB interleave — is folded into two banded selection matrices applied
+# as lane-tile matmuls:
+#
+#   out[:, 3j+c] = m[c,0]*y[:, j] + m[c,1]*u[:, 2(j//2)] +
+#                  m[c,2]*v[:, 2(j//2)+1] + off[c]
+#
+# i.e. one matmul over the luma lanes and one over the vertically
+# upsampled (banded replication H-pass) interleaved chroma lanes, whose
+# weight PATTERNS carry the CSC coefficients. M = src_h rows per matmul.
+# Measured (v5e, 64x1080p): 2.35 ms/batch vs 4.25 ms for the XLA
+# channel-plane path — bound by the f32 quantization tail + 400 MB
+# packed store, not MACs (lane_align sweep 8/32/128 -> 2.41/2.49/3.46;
+# pre-cast and single-K=256-matmul variants measured slower, see
+# convert_lab.py).
+
+
+def _packed_csc_lane_blocks(W: int, m: np.ndarray, swap: bool,
+                            lane_align: int = 32):
+    """Banded lane blocks for the fused upsample+CSC+interleave W pass.
+
+    ``lane_align`` trades Mosaic lane-slice alignment against
+    zero-weight FLOP tax: a 128-lane output tile only touches ~43 input
+    pixels, so aligning windows to 128 pads the contraction ~3x.
+
+    Returns ((ya_starts, ya_blocks [T, win, LT], ya_win),
+             (cb_starts, cb_blocks [T, win, LT], cb_win), OWp).
+    """
+    OW = 3 * W
+    OWp = ((OW + LANE_TILE - 1) // LANE_TILE) * LANE_TILE
+    j = np.arange(W)
+    A = np.zeros((OWp, W), dtype=np.float32)   # [out lanes, luma lanes]
+    Bm = np.zeros((OWp, W), dtype=np.float32)  # [out lanes, chroma lanes]
+    order = (2, 1, 0) if swap else (0, 1, 2)
+    for c_out in range(3):
+        c = order[c_out]
+        A[3 * j + c_out, j] = m[c, 0]
+        Bm[3 * j + c_out, 2 * (j // 2)] = m[c, 1]
+        Bm[3 * j + c_out, 2 * (j // 2) + 1] = m[c, 2]
+    sa, ba, wina, _ = _banded_blocks_from_dense(
+        A, LANE_TILE, lane_align, W, clamp_to_extent=True)
+    sb, bb, winb, _ = _banded_blocks_from_dense(
+        Bm, LANE_TILE, lane_align, W, clamp_to_extent=True)
+    return ((sa, np.transpose(ba, (0, 2, 1)).copy(), wina),
+            (sb, np.transpose(bb, (0, 2, 1)).copy(), winb), OWp)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("src_w", "src_h", "space", "crange", "swap",
+                     "lane_align", "interpret"))
+def pallas_nv12_to_rgb(
+    nv12: jax.Array,  # [B, >= H*3/2, W] uint8
+    *,
+    src_w: int,
+    src_h: int,
+    space: ColorSpace = ColorSpace.BT_709,
+    crange: ColorRange = ColorRange.JPEG,
+    swap: bool = False,  # True -> BGR
+    lane_align: int = 32,
+    interpret: bool = False,
+) -> jax.Array:
+    """NV12 batch -> packed RGB [B, H, W*3] uint8 at full resolution.
+
+    Value parity with csc._nv12_rgb (nearest chroma upsample both axes,
+    same CSC matrix); computes in bfloat16 so results sit within 1-2 LSB
+    of the float32 XLA path (coefficient rounding), like the turbo
+    resize paths.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = nv12.shape[0]
+    H, W = src_h, src_w
+    if nv12.shape[1] < H * 3 // 2 or nv12.shape[2] != W:
+        raise ValueError(
+            f"NV12 plane shape {nv12.shape} does not match {W}x{H}")
+    if np.dtype(nv12.dtype) != np.uint8:
+        raise ValueError("pallas_nv12_to_rgb is 8-bit only")
+    cdt = jnp.bfloat16
+
+    mo = colors.yuv2rgb_matrix(space, crange)
+    if mo is None:
+        raise ValueError(f"Unsupported cc combo {space}/{crange}")
+    m, y_off = mo
+    m = m.astype(np.float32)
+
+    OW = 3 * W
+    # Group mode (the fast path): when W divides into P-pixel groups, a
+    # group's 3P output lanes read EXACTLY its P input lanes at an
+    # aligned start, and the selection pattern is translation-invariant
+    # — ONE shared [P, 3P] block per matrix, full-K aligned matmuls.
+    P = lane_align if W % lane_align == 0 and lane_align >= 128 else (
+        128 if W % 128 == 0 else 0)
+    if P:
+        p = np.arange(P)
+        order = (2, 1, 0) if swap else (0, 1, 2)
+        Ag = np.zeros((P, 3 * P), dtype=np.float32)
+        Bg = np.zeros((P, 3 * P), dtype=np.float32)
+        for c_out in range(3):
+            c = order[c_out]
+            Ag[p, 3 * p + c_out] = m[c, 0]
+            Bg[2 * (p // 2), 3 * p + c_out] = m[c, 1]
+            Bg[2 * (p // 2) + 1, 3 * p + c_out] = m[c, 2]
+        n_groups = W // P
+        OWp = OW
+        ya_s = cb_s = np.arange(n_groups, dtype=np.int32) * P
+        ya_b = Ag[None]
+        cb_b = Bg[None]
+        ya_win = cb_win = P
+        nwt = n_groups
+        group_lt = 3 * P
+    else:
+        (ya_s, ya_b, ya_win), (cb_s, cb_b, cb_win), OWp = \
+            _packed_csc_lane_blocks(W, m, swap, lane_align)
+        nwt = ya_b.shape[0]
+        group_lt = LANE_TILE
+
+    # per-lane constant: -(m[c,0]*y_off + (m[c,1]+m[c,2])*128)
+    order = (2, 1, 0) if swap else (0, 1, 2)
+    off = np.zeros((1, OWp), dtype=np.float32)
+    for c_out in range(3):
+        c = order[c_out]
+        off[0, c_out::3][: W] = -(m[c, 0] * y_off
+                                  + (m[c, 1] + m[c, 2]) * 128.0)
+
+    # banded vertical chroma replication: full-res interleaved chroma
+    # rows from the half-res plane at storage offset H (nearest: row i
+    # reads chroma row i//2, matching csc.upsample2x_nearest)
+    R = np.zeros((H, H // 2), dtype=np.float32)
+    R[np.arange(H), np.arange(H) // 2] = 1.0
+    r_starts, r_blocks, r_win, r_end = _banded_blocks_from_dense(
+        R, TILE, ALIGN, H * 3 // 2, row_offset=H)
+    n_rt = r_blocks.shape[0]
+    rows_needed = max(H * 3 // 2, r_end)
+    if nv12.shape[1] < rows_needed:
+        nv12 = jnp.pad(nv12, ((0, 0), (0, rows_needed - nv12.shape[1]),
+                              (0, 0)))
+    rows = nv12.shape[1]
+    h_pad = n_rt * TILE
+
+    def kernel(frame_ref, rblk_ref, yab_ref, cbb_ref, off_ref, out_ref,
+               cf_ref):
+        # chroma vertical replication H pass (banded, static windows)
+        for t in range(n_rt):
+            rs = int(r_starts[t])
+            win = frame_ref[0, rs:rs + r_win, :].astype(jnp.int16).astype(
+                cdt)
+            cf_ref[t * TILE:(t + 1) * TILE, :] = jnp.dot(
+                rblk_ref[t].astype(cdt), win,
+                preferred_element_type=jnp.float32).astype(cdt)
+
+        # fused upsample+CSC+interleave W pass over output lane tiles
+        for t in range(nwt):
+            ys, cs = int(ya_s[t]), int(cb_s[t])
+            bi = 0 if P else t  # group mode shares one block
+            yv = frame_ref[0, :H, ys:ys + ya_win].astype(jnp.int16).astype(
+                cdt)
+            acc = jnp.dot(yv, yab_ref[bi].astype(cdt),
+                          preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(cf_ref[:H, cs:cs + cb_win],
+                                cbb_ref[bi].astype(cdt),
+                                preferred_element_type=jnp.float32)
+            acc = acc + off_ref[0, t * group_lt:(t + 1) * group_lt]
+            out_ref[0, :, t * group_lt:(t + 1) * group_lt] = jnp.clip(
+                jnp.round(acc), 0.0, 255.0).astype(jnp.int32).astype(
+                jnp.uint8)
+
+    flops = B * 2 * H * nwt * group_lt * (ya_win + cb_win) \
+        + B * 2 * n_rt * TILE * r_win * W
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, rows, W), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # r_blocks
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ya blocks
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # cb blocks
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # offsets
+        ],
+        out_specs=pl.BlockSpec((1, H, OWp), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((h_pad, W), cdt)],
+        out_shape=jax.ShapeDtypeStruct((B, H, OWp), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=int(nv12.size) + B * H * OWp,
+            transcendentals=0),
+        interpret=interpret,
+    )(nv12, jnp.asarray(r_blocks), jnp.asarray(ya_b).astype(cdt),
+      jnp.asarray(cb_b).astype(cdt), jnp.asarray(off))
+    return out if OWp == OW else out[:, :, :OW]
+
+
+def required_pad_rows_packed(src_h: int, dst_h: int,
+                             method: str = LANCZOS_AA) -> int:
+    """Extra rows a packed plane needs for pallas_packed_resize."""
+    from .resize import resize_weights
+
+    _, _, _, h_end = _banded_blocks_from_dense(
+        resize_weights(src_h, dst_h, method), TILE, ALIGN, src_h)
+    return max(0, h_end - src_h)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("src_w", "src_h", "dst_w", "dst_h", "channels",
+                     "method", "h_tile", "interpret"))
+def pallas_packed_resize(
+    plane: jax.Array,  # [B, H (+pad rows ok), W*channels] uint8/uint16/f32
+    *,
+    src_w: int,
+    src_h: int,
+    dst_w: int,
+    dst_h: int,
+    channels: int = 3,
+    method: str = LANCZOS_AA,
+    h_tile: int = TILE,
+    interpret: bool = False,
+) -> jax.Array:
+    """Banded resize of a PACKED interleaved-channel plane (RGB/BGR
+    [N, H, W*3]) -> [B, dst_h, dst_w*channels], same dtype.
+
+    The H pass never mixes lanes, so it runs directly on the packed rows
+    at dense lane occupancy; the W pass applies a stride-``channels``
+    block expansion of the same resize_weights matrix (out lane
+    C*p+c reads in lanes C*q+c only), sliced into banded lane blocks by
+    the shared dense-slicer. Identical arithmetic to resize_plane's
+    channels>1 path up to compute dtype — and none of the [.,.,C]-minor
+    intermediates that run XLA at C/128 lane occupancy.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .resize import resize_weights
+
+    B = plane.shape[0]
+    C = channels
+    H, W, DH, DW = src_h, src_w, dst_h, dst_w
+    if plane.shape[2] != W * C:
+        raise ValueError(
+            f"packed plane has {plane.shape[2]} lanes, expected {W * C}")
+    dt = np.dtype(plane.dtype)
+    hbd = dt.itemsize > 1
+    cdt = jnp.float32 if hbd else jnp.bfloat16
+    if dt == np.uint8:
+        cap = 255.0
+    elif dt == np.uint16:
+        cap = 65535.0
+    else:
+        cap = None
+
+    wh = resize_weights(H, DH, method)
+    h_starts, h_blocks, h_win, h_end = _banded_blocks_from_dense(
+        wh, h_tile, ALIGN, H)
+    if plane.shape[1] < h_end:
+        plane = jnp.pad(plane, ((0, 0), (0, h_end - plane.shape[1]),
+                                (0, 0)))
+    rows = plane.shape[1]
+
+    # stride-C expanded W matrix [DW*C, W*C]
+    ww = resize_weights(W, DW, method)
+    wexp = np.zeros((DW * C, W * C), dtype=np.float32)
+    for c in range(C):
+        wexp[c::C, c::C] = ww
+    w_starts, w_b, w_win, _ = _banded_blocks_from_dense(
+        wexp, LANE_TILE, LANE_ALIGN, W * C, clamp_to_extent=True)
+    w_blocks = np.transpose(w_b, (0, 2, 1)).copy()
+    nht, nwt = h_blocks.shape[0], w_blocks.shape[0]
+    dh_pad = nht * h_tile
+    dw_pad = nwt * LANE_TILE
+
+    def _to_compute(x):
+        if dt == np.uint8:
+            return x.astype(jnp.int16).astype(cdt)
+        if dt == np.uint16:
+            return x.astype(jnp.int32).astype(jnp.float32)
+        return x.astype(cdt)
+
+    def kernel(p_ref, hblk_ref, wblk_ref, out_ref, hh_ref):
+        for t in range(nht):
+            hs = int(h_starts[t])
+            hh_ref[t * h_tile:(t + 1) * h_tile, :] = jnp.dot(
+                hblk_ref[t].astype(cdt),
+                _to_compute(p_ref[0, hs:hs + h_win, :]),
+                preferred_element_type=jnp.float32).astype(cdt)
+        for t in range(nwt):
+            ws = int(w_starts[t])
+            acc = jnp.dot(hh_ref[:DH, ws:ws + w_win],
+                          wblk_ref[t].astype(cdt),
+                          preferred_element_type=jnp.float32)
+            if cap is not None:
+                acc = jnp.clip(jnp.round(acc), 0.0, cap).astype(jnp.int32)
+            out_ref[0, :, t * LANE_TILE:(t + 1) * LANE_TILE] = acc.astype(
+                out_ref.dtype)
+
+    flops = B * 2 * (nht * h_tile * h_win * W * C
+                     + nwt * LANE_TILE * w_win * DH)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, rows, W * C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, DH, dw_pad), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((dh_pad, W * C), cdt)],
+        out_shape=jax.ShapeDtypeStruct((B, DH, dw_pad), plane.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=int(plane.size * dt.itemsize)
+            + B * DH * dw_pad * dt.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(plane, jnp.asarray(h_blocks), jnp.asarray(w_blocks))
+    return out[:, :, :DW * C]
