@@ -191,7 +191,13 @@ def time_fn(fn, x, K=(8, 40), reps=5, slopes=3):
                 acc, a = carry
                 patch = (k % 199 + 1).astype(jnp.uint8).reshape(1, 1, 1)
                 a = jax.lax.dynamic_update_slice(a, patch, (0, 0, 0))
-                return (acc + jnp.sum(fn(a).astype(jnp.int32)), a)
+                # consume only a lane-tile slice: a pallas_call cannot
+                # be partially DCE'd, and a full-output sum would add a
+                # per-link HBM read of the whole result (0.5 ms for a
+                # 400 MB packed-RGB batch) to the measured slope
+                out = fn(a)
+                return (acc + jnp.sum(out[..., :128].astype(jnp.int32)),
+                        a)
             acc, _ = jax.lax.fori_loop(0, Kn, body, (jnp.int32(0), xx))
             return acc
         return run

@@ -4,7 +4,28 @@ V0 production (group mode, per-tile casts, separate luma/chroma matmuls)
 V1 pre-cast luma + chroma into bf16 scratches once; slice bf16 windows
 V2 V1 + interleaved [luma|chroma] 256-lane group layout -> ONE K=256
    matmul per group against a single shared [256, 384] block
-"""
+(V1/V2 both measured slower than V0 — the pre-cast scratch traffic and
+the K=256 block's extra zeros cost more than the per-tile casts.)
+
+Round-3 probe decomposition (64x1080p, after the time_fn slice-sum fix;
+us/frame):
+  inonly  (full input block, tiny output)          14.2
+  outonly (8-row input, full 6.2 MB packed out)    20.0
+  outband (same, 5x 1.24 MB out row-band blocks)   20.0  <- block size
+                                                      doesn't matter
+  dma     (full in + full out, no matmuls)         25.1
+  production                                       30.0 -> 25.5 after
+                                                      the pad fix
+The kernel is ~85% DMA; in/out DMAs overlap only partially — this
+stage is within ~20% of its own dma floor and further structural work
+(outband) measured flat. The internal jnp.pad (replication windows
+overran H*3/2) was replaced by clamp-over-pad (_row_blocks_fit) and
+the replication align dropped 32->8 (win 64->32 rows): production
+measured 1.92 pre / 1.94 post (within spread — XLA evidently does not
+charge the pad here), but the same clamp on the RESIZE stage plus its
+h/w alignment cut took the two-stage total 3.69 -> 2.43 ms/batch
+= 26.3k fps (config 2 target 25k: MET; stage split now ~1.94 convert
++ ~0.49 resize)."""
 import functools
 import sys
 
@@ -144,6 +165,154 @@ def variant_kernel(nv12, variant="V1"):
       jnp.asarray(off))
 
 
+@functools.partial(jax.jit, static_argnames=("mode",))
+def probe_kernel(nv12, mode="dma"):
+    """Decompose the packed-convert time: dma = touch input, write
+    output from a cheap broadcast (pure DMA in+out); noquant = full
+    matmuls but store via plain astype (no round/clip/int32 hop);
+    noh = full W matmuls + quant but chroma H-pass replaced by a copy
+    of the half-res rows (measures the V-replication matmul)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = nv12.shape[0]
+    cdt = jnp.bfloat16
+    P = 128
+    ng = W // P
+    OW = 3 * W
+    Ag, Bg, off = _group_mats(P)
+    r_starts, r_blocks, r_win, r_end = _repl_blocks()
+    n_rt = r_blocks.shape[0]
+    if nv12.shape[1] < r_end:
+        nv12 = jnp.pad(nv12, ((0, 0), (0, r_end - nv12.shape[1]), (0, 0)))
+    rows = nv12.shape[1]
+    h_pad = n_rt * TILE
+
+    def kern_dma(f_ref, rblk_ref, a_ref, bref, off_ref, out_ref, cf_ref):
+        v = f_ref[0, :1, :].astype(jnp.int16)
+        for t in range(3):
+            out_ref[0, :, t * W:(t + 1) * W] = jnp.broadcast_to(
+                v, (H, W)).astype(jnp.uint8)
+
+    def kern_inonly(f_ref, rblk_ref, a_ref, bref, off_ref, out_ref,
+                    cf_ref):
+        # touch the whole input, write a tiny output block
+        acc = jnp.zeros((8, 128), jnp.float32)
+        for t in range(0, rows, 512):
+            acc = acc + f_ref[0, t:t + 8, :128].astype(jnp.int32).astype(
+                jnp.float32)
+        out_ref[0] = acc.astype(jnp.int32).astype(jnp.uint8)
+
+    def kern_outonly(f_ref, rblk_ref, a_ref, bref, off_ref, out_ref,
+                     cf_ref):
+        # input block is 8 rows; fill the full packed output
+        v = f_ref[0, :1, :].astype(jnp.int16)
+        for t in range(3):
+            out_ref[0, :, t * W:(t + 1) * W] = jnp.broadcast_to(
+                v, (H, W)).astype(jnp.uint8)
+
+    def kern_noquant(f_ref, rblk_ref, a_ref, bref, off_ref, out_ref,
+                     cf_ref):
+        for t in range(n_rt):
+            rs = int(r_starts[t])
+            win = f_ref[0, rs:rs + r_win, :].astype(jnp.int16).astype(cdt)
+            cf_ref[t * TILE:(t + 1) * TILE, :] = jnp.dot(
+                rblk_ref[t].astype(cdt), win,
+                preferred_element_type=jnp.float32).astype(cdt)
+        for t in range(ng):
+            s = t * P
+            yv = f_ref[0, :H, s:s + P].astype(jnp.int16).astype(cdt)
+            acc = jnp.dot(yv, a_ref[...],
+                          preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(cf_ref[:H, s:s + P], bref[...],
+                                preferred_element_type=jnp.float32)
+            acc = acc + off_ref[0, t * 3 * P:(t + 1) * 3 * P]
+            out_ref[0, :, t * 3 * P:(t + 1) * 3 * P] = acc.astype(
+                jnp.int32).astype(jnp.uint8)
+
+    def kern_noh(f_ref, rblk_ref, a_ref, bref, off_ref, out_ref, cf_ref):
+        for t in range(n_rt):
+            cf_ref[t * TILE:(t + 1) * TILE, :] = f_ref[
+                0, H + (t * TILE) // 2:H + (t * TILE) // 2 + TILE,
+                :].astype(jnp.int16).astype(cdt)
+        for t in range(ng):
+            s = t * P
+            yv = f_ref[0, :H, s:s + P].astype(jnp.int16).astype(cdt)
+            acc = jnp.dot(yv, a_ref[...],
+                          preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(cf_ref[:H, s:s + P], bref[...],
+                                preferred_element_type=jnp.float32)
+            acc = acc + off_ref[0, t * 3 * P:(t + 1) * 3 * P]
+            out_ref[0, :, t * 3 * P:(t + 1) * 3 * P] = jnp.clip(
+                jnp.round(acc), 0.0, 255.0).astype(jnp.int32).astype(
+                jnp.uint8)
+
+    if mode == "outband":
+        # does banding the OUTPUT into 5 contiguous 1.24 MB blocks fix
+        # the packed-store rate? (row-band grid, same total bytes)
+        RB = 216
+
+        def kern_outband(f_ref, rblk_ref, a_ref, bref, off_ref, out_ref):
+            v = f_ref[0, :1, :].astype(jnp.int16)
+            for t in range(3):
+                out_ref[0, :, t * W:(t + 1) * W] = jnp.broadcast_to(
+                    v, (RB, W)).astype(jnp.uint8)
+
+        return pl.pallas_call(
+            kern_outband,
+            grid=(b, H // RB),
+            in_specs=[pl.BlockSpec((1, 8, W), lambda i, t: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            out_specs=pl.BlockSpec((1, RB, OW), lambda i, t: (i, t, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, H, OW), jnp.uint8),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+        )(nv12, jnp.asarray(r_blocks), jnp.asarray(Ag).astype(cdt),
+          jnp.asarray(Bg).astype(cdt), jnp.asarray(off))
+
+    kern = {"dma": kern_dma, "noquant": kern_noquant, "noh": kern_noh,
+            "inonly": kern_inonly, "outonly": kern_outonly}[mode]
+    in_rows = 8 if mode == "outonly" else rows
+    out_shape = ((b, 8, 128) if mode == "inonly" else (b, H, OW))
+    out_block = (1,) + out_shape[1:]
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, in_rows, W), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(out_block, lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((h_pad, W), cdt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(nv12, jnp.asarray(r_blocks), jnp.asarray(Ag).astype(cdt),
+      jnp.asarray(Bg).astype(cdt), jnp.asarray(off))
+
+
+def main_probe():
+    modes = sys.argv[2:] or ("inonly", "outonly", "noquant")
+    for mode in modes:
+        fn = functools.partial(probe_kernel, mode=mode)
+        try:
+            np.asarray(fn(NV12[:2]))
+            ms, spread = time_fn(fn, NV12)
+            print(f"probe {mode}: {ms*1000:.3f} ms/batch "
+                  f"spread={spread:.1%} ({ms/B*1e6:.1f} us/frame)",
+                  flush=True)
+        except Exception as e:
+            print(f"probe {mode}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:250]}", flush=True)
+    fn = lambda x: pallas_nv12_to_rgb(
+        x, src_w=W, src_h=H, space=SPACE, crange=CRANGE)
+    ms, spread = time_fn(fn, NV12)
+    print(f"production: {ms*1000:.3f} ms/batch spread={spread:.1%} "
+          f"({ms/B*1e6:.1f} us/frame)", flush=True)
+
+
 def main():
     cc = ColorspaceConversionContext(SPACE, CRANGE)
     ref = np.asarray(csc.convert_batch(
@@ -167,4 +336,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if sys.argv[1:2] == ["probe"]:
+        main_probe()
+    else:
+        main()

@@ -53,7 +53,8 @@ ALIGN = 8    # window starts are STATIC slices (host constants baked into
 
 def _banded_h_weights(n_in: int, n_out: int, method: str,
                       row_offset: int = 0,
-                      chroma_of: Optional[int] = None):
+                      chroma_of: Optional[int] = None,
+                      rows_have: Optional[int] = None):
     """Blocked banded H-pass weights with aligned absolute starts.
 
     Returns (starts [n_tiles] int32 — absolute frame rows,
@@ -64,6 +65,12 @@ def _banded_h_weights(n_in: int, n_out: int, method: str,
     chroma), so kernel/phase/antialias conventions can never drift
     between the banded and dense implementations. Every tile's window
     covers its rows' full bands, so slicing is exact (no tap clipping).
+
+    With ``rows_have`` (the rows the caller actually holds), windows
+    that would overrun are pulled back into the array instead (zero
+    weights cover the shift — bit-identical), so unpadded callers skip
+    the device-side jnp.pad copy; max_end then never exceeds rows_have
+    unless the input is smaller than one window.
     """
     from .resize import resize_weights
 
@@ -73,6 +80,10 @@ def _banded_h_weights(n_in: int, n_out: int, method: str,
         dense = _chroma_weights(n_in, n_out, chroma_of, method)
     else:
         dense = resize_weights(n_in, n_out, method)
+    if rows_have is not None:
+        s, b, w, e = _row_blocks_fit(dense, TILE, ALIGN, rows_have,
+                                     row_offset=row_offset)
+        return s, b, w, e
     return _banded_blocks_from_dense(dense, TILE, ALIGN,
                                      n_in + row_offset,
                                      row_offset=row_offset)
@@ -143,9 +154,11 @@ def pallas_nv12_preprocess(
     cdt = jnp.float32 if hbd else jnp.bfloat16
     scale = 256.0 if hbd else 1.0
 
-    y_starts, y_blocks, y_win, y_end = _banded_h_weights(H, DH, method)
+    y_starts, y_blocks, y_win, y_end = _banded_h_weights(
+        H, DH, method, rows_have=nv12.shape[1])
     c_starts, c_blocks, c_win, c_end = _banded_h_weights(
-        H // 2, DH, method, row_offset=H, chroma_of=H)
+        H // 2, DH, method, row_offset=H, chroma_of=H,
+        rows_have=nv12.shape[1])
     rows_needed = max(H * 3 // 2, y_end, c_end)
     if nv12.shape[1] < rows_needed:
         nv12 = jnp.pad(nv12, ((0, 0), (0, rows_needed - nv12.shape[1]),
@@ -322,7 +335,8 @@ def pallas_yuv444_preprocess(
             f"Plane shapes {y.shape}/{u.shape}/{v.shape} do not match "
             f"YUV444 {W}x{H}")
 
-    y_starts, y_blocks, y_win, y_end = _banded_h_weights(H, DH, method)
+    y_starts, y_blocks, y_win, y_end = _banded_h_weights(
+        H, DH, method, rows_have=y.shape[1])
     if y.shape[1] < y_end:
         padn = y_end - y.shape[1]
         y = jnp.pad(y, ((0, 0), (0, padn), (0, 0)))
@@ -495,7 +509,8 @@ def pallas_yuv422_preprocess(
             f"Plane shapes {y.shape}/{u.shape}/{v.shape} do not match "
             f"YUV422 {W}x{H}")
 
-    y_starts, y_blocks, y_win, y_end = _banded_h_weights(H, DH, method)
+    y_starts, y_blocks, y_win, y_end = _banded_h_weights(
+        H, DH, method, rows_have=min(y.shape[1], u.shape[1]))
     if y.shape[1] < y_end:
         y = jnp.pad(y, ((0, 0), (0, y_end - y.shape[1]), (0, 0)))
     if u.shape[1] < y_end:
@@ -674,9 +689,10 @@ def pallas_yuv420_preprocess(
             f"Plane shapes {y.shape}/{u.shape}/{v.shape} do not match "
             f"YUV420 {W}x{H}")
 
-    y_starts, y_blocks, y_win, y_end = _banded_h_weights(H, DH, method)
+    y_starts, y_blocks, y_win, y_end = _banded_h_weights(
+        H, DH, method, rows_have=y.shape[1])
     c_starts, c_blocks, c_win, c_end = _banded_h_weights(
-        H // 2, DH, method, chroma_of=H)
+        H // 2, DH, method, chroma_of=H, rows_have=u.shape[1])
     if y.shape[1] < y_end:
         y = jnp.pad(y, ((0, 0), (0, y_end - y.shape[1]), (0, 0)))
     if u.shape[1] < c_end:
@@ -848,9 +864,9 @@ def _banded_blocks_from_dense(wdense: np.ndarray, tile: int, align: int,
             # aligned starts must still cover every band inside the
             # un-paddable extent; if alignment can't, go dense
             for lo, hi in bands:
-                start = min((lo // align) * align,
-                            ((extent - win) // align) * align)
-                if start + win < hi:
+                start = max(0, min(((row_offset + lo) // align) * align,
+                                   ((extent - win) // align) * align))
+                if start + win < row_offset + hi:
                     win, dense = extent, True
                     break
 
@@ -875,6 +891,32 @@ def _banded_blocks_from_dense(wdense: np.ndarray, tile: int, align: int,
     return starts, blocks, win, max_end
 
 
+def _row_blocks_fit(wdense: np.ndarray, tile: int, align: int,
+                    rows_have: int, row_offset: int = 0):
+    """Row-axis banded blocks that FIT the available rows when possible.
+
+    Padding a storage plane inside jit costs a full device-side copy of
+    the batch (0.5 ms for a 64x1080p NV12 batch) on every call from an
+    unpadded caller, so prefer pulling window starts back into the
+    array (clamp; zero weights cover the shift — bit-identical). Falls
+    back to requesting padding only when clamping would collapse to a
+    dense window (inputs smaller than one window).
+
+    Returns (starts, blocks, win, rows_required) — rows_required >
+    rows_have means the caller must pad to that many rows first.
+    """
+    starts, blocks, win, end = _banded_blocks_from_dense(
+        wdense, tile, align, rows_have, row_offset=row_offset)
+    if end <= rows_have:
+        return starts, blocks, win, rows_have
+    cs, cb, cwin, _ = _banded_blocks_from_dense(
+        wdense, tile, align, rows_have, row_offset=row_offset,
+        clamp_to_extent=True)
+    if cwin < rows_have:
+        return cs, cb, cwin, rows_have
+    return starts, blocks, win, end
+
+
 def _interleave_w_blocks(wdense_half: np.ndarray, full_in_w: int,
                          full_out_w: int, tile: int, align: int):
     """Chroma W-pass blocks consuming AND producing interleaved UV lanes.
@@ -893,15 +935,16 @@ def _interleave_w_blocks(wdense_half: np.ndarray, full_in_w: int,
 
 
 def required_pad_rows_resize(src_w: int, src_h: int, dst_w: int, dst_h: int,
-                             method: str = LANCZOS_AA) -> int:
+                             method: str = LANCZOS_AA,
+                             h_align: int = 8) -> int:
     """Extra rows (beyond H*3/2) the resize kernel input must carry."""
     from .resize import resize_weights
 
     wy = resize_weights(src_h, dst_h, method)
     wc = resize_weights(src_h // 2, dst_h // 2, method)
-    _, _, _, y_end = _banded_blocks_from_dense(wy, TILE, ALIGN,
+    _, _, _, y_end = _banded_blocks_from_dense(wy, TILE, h_align,
                                                src_h * 3 // 2)
-    _, _, _, c_end = _banded_blocks_from_dense(wc, TILE, ALIGN,
+    _, _, _, c_end = _banded_blocks_from_dense(wc, TILE, h_align,
                                                src_h * 3 // 2,
                                                row_offset=src_h)
     return max(0, max(y_end, c_end) - src_h * 3 // 2)
@@ -910,7 +953,8 @@ def required_pad_rows_resize(src_w: int, src_h: int, dst_w: int, dst_h: int,
 @functools.partial(
     jax.jit,
     static_argnames=("src_w", "src_h", "dst_w", "dst_h", "method",
-                     "h_tile", "w_tile", "interpret"))
+                     "h_tile", "w_tile", "h_align", "w_align",
+                     "interpret"))
 def pallas_nv12_resize(
     nv12: jax.Array,  # [B, >= H*3/2 (+pad), W] uint8 / uint16 (P10/P12)
     *,
@@ -921,6 +965,8 @@ def pallas_nv12_resize(
     method: str = LANCZOS_AA,
     h_tile: int = TILE,  # rows per H-pass tile; 32 measured best at 4K
     w_tile: int = LANE_TILE,  # output lanes per W-pass tile
+    h_align: int = 8,   # H-window start alignment (rows)
+    w_align: int = 32,  # W-window start alignment (lanes)
     interpret: bool = False,
 ) -> jax.Array:
     """Banded NV12/P10/P12 resize -> [B, dst_h*3/2, dst_w], same dtype.
@@ -929,9 +975,16 @@ def pallas_nv12_resize(
     an independent half-res image — reference ancestor
     TaskResizeSurface.cpp:132-188) but runs both separable passes as
     banded matmuls in one Pallas kernel: for 4K -> 1080p the H-pass
-    touches ~80 of 2160 rows per 32-row output tile and the W-pass ~384
+    touches ~88 of 2160 rows per 32-row output tile and the W-pass ~320
     of 3840 lanes per 128-lane tile, ~10x fewer MACs than the dense
     einsum path. uint8 computes in bfloat16, uint16 in float32.
+
+    h_align/w_align: banded-window start alignment. The kernel is
+    MXU-bound at 4K->1080p, so alignment slack is dead MACs: (8, 32)
+    measured 28-29 us/frame vs 32.7 at the old (32, 128) on v5e —
+    Mosaic handles the unaligned static slices without measurable
+    relayout tax (alignment sweep in resize_diag.py; 4,32 within
+    noise of 8,32). Bit-identical results for any alignment.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -954,10 +1007,10 @@ def pallas_nv12_resize(
     HT = h_tile
     wy_rows = resize_weights(H, DH, method)
     wc_rows = resize_weights(H // 2, DC, method)
-    y_starts, y_blocks, y_win, y_end = _banded_blocks_from_dense(
-        wy_rows, HT, ALIGN, H * 3 // 2)
-    c_starts, c_blocks, c_win, c_end = _banded_blocks_from_dense(
-        wc_rows, HT, ALIGN, H * 3 // 2, row_offset=H)
+    y_starts, y_blocks, y_win, y_end = _row_blocks_fit(
+        wy_rows, HT, h_align, nv12.shape[1])
+    c_starts, c_blocks, c_win, c_end = _row_blocks_fit(
+        wc_rows, HT, h_align, nv12.shape[1], row_offset=H)
     rows_needed = max(H * 3 // 2, y_end, c_end)
     if nv12.shape[1] < rows_needed:
         nv12 = jnp.pad(nv12, ((0, 0), (0, rows_needed - nv12.shape[1]),
@@ -970,11 +1023,11 @@ def pallas_nv12_resize(
     wy_cols = resize_weights(W, DW, method)            # [DW, W]
     wc_cols = resize_weights(W // 2, DW // 2, method)  # half grid
     s_, b_, wy_winw, _ = _banded_blocks_from_dense(
-        wy_cols, WT, LANE_ALIGN, W, clamp_to_extent=True)
+        wy_cols, WT, w_align, W, clamp_to_extent=True)
     wy_starts, wy_blocks = s_, np.transpose(b_, (0, 2, 1)).copy()
     nwt = wy_blocks.shape[0]
     wc_starts, wc_blocks, wc_winw = _interleave_w_blocks(
-        wc_cols, W, DW, WT, LANE_ALIGN)
+        wc_cols, W, DW, WT, w_align)
 
     dh_pad = ((DH + HT - 1) // HT) * HT
     dc_pad = ((DC + HT - 1) // HT) * HT
@@ -1058,7 +1111,8 @@ def pallas_nv12_resize(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("src_h", "dst_h", "dst_w", "method", "interpret"))
+    static_argnames=("src_h", "dst_h", "dst_w", "method", "h_align",
+                     "w_align", "interpret"))
 def pallas_plane_resize(
     plane: jax.Array,  # [B, H (+pad rows ok), W] uint8 / uint16 / float32
     *,
@@ -1066,6 +1120,8 @@ def pallas_plane_resize(
     dst_h: int,
     dst_w: int,
     method: str = LANCZOS_AA,
+    h_align: int = 8,
+    w_align: int = 32,
     interpret: bool = False,
 ) -> jax.Array:
     """Banded separable resize of independent planes -> [B, dst_h, dst_w].
@@ -1095,14 +1151,14 @@ def pallas_plane_resize(
 
     wh = resize_weights(H, DH, method)
     ww = resize_weights(W, DW, method)
-    h_starts, h_blocks, h_win, h_end = _banded_blocks_from_dense(
-        wh, TILE, ALIGN, H)
+    h_starts, h_blocks, h_win, h_end = _row_blocks_fit(
+        wh, TILE, h_align, plane.shape[1])
     if plane.shape[1] < h_end:
         plane = jnp.pad(plane, ((0, 0), (0, h_end - plane.shape[1]),
                                 (0, 0)))
     rows = plane.shape[1]
     w_starts, w_b, w_win, _ = _banded_blocks_from_dense(
-        ww, LANE_TILE, LANE_ALIGN, W, clamp_to_extent=True)
+        ww, LANE_TILE, w_align, W, clamp_to_extent=True)
     w_blocks = np.transpose(w_b, (0, 2, 1)).copy()
     nht, nwt = h_blocks.shape[0], w_blocks.shape[0]
     dh_pad = nht * TILE
@@ -1300,8 +1356,8 @@ def pallas_nv12_to_rgb(
     # reads chroma row i//2, matching csc.upsample2x_nearest)
     R = np.zeros((H, H // 2), dtype=np.float32)
     R[np.arange(H), np.arange(H) // 2] = 1.0
-    r_starts, r_blocks, r_win, r_end = _banded_blocks_from_dense(
-        R, TILE, ALIGN, H * 3 // 2, row_offset=H)
+    r_starts, r_blocks, r_win, r_end = _row_blocks_fit(
+        R, TILE, 8, nv12.shape[1], row_offset=H)
     n_rt = r_blocks.shape[0]
     rows_needed = max(H * 3 // 2, r_end)
     if nv12.shape[1] < rows_needed:
@@ -1379,7 +1435,8 @@ def required_pad_rows_packed(src_h: int, dst_h: int,
 @functools.partial(
     jax.jit,
     static_argnames=("src_w", "src_h", "dst_w", "dst_h", "channels",
-                     "method", "h_tile", "interpret"))
+                     "method", "h_tile", "h_align", "w_align",
+                     "interpret"))
 def pallas_packed_resize(
     plane: jax.Array,  # [B, H (+pad rows ok), W*channels] uint8/uint16/f32
     *,
@@ -1390,6 +1447,8 @@ def pallas_packed_resize(
     channels: int = 3,
     method: str = LANCZOS_AA,
     h_tile: int = TILE,
+    h_align: int = 8,
+    w_align: int = 32,
     interpret: bool = False,
 ) -> jax.Array:
     """Banded resize of a PACKED interleaved-channel plane (RGB/BGR
@@ -1425,8 +1484,8 @@ def pallas_packed_resize(
         cap = None
 
     wh = resize_weights(H, DH, method)
-    h_starts, h_blocks, h_win, h_end = _banded_blocks_from_dense(
-        wh, h_tile, ALIGN, H)
+    h_starts, h_blocks, h_win, h_end = _row_blocks_fit(
+        wh, h_tile, h_align, plane.shape[1])
     if plane.shape[1] < h_end:
         plane = jnp.pad(plane, ((0, 0), (0, h_end - plane.shape[1]),
                                 (0, 0)))
@@ -1438,7 +1497,7 @@ def pallas_packed_resize(
     for c in range(C):
         wexp[c::C, c::C] = ww
     w_starts, w_b, w_win, _ = _banded_blocks_from_dense(
-        wexp, LANE_TILE, LANE_ALIGN, W * C, clamp_to_extent=True)
+        wexp, LANE_TILE, w_align, W * C, clamp_to_extent=True)
     w_blocks = np.transpose(w_b, (0, 2, 1)).copy()
     nht, nwt = h_blocks.shape[0], w_blocks.shape[0]
     dh_pad = nht * h_tile
