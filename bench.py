@@ -73,13 +73,23 @@ def _slopes(kernel_fn, x, consume, n=SLOPES):
     return out, min_slope
 
 
-def _time_kernel(kernel_fn, x):
-    """Median per-call time and relative spread across slope estimates."""
+def _time_kernel(kernel_fn, x, slice_consume=False):
+    """Median per-call time and relative spread across slope estimates.
+
+    slice_consume=True sums only a 128-lane slice of the output — for
+    opaque pallas_call outputs this still forces the whole kernel but
+    drops the full-output reduce from the measured slope (~0.5 ms/batch
+    on 64x224x224x3; see bench_kernel_variants.time_fn). Keep it False
+    for XLA-built kernels, where a slice would let the compiler narrow
+    the computation itself.
+    """
     import jax.numpy as jnp
 
-    with_kernel, min_slope = _slopes(
-        kernel_fn, x,
-        lambda f, xx: jnp.sum(f(xx).astype(jnp.int32)))
+    if slice_consume:
+        consume = lambda f, xx: jnp.sum(f(xx)[..., :128].astype(jnp.int32))
+    else:
+        consume = lambda f, xx: jnp.sum(f(xx).astype(jnp.int32))
+    with_kernel, min_slope = _slopes(kernel_fn, x, consume)
     base_list, base_min = _slopes(
         kernel_fn, x,
         lambda f, xx: xx[0, 0, 0].astype(jnp.int32), n=3)
@@ -116,7 +126,7 @@ def main():
         lambda x: pallas_nv12_preprocess(
             x, src_w=W, src_h=H, dst_w=DW, dst_h=DH,
             space=ColorSpace.BT_709, crange=ColorRange.MPEG),
-        nv12_padded)
+        nv12_padded, slice_consume=True)
     per_batch_xla, _ = _time_kernel(
         lambda x: fused_preprocess(
             (x,), PixelFormat.NV12, W, H, DW, DH,
@@ -154,7 +164,7 @@ def main():
         per_batch_resize, _ = _time_kernel(
             lambda x: pallas_nv12_resize(x, src_w=3840, src_h=2160,
                                          dst_w=1920, dst_h=1080),
-            nv12_4k)
+            nv12_4k, slice_consume=True)
         resize_4k_fps = B4 / per_batch_resize
         per_batch_resize_xla, _ = _time_kernel(
             lambda x: resize_batch((x[:, :2160 * 3 // 2],),
@@ -172,7 +182,7 @@ def main():
         per_batch_pre4k, _ = _time_kernel(
             lambda x: pallas_nv12_preprocess(x, src_w=3840, src_h=2160,
                                              dst_w=DW, dst_h=DH),
-            nv12_4kp)
+            nv12_4kp, slice_consume=True)
         preprocess_4k_fps = B4 / per_batch_pre4k
 
     # secondary: H2D staging bandwidth (the pipeline's device_put path;

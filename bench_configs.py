@@ -318,8 +318,11 @@ def config5_pipeline_chipside():
 # tunnel); a config is skipped with a note when less remains.
 ALL_CONFIGS = [
     ("1_sw_decode_cpu_convert", config1_decode_convert_cpu, 30),
+    # the chipside pipeline number is the north-star evidence — run it
+    # before the cheaper host-bound configs so a slow tunnel can never
+    # squeeze it out of the JSON line
+    ("5_pipeline_chipside", config5_pipeline_chipside, 200),
     ("2_tpu_two_stage_convert_resize", config2_convert_resize_tpu, 90),
-    ("5_pipeline_chipside", config5_pipeline_chipside, 240),
     ("4_decode_preprocess_inference_e2e", config4_inference_e2e, 90),
     ("3_transcode_4k_hevc", config3_full_transcode_4k, 90),
     ("5_pipeline_64x1080p_jpeg", config5_pipeline_64streams, 90),

@@ -37,7 +37,15 @@ time_fn fix (sum a 128-lane slice, not the whole output — the full
 reduce added ~3 us/frame of harness tax here) production measures
 25.2 us/frame padded / 26.3 unpadded = ~39.7k fps/chip, vs 29.5k at
 round 2. Remaining gap to the ~19 us input-stream floor is the W-pass
-serializing after the H-pass within a grid step."""
+serializing after the H-pass within a grid step.
+
+  skewed (software-pipelined grid: step b does    29.5  <- dead end
+    frame b's H-pass + frame b-1's W-pass from a
+    double-buffered H scratch; vs prod 29.4 same
+    estimator, maxdiff=0): no win — at (8, 32)
+    alignment the MXU work is already hidden
+    behind the input DMA, so de-serializing the
+    two passes moves nothing."""
 import functools
 import numpy as np
 import jax
@@ -394,6 +402,134 @@ def main_aligned():
         except Exception as e:
             print(f"aligned h={ha} w={wa}: FAILED {type(e).__name__}: "
                   f"{str(e)[:300]}", flush=True)
+
+
+@functools.partial(jax.jit, static_argnames=("h_align", "w_align"))
+def skewed(nv12, *, h_align=8, w_align=32):
+    """Software-pipelined grid: step b runs frame b's H-pass and frame
+    b-1's W-pass (double-buffered H scratch), so the two MXU passes
+    overlap across grid steps instead of serializing inside one. Step
+    time should drop from DMA-vs-(H+W) to max(DMA, H, W)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Bn = nv12.shape[0]
+    cdt = jnp.bfloat16
+    wy_rows = resize_weights(H, DH, "lanczos_aa")
+    wc_rows = resize_weights(H // 2, DC, "lanczos_aa")
+    from vali_tpu.ops.pallas_fused import _row_blocks_fit
+    y_starts, y_blocks, y_win, y_end = _row_blocks_fit(
+        wy_rows, TILE, h_align, nv12.shape[1])
+    c_starts, c_blocks, c_win, c_end = _row_blocks_fit(
+        wc_rows, TILE, h_align, nv12.shape[1], row_offset=H)
+    assert max(y_end, c_end) <= nv12.shape[1]
+    rows = nv12.shape[1]
+    nyt, nct = y_blocks.shape[0], c_blocks.shape[0]
+
+    wy_cols = resize_weights(W, DW, "lanczos_aa")
+    wc_cols = resize_weights(W // 2, DW // 2, "lanczos_aa")
+    s_, b_, wy_winw, _ = _banded_blocks_from_dense(
+        wy_cols, LANE_TILE, w_align, W, clamp_to_extent=True)
+    wy_starts, wy_blocks = s_, np.transpose(b_, (0, 2, 1)).copy()
+    nwt = wy_blocks.shape[0]
+    wc_starts, wc_blocks, wc_winw = _interleave_w_blocks(
+        wc_cols, W, DW, LANE_TILE, w_align)
+
+    dh_pad = ((DH + TILE - 1) // TILE) * TILE
+    dc_pad = ((DC + TILE - 1) // TILE) * TILE
+    dwp = nwt * LANE_TILE
+
+    def kernel(frame_ref, yblk_ref, cblk_ref, wyb_ref, wcb_ref,
+               yout_ref, cout_ref, yh_ref, ch_ref):
+        s = pl.program_id(0)
+
+        @pl.when(s < Bn)
+        def _():
+            buf = s % 2
+            for t in range(nyt):
+                ys = int(y_starts[t])
+                yh_ref[buf, t * TILE:(t + 1) * TILE, :] = jnp.dot(
+                    yblk_ref[t].astype(cdt),
+                    frame_ref[0, ys:ys + y_win, :].astype(
+                        jnp.int16).astype(cdt),
+                    preferred_element_type=jnp.float32).astype(cdt)
+            for t in range(nct):
+                cs = int(c_starts[t])
+                ch_ref[buf, t * TILE:(t + 1) * TILE, :] = jnp.dot(
+                    cblk_ref[t].astype(cdt),
+                    frame_ref[0, cs:cs + c_win, :].astype(
+                        jnp.int16).astype(cdt),
+                    preferred_element_type=jnp.float32).astype(cdt)
+
+        @pl.when(s > 0)
+        def _():
+            buf = (s + 1) % 2
+            for t in range(nwt):
+                ws = int(wy_starts[t])
+                acc = jnp.dot(yh_ref[buf, :DH, ws:ws + wy_winw],
+                              wyb_ref[t].astype(cdt),
+                              preferred_element_type=jnp.float32)
+                yout_ref[0, :, t * LANE_TILE:(t + 1) * LANE_TILE] = \
+                    jnp.clip(jnp.round(acc), 0.0, 255.0).astype(
+                        jnp.int32).astype(jnp.uint8)
+                cs = int(wc_starts[t])
+                accc = jnp.dot(ch_ref[buf, :DC, cs:cs + wc_winw],
+                               wcb_ref[t].astype(cdt),
+                               preferred_element_type=jnp.float32)
+                cout_ref[0, :, t * LANE_TILE:(t + 1) * LANE_TILE] = \
+                    jnp.clip(jnp.round(accc), 0.0, 255.0).astype(
+                        jnp.int32).astype(jnp.uint8)
+
+    y_out, c_out = pl.pallas_call(
+        kernel,
+        grid=(Bn + 1,),
+        in_specs=[
+            pl.BlockSpec((1, rows, W),
+                         lambda b: (jnp.minimum(b, Bn - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=[
+            pl.BlockSpec((1, DH, dwp),
+                         lambda b: (jnp.maximum(b - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, DC, dwp),
+                         lambda b: (jnp.maximum(b - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, dh_pad, W), cdt),
+                        pltpu.VMEM((2, dc_pad, W), cdt)],
+        out_shape=[jax.ShapeDtypeStruct((Bn, DH, dwp), jnp.uint8),
+                   jax.ShapeDtypeStruct((Bn, DC, dwp), jnp.uint8)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(nv12, jnp.asarray(y_blocks), jnp.asarray(c_blocks),
+      jnp.asarray(wy_blocks), jnp.asarray(wc_blocks))
+    return jnp.concatenate([y_out[:, :, :DW], c_out[:, :, :DW]], axis=1)
+
+
+def main_skewed():
+    import sys
+    rng = np.random.default_rng(0)
+    pad = required_pad_rows_resize(W, H, DW, DH)
+    nv12 = np.zeros((B, H * 3 // 2 + pad, W), np.uint8)
+    nv12[:, :H * 3 // 2] = rng.integers(0, 256, (B, H * 3 // 2, W),
+                                        dtype=np.uint8)
+    x = jnp.asarray(nv12)
+    base = lambda a: pallas_nv12_resize(a, src_w=W, src_h=H, dst_w=DW,
+                                        dst_h=DH)
+    ref = np.asarray(jax.jit(base)(x[:4]))
+    try:
+        out = np.asarray(jax.jit(skewed)(x[:4]))
+        d = np.abs(out.astype(int) - ref.astype(int)).max()
+        ms, spread = _time_kernel(skewed, x)
+        print(f"skewed: {ms*1000:.3f} ms/{B} = {ms/B*1e6:.1f} us/frame "
+              f"spread={spread:.1%} maxdiff={d}", flush=True)
+    except Exception as e:
+        print(f"skewed: FAILED {type(e).__name__}: {str(e)[:400]}",
+              flush=True)
+    ms, spread = _time_kernel(base, x)
+    print(f"prod  : {ms*1000:.3f} ms/{B} = {ms/B*1e6:.1f} us/frame "
+          f"spread={spread:.1%}", flush=True)
 
 
 @functools.partial(jax.jit, static_argnames=("nslabs", "h_align",
@@ -767,5 +903,7 @@ if __name__ == "__main__":
         main_aligned()
     elif sys.argv[1:2] == ["slabs"]:
         main_slabs()
+    elif sys.argv[1:2] == ["skewed"]:
+        main_skewed()
     else:
         main()
