@@ -100,7 +100,10 @@ def config2_convert_resize_tpu():
                                     method="lanczos_aa")
         return small[0]
 
-    per_batch = _slope_time(two_stage, nv12)
+    # long chains: at ~2.4 ms/batch the default K=8/24 slope delta
+    # (~38 ms) is comparable to tunnel jitter and wobbled the reported
+    # fps by +-8% between runs; K=16/80 gives a ~154 ms delta
+    per_batch = _slope_time(two_stage, nv12, K_short=16, K_long=80)
     return {"value": round(B / per_batch, 1), "unit": "frames/sec/chip",
             "ms_per_batch": round(per_batch * 1000, 3),
             "note": "unfused two-stage; fused kernel is the headline"}
@@ -297,11 +300,14 @@ def config5_pipeline_chipside():
 
     # device JPEG stage on the pipeline's real output batch
     packed = jnp.reshape(batch, (B, 224, 224 * 3))
+    # the device JPEG stage is ~30 us/batch: K=20/100 chains gave a ~2 ms
+    # slope delta — below tunnel jitter, and the reported number swung 3x
+    # between runs. 200/2000 puts the delta at ~55 ms.
     per_jpeg = _slope_time(
         lambda x: jpeg_transform_batch(
             (x,), src_fmt=int(PixelFormat.RGB), width=224, height=224,
             quality=85)[0],
-        packed, K_short=20, K_long=100, reps=3)
+        packed, K_short=200, K_long=2000, reps=3)
     return {"value": round(fps, 1),
             "unit": "frames/sec/chip (pipeline code, HBM-resident ring)",
             "ms_per_batch": round(per_batch * 1000, 3),
