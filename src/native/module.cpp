@@ -435,6 +435,15 @@ PyMODINIT_FUNC PyInit__native(void) {
   Py_INCREF(&DecoderType);
   PyModule_AddObject(m, "Decoder", reinterpret_cast<PyObject*>(&DecoderType));
 
+  // single source of truth for the CopyFrame sentinel (decoder.hpp);
+  // the Python wrapper maps it to TaskExecInfo.UNSUPPORTED_FMT_CONV_PARAMS
+  if (PyModule_AddIntConstant(
+          m, "ERR_UNREPRESENTABLE_LAYOUT",
+          vali::VideoDecoder::kErrUnrepresentableLayout) < 0) {
+    Py_DECREF(m);
+    return nullptr;
+  }
+
   if (vali_register_encoder(m) < 0 || vali_register_frameconv(m) < 0 ||
       vali_register_jpeg(m) < 0 || vali_register_jpeg_coefficients(m) < 0 ||
       vali_register_muxer(m) < 0) {

@@ -223,6 +223,24 @@ def test_motion_vectors():
     assert len(raw) == len(mvs)
     for i in (0, len(mvs) // 2, len(mvs) - 1):
         assert tuple(int(mvs[i][k]) for k in mvs.dtype.names) == raw[i]
+    # Writable, like the reference's registered-dtype array: ported user
+    # code does in-place math on it.
+    assert mvs.flags.writeable
+    mvs["motion_x"] //= np.maximum(mvs["motion_scale"], 1)
+
+
+def test_copy_frame_error_constant_matches_native():
+    """The Python error mapping reads the constant the native module
+    exports (one source of truth with decoder.hpp's
+    kErrUnrepresentableLayout)."""
+    from vali_tpu.engine._loader import load_native
+    from vali_tpu.engine.decoder import _copy_frame_error
+
+    code = load_native().ERR_UNREPRESENTABLE_LAYOUT
+    assert code < 0
+    assert (_copy_frame_error(code)
+            == vali.TaskExecInfo.UNSUPPORTED_FMT_CONV_PARAMS)
+    assert _copy_frame_error(-1) == vali.TaskExecInfo.FAIL
 
 
 def test_probe():

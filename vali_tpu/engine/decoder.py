@@ -17,7 +17,6 @@ import numpy as np
 
 from ..core.details import (
     MOTION_VECTOR_DTYPE,
-    MotionVector,
     PacketData,
     SeekContext,
     StreamParams,
@@ -43,14 +42,15 @@ def SetFFMpegLogLevel(level: FfmpegLogLevel) -> None:
     load_native().set_ffmpeg_log_level(int(level))
 
 
-# Native CopyFrame error code for a frame layout that cannot be expressed
-# in the advertised PixFmt (e.g. odd-dimension yuv420p12 vs semi-planar
-# P012 — see decoder.hpp kErrUnrepresentableLayout).
-_ERR_UNREPRESENTABLE_LAYOUT = -1000
-
-
 def _copy_frame_error(written: int) -> TaskExecInfo:
-    if written == _ERR_UNREPRESENTABLE_LAYOUT:
+    """Map a native CopyFrame error code to the TaskExecInfo taxonomy.
+
+    ERR_UNREPRESENTABLE_LAYOUT (exported by the native module from
+    decoder.hpp's kErrUnrepresentableLayout — one source of truth) means
+    the frame layout cannot be expressed in the advertised PixFmt, e.g.
+    odd-dimension yuv420p12 vs semi-planar P012.
+    """
+    if written == load_native().ERR_UNREPRESENTABLE_LAYOUT:
         return TaskExecInfo.UNSUPPORTED_FMT_CONV_PARAMS
     return TaskExecInfo.FAIL
 
@@ -359,9 +359,12 @@ class PyDecoder:
         flags2=+export_mvs) as a structured numpy array with dtype
         ``MOTION_VECTOR_DTYPE`` (parity: the reference registers a numpy
         dtype and returns a vectorized array, VALI.cpp:125-128). Fields
-        are readable by name: ``mvs["motion_x"]`` etc."""
+        are readable by name: ``mvs["motion_x"]`` etc. The array is
+        writable (the reference's is) — wrap the immutable native bytes
+        in a bytearray the array owns, else in-place user math like
+        ``mvs["motion_x"] //= mvs["motion_scale"]`` raises ValueError."""
         buf = self._dec.motion_vectors_packed()
-        return np.frombuffer(buf, dtype=MOTION_VECTOR_DTYPE)
+        return np.frombuffer(bytearray(buf), dtype=MOTION_VECTOR_DTYPE)
 
     @property
     def DisplayRotation(self) -> float:

@@ -373,10 +373,9 @@ def supported_conversions() -> List[Tuple[PixelFormat, PixelFormat]]:
 
 
 def _pallas_convert_usable() -> bool:
-    try:
-        return jax.devices()[0].platform != "cpu"
-    except RuntimeError:
-        return False
+    from ..utils.device import pallas_platform_available
+
+    return pallas_platform_available()
 
 
 def convert_batch(

@@ -1237,9 +1237,12 @@ def pallas_plane_resize(
 # weight PATTERNS carry the CSC coefficients. M = src_h rows per matmul.
 # Measured (v5e, 64x1080p): 2.35 ms/batch vs 4.25 ms for the XLA
 # channel-plane path — bound by the f32 quantization tail + 400 MB
-# packed store, not MACs (lane_align sweep 8/32/128 -> 2.41/2.49/3.46;
-# pre-cast and single-K=256-matmul variants measured slower, see
-# convert_lab.py).
+# packed store, not MACs. (A lane_align sweep 8/32/128 -> 2.41/2.49/3.46
+# was measured on the BANDED builder before group mode became the
+# 128-divisible fast path; it now only applies to the banded fallback,
+# and pallas_nv12_to_rgb canonicalizes lane_align when group mode wins.
+# Pre-cast and single-K=256-matmul variants measured slower, see
+# convert_lab.py.)
 
 
 def _packed_csc_lane_blocks(W: int, m: np.ndarray, swap: bool,
@@ -1272,10 +1275,6 @@ def _packed_csc_lane_blocks(W: int, m: np.ndarray, swap: bool,
             (sb, np.transpose(bb, (0, 2, 1)).copy(), winb), OWp)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("src_w", "src_h", "space", "crange", "swap",
-                     "lane_align", "interpret"))
 def pallas_nv12_to_rgb(
     nv12: jax.Array,  # [B, >= H*3/2, W] uint8
     *,
@@ -1293,7 +1292,36 @@ def pallas_nv12_to_rgb(
     same CSC matrix); computes in bfloat16 so results sit within 1-2 LSB
     of the float32 XLA path (coefficient rounding), like the turbo
     resize paths.
+
+    ``lane_align`` only shapes the banded fallback (W not a multiple of
+    128); group mode ignores it, so it is canonicalized here — before
+    the jit boundary — to keep distinct values from recompiling
+    identical group-mode kernels (~30-240s each through a remote
+    tunnel).
     """
+    if not (src_w % lane_align == 0 and lane_align >= 128) \
+            and src_w % 128 == 0:
+        lane_align = 128
+    return _pallas_nv12_to_rgb_jit(
+        nv12, src_w=src_w, src_h=src_h, space=space, crange=crange,
+        swap=swap, lane_align=lane_align, interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("src_w", "src_h", "space", "crange", "swap",
+                     "lane_align", "interpret"))
+def _pallas_nv12_to_rgb_jit(
+    nv12: jax.Array,
+    *,
+    src_w: int,
+    src_h: int,
+    space: ColorSpace,
+    crange: ColorRange,
+    swap: bool,
+    lane_align: int,
+    interpret: bool,
+) -> jax.Array:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1420,16 +1448,6 @@ def pallas_nv12_to_rgb(
     )(nv12, jnp.asarray(r_blocks), jnp.asarray(ya_b).astype(cdt),
       jnp.asarray(cb_b).astype(cdt), jnp.asarray(off))
     return out if OWp == OW else out[:, :, :OW]
-
-
-def required_pad_rows_packed(src_h: int, dst_h: int,
-                             method: str = LANCZOS_AA) -> int:
-    """Extra rows a packed plane needs for pallas_packed_resize."""
-    from .resize import resize_weights
-
-    _, _, _, h_end = _banded_blocks_from_dense(
-        resize_weights(src_h, dst_h, method), TILE, ALIGN, src_h)
-    return max(0, h_end - src_h)
 
 
 @functools.partial(

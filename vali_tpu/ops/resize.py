@@ -202,12 +202,9 @@ def resize_plane(plane: jnp.ndarray, out_h: int, out_w: int,
 
 
 def _pallas_resize_usable() -> bool:
-    import jax
+    from ..utils.device import pallas_platform_available
 
-    try:
-        return jax.devices()[0].platform != "cpu"
-    except RuntimeError:
-        return False
+    return pallas_platform_available()
 
 
 def resize_batch(planes: Sequence[jnp.ndarray], fmt: PixelFormat,

@@ -46,12 +46,9 @@ def _preprocess_jit(planes, *, src_fmt, src_w, src_h, dst_w, dst_h, space,
 def _pallas_usable(src_fmt, space, crange) -> bool:
     """The banded Pallas kernels cover NV12 and planar YUV420 on real
     TPUs."""
-    import jax
+    from ..utils.device import pallas_platform_available
 
-    try:
-        if jax.devices()[0].platform == "cpu":
-            return False
-    except RuntimeError:
+    if not pallas_platform_available():
         return False
     from ..ops import colors
 

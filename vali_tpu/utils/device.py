@@ -35,6 +35,16 @@ def num_devices() -> int:
         return 0
 
 
+def pallas_platform_available() -> bool:
+    """True when the default backend can run the compiled Pallas TPU
+    kernels (i.e. is not the CPU interpreter). Single source of truth
+    for the op-level Pallas-vs-XLA routing in csc/resize/multistream."""
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except RuntimeError:
+        return False
+
+
 def get_device(gpu_id: int) -> "jax.Device":
     """Map a VALI-style gpu_id onto a jax.Device."""
     devices = jax.devices()
