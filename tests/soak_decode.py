@@ -24,10 +24,53 @@ def rss_mb() -> float:
     return 0.0
 
 
+def synthesize_clip(path: str, w=848, h=464, n=96, fps=30.0) -> str:
+    """Encode+mux a soak clip with our own encoder/muxer so the soak is
+    self-contained when the reference checkout is absent (e.g. in the
+    repo's own CI, which has no /root/reference)."""
+    import vali_tpu as vali
+
+    enc = vali.PyNvEncoder({"s": f"{w}x{h}", "bf": "0", "lookahead": "0",
+                            "gop": "30", "fps": str(int(fps))},
+                           gpu_id=0, format=vali.PixelFormat.NV12)
+    up = vali.PyFrameUploader(gpu_id=0)
+    pkts = []
+    pkt = np.zeros(0, np.uint8)
+    grad = np.linspace(16, 235, w, dtype=np.float64)
+    for i in range(n):
+        y = np.clip(grad[None, :] + i, 16, 235).astype(np.uint8)
+        y = np.broadcast_to(y, (h, w))
+        uv = np.full((h // 2, w), 128, np.uint8)
+        surf = vali.Surface.Make(vali.PixelFormat.NV12, w, h)
+        assert up.Run(np.concatenate([y.reshape(-1), uv.reshape(-1)]),
+                      surf)[0]
+        if enc.EncodeSingleSurface(surf, pkt):
+            pkts.append(pkt.tobytes())
+    while True:
+        f = np.zeros(0, np.uint8)
+        if not enc.FlushSinglePacket(f) or not f.size:
+            break
+        pkts.append(f.tobytes())
+    assert len(pkts) == n
+
+    from vali_tpu.engine.muxer import PyMuxer
+
+    with PyMuxer(path, w, h, fps=fps) as mux:
+        for i, d in enumerate(pkts):
+            assert mux.Mux(d, pts=i / fps)[0]
+    return path
+
+
 def main():
     iterations = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     uri = sys.argv[2] if len(sys.argv) > 2 else \
         "/root/reference/tests/data/test.mp4"
+    if len(sys.argv) <= 2 and not os.path.exists(uri):
+        import tempfile
+
+        uri = synthesize_clip(
+            os.path.join(tempfile.mkdtemp(prefix="vali_soak_"), "soak.mp4"))
+        print(f"reference clip absent; synthesized own soak clip: {uri}")
     use_device = os.environ.get("SOAK_DEVICE", "0") == "1"
     # NOTE: under the axon TPU tunnel, the backend retains a host-side
     # mirror per device transfer, so SOAK_DEVICE=1 shows linear RSS growth
