@@ -16,16 +16,16 @@ us/frame):
   dma     (full in + full out, no matmuls)         25.1
   production                                       30.0 -> 25.5 after
                                                       the pad fix
-The kernel is ~85% DMA; in/out DMAs overlap only partially — this
-stage is within ~20% of its own dma floor and further structural work
-(outband) measured flat. The internal jnp.pad (replication windows
-overran H*3/2) was replaced by clamp-over-pad (_row_blocks_fit) and
-the replication align dropped 32->8 (win 64->32 rows): production
-measured 1.92 pre / 1.94 post (within spread — XLA evidently does not
-charge the pad here), but the same clamp on the RESIZE stage plus its
-h/w alignment cut took the two-stage total 3.69 -> 2.43 ms/batch
-= 26.3k fps (config 2 target 25k: MET; stage split now ~1.94 convert
-+ ~0.49 resize)."""
+The probe numbers above were all measured THROUGH a hidden device-side
+jnp.pad: the aligned-only clamp could not reach the last
+extent%align rows (1620 % 8 = 4), so clamp-over-pad silently never
+engaged at 1080p and every per-call 240 MB pad copy stayed (the
+"1.92 pre / 1.94 post within spread" reading was pad-vs-pad). After
+letting the FINAL clamped window start unaligned at extent-win
+(bit-identical, maxdiff=0 padded-vs-unpadded on all three kernel
+families), production measures 1.25 ms/batch and the two-stage total
+dropped 2.44 -> 1.75 ms/batch = 36.7k fps (config 2 target 25k: MET
+with 47% headroom; stage split now ~1.25 convert + ~0.49 resize)."""
 import functools
 import sys
 

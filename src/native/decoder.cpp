@@ -424,19 +424,20 @@ Info VideoDecoder::Seek(int64_t frame_num, double ts_sec, bool by_number,
 int VideoDecoder::CopyFrame(uint8_t* dst, size_t capacity) {
   if (!m_frame || m_frame->width <= 0) return -1;
   const auto ffmt = static_cast<AVPixelFormat>(m_frame->format);
-  int n = av_image_copy_to_buffer(dst, static_cast<int>(capacity),
-                                  m_frame->data, m_frame->linesize, ffmt,
-                                  m_frame->width, m_frame->height, 1);
-  if (n < 0) return n;
   if (ffmt == AV_PIX_FMT_YUV420P12 &&
       (m_frame->width % 2 != 0 || m_frame->height % 2 != 0)) {
     // Odd geometry cannot be expressed in the semi-planar P012 layout
     // (interleaved UV rows need 2*ceil(w/2) samples > w). Mislabeling
     // planar LSB-aligned bytes as PixFmt::P12 would hand consumers wrong
-    // data with no way to detect it, so fail the copy loudly instead
+    // data with no way to detect it, so fail loudly — before the
+    // full-frame copy, which would only be thrown away
     // (kErrUnrepresentableLayout, surfaced as UNSUPPORTED_FMT_CONV).
     return kErrUnrepresentableLayout;
   }
+  int n = av_image_copy_to_buffer(dst, static_cast<int>(capacity),
+                                  m_frame->data, m_frame->linesize, ffmt,
+                                  m_frame->width, m_frame->height, 1);
+  if (n < 0) return n;
   if (ffmt == AV_PIX_FMT_YUV420P12) {
     // PixFmt::P12 means the NVDEC P012 layout everywhere above this
     // layer (semi-planar, MSB-aligned 16-bit — see formats.py and the

@@ -384,3 +384,55 @@ class TestPackedResize:
         from vali_tpu.ops import resize
 
         assert not resize._pallas_resize_usable()
+
+
+class TestClampOverPad:
+    """Clamp-over-pad must actually engage for 1080p storage.
+
+    1620 rows (H*3/2) is NOT a multiple of the h_align=8 window
+    alignment; an aligned-only clamp cannot reach the last 4 rows, and
+    every 1080p kernel silently fell back to a per-call device-side
+    jnp.pad of the whole batch (~0.7 ms/64-frame batch, found in review)
+    until the final clamped window was allowed to start unaligned at
+    extent-win. These pin (a) the builder reporting no padding needed,
+    (b) bit-identity of the unpadded vs padded kernel outputs.
+    """
+
+    def test_row_blocks_fit_1080p_needs_no_pad(self):
+        from vali_tpu.ops.pallas_fused import _row_blocks_fit
+        from vali_tpu.ops.resize import resize_weights
+
+        H, rows_have = 1080, 1620
+        # chroma replication (convert path)
+        R = np.zeros((H, H // 2), dtype=np.float32)
+        R[np.arange(H), np.arange(H) // 2] = 1.0
+        for dense, off in ((R, H),
+                           (resize_weights(H // 2, 112, "lanczos_aa"), H),
+                           (resize_weights(H // 2, 270, "lanczos_aa"), H),
+                           (resize_weights(H, 224, "lanczos_aa"), 0)):
+            starts, blocks, win, req = _row_blocks_fit(
+                dense, 32, 8, rows_have, row_offset=off)
+            assert req == rows_have, (req, rows_have)
+            assert int(starts.max()) + win <= rows_have
+
+    def test_unpadded_matches_padded_1080p(self):
+        from vali_tpu.ops.pallas_fused import (pallas_nv12_preprocess,
+                                               pallas_nv12_to_rgb,
+                                               required_pad_rows)
+
+        B, H, W = 1, 1080, 256
+        base = RNG.integers(0, 256, (B, H * 3 // 2, W), dtype=np.uint8)
+        x = jnp.asarray(base)
+        pr = max(required_pad_rows(W, H, 224), 8)
+        xp = jnp.asarray(np.concatenate(
+            [base, np.zeros((B, pr, W), np.uint8)], axis=1))
+        a = np.asarray(pallas_nv12_to_rgb(x, src_w=W, src_h=H,
+                                          interpret=True))
+        b = np.asarray(pallas_nv12_to_rgb(xp, src_w=W, src_h=H,
+                                          interpret=True))
+        assert np.array_equal(a, b)
+        c = np.asarray(pallas_nv12_preprocess(
+            x, src_w=W, src_h=H, dst_w=224, dst_h=224, interpret=True))
+        d = np.asarray(pallas_nv12_preprocess(
+            xp, src_w=W, src_h=H, dst_w=224, dst_h=224, interpret=True))
+        assert np.array_equal(c, d)

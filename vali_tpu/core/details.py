@@ -144,16 +144,16 @@ class MotionVector:
 # structured array with this dtype.
 MOTION_VECTOR_DTYPE = _np.dtype(
     [
-        ("source", "<i4"),
-        ("w", "<i4"),
-        ("h", "<i4"),
-        ("src_x", "<i4"),
-        ("src_y", "<i4"),
-        ("dst_x", "<i4"),
-        ("dst_y", "<i4"),
-        ("motion_x", "<i4"),
-        ("motion_y", "<i4"),
-        ("motion_scale", "<i4"),
+        ("source", "=i4"),
+        ("w", "=i4"),
+        ("h", "=i4"),
+        ("src_x", "=i4"),
+        ("src_y", "=i4"),
+        ("dst_x", "=i4"),
+        ("dst_y", "=i4"),
+        ("motion_x", "=i4"),
+        ("motion_y", "=i4"),
+        ("motion_scale", "=i4"),
     ]
 )
 

@@ -858,17 +858,17 @@ def _banded_blocks_from_dense(wdense: np.ndarray, tile: int, align: int,
     win = int(math.ceil((span + align) / align)) * align
     dense = False
     if clamp_to_extent:
+        # bands live inside the storage extent, so a window of win <
+        # extent rows always covers its band once the FINAL window may
+        # start unaligned at extent-win (starts are consumed as static
+        # slices — unaligned static slices carry no measured Mosaic tax;
+        # an aligned-only clamp missed the last extent%align rows and
+        # silently forced the pad/dense path for 1080p storage, whose
+        # 1620 rows are not a multiple of align=8)
+        assert all(row_offset + hi <= extent for _, hi in bands), \
+            "band beyond storage extent"
         if win >= extent:
             win, dense = extent, True
-        else:
-            # aligned starts must still cover every band inside the
-            # un-paddable extent; if alignment can't, go dense
-            for lo, hi in bands:
-                start = max(0, min(((row_offset + lo) // align) * align,
-                                   ((extent - win) // align) * align))
-                if start + win < row_offset + hi:
-                    win, dense = extent, True
-                    break
 
     starts = np.zeros(n_tiles, dtype=np.int32)
     blocks = np.zeros((n_tiles, tile, win), dtype=np.float32)
@@ -878,7 +878,7 @@ def _banded_blocks_from_dense(wdense: np.ndarray, tile: int, align: int,
         if dense:
             start = 0
         elif clamp_to_extent:
-            start = min(start, ((extent - win) // align) * align)
+            start = min(start, extent - win)
         start = max(0, start)
         starts[t] = start
         max_end = max(max_end, start + win)

@@ -217,7 +217,9 @@ def resize_batch(planes: Sequence[jnp.ndarray], fmt: PixelFormat,
     banded Pallas packed resize (stride-3 expanded lane weights — none
     of the [.,.,3]-minor intermediates that run XLA at 3/128 lane
     occupancy; ~3x at 1080p->224). uint8 computes in bfloat16 (within
-    1 LSB of the float32 einsum path); float32 stays float32 (exact).
+    1 LSB of the float32 einsum path); float32 stays float32 (within
+    float32 rounding of the einsum path — banded-window accumulation
+    order differs, so last-ulp deviations are possible).
     ``use_pallas=False`` forces the XLA einsum path.
     """
     fmt = PixelFormat(fmt)
