@@ -25,7 +25,17 @@ letting the FINAL clamped window start unaligned at extent-win
 (bit-identical, maxdiff=0 padded-vs-unpadded on all three kernel
 families), production measures 1.25 ms/batch and the two-stage total
 dropped 2.44 -> 1.75 ms/batch = 36.7k fps (config 2 target 25k: MET
-with 47% headroom; stage split now ~1.25 convert + ~0.49 resize)."""
+with 47% headroom; stage split now ~1.25 convert + ~0.49 resize).
+
+Post-fix probe decomposition (production no longer pads; the probe
+kernels still build unclamped blocks, so dma/noquant still carry it):
+  inonly   0.95 ms/batch (14.9 us/frame)
+  outonly  1.30 (20.3)   <- full 6.2 MB/frame packed store, 8-row input
+  production 1.29 (20.1) == outonly: the kernel sits AT its
+    output-store floor (~305 GB/s store rate for this pattern; outband
+    row-band stores measured flat earlier, so block size is not the
+    lever). Further gains need a faster packed u8 store or less output
+    — i.e. the fused kernel, which is the headline path anyway."""
 import functools
 import sys
 
