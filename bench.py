@@ -46,7 +46,7 @@ def _make_loop(kernel_fn, K, consume):
     return run
 
 
-def _slopes(kernel_fn, x, consume, n=SLOPES):
+def _slopes(kernel_fn, x, consume, n=SLOPES, reps=REPS):
     """n independent two-point slope estimates (compile once, interleave
     short/long chains so tunnel drift hits both equally). Also returns
     the slope of the per-chain global minima: tunnel noise is strictly
@@ -62,7 +62,7 @@ def _slopes(kernel_fn, x, consume, n=SLOPES):
         times = {}
         for K in (K_SHORT, K_LONG):
             best = float("inf")
-            for _ in range(REPS):
+            for _ in range(reps):
                 t0 = time.perf_counter()
                 float(fns[K](x))
                 best = min(best, time.perf_counter() - t0)
@@ -73,7 +73,7 @@ def _slopes(kernel_fn, x, consume, n=SLOPES):
     return out, min_slope
 
 
-def _time_kernel(kernel_fn, x, slice_consume=False):
+def _time_kernel(kernel_fn, x, slice_consume=False, contrast=False):
     """Median per-call time and relative spread across slope estimates.
 
     slice_consume=True sums only a 128-lane slice of the output — for
@@ -82,6 +82,12 @@ def _time_kernel(kernel_fn, x, slice_consume=False):
     on 64x224x224x3; see bench_kernel_variants.time_fn). Keep it False
     for XLA-built kernels, where a slice would let the compiler narrow
     the computation itself.
+
+    contrast=True halves the slope/repeat counts: the XLA contrast
+    paths are 5-16x slower per call (their long chains alone cost
+    ~0.3-0.5 s each) and their numbers only need to be roughly right —
+    the full schedule there spent ~40 s of wall budget that then
+    squeezed real configs out of the JSON.
     """
     import jax.numpy as jnp
 
@@ -89,7 +95,8 @@ def _time_kernel(kernel_fn, x, slice_consume=False):
         consume = lambda f, xx: jnp.sum(f(xx)[..., :128].astype(jnp.int32))
     else:
         consume = lambda f, xx: jnp.sum(f(xx).astype(jnp.int32))
-    with_kernel, min_slope = _slopes(kernel_fn, x, consume)
+    n, reps = (2, 2) if contrast else (SLOPES, REPS)
+    with_kernel, min_slope = _slopes(kernel_fn, x, consume, n=n, reps=reps)
     base_list, base_min = _slopes(
         kernel_fn, x,
         lambda f, xx: xx[0, 0, 0].astype(jnp.int32), n=3)
@@ -131,7 +138,7 @@ def main():
         lambda x: fused_preprocess(
             (x,), PixelFormat.NV12, W, H, DW, DH,
             ColorSpace.BT_709, ColorRange.MPEG),
-        nv12)
+        nv12, contrast=True)
 
     fps = B / per_batch_pallas
     in_bytes = nv12_padded.nbytes
@@ -174,7 +181,7 @@ def main():
             lambda x: resize_batch((x[:8, :2160 * 3 // 2],),
                                    PixelFormat.NV12,
                                    3840, 2160, 1920, 1080)[0],
-            nv12_4k)
+            nv12_4k, contrast=True)
         resize_4k_fps_xla = 8 / per_batch_resize_xla
 
     # 4K straight to model input in ONE fused pass (same kernel, bigger

@@ -248,3 +248,47 @@ def test_packed_resize_real_vs_xla():
     auto = np.asarray(resize.resize_batch(
         (rgb,), PixelFormat.RGB, W, H, DW, DH, method="lanczos_aa")[0])
     assert np.array_equal(auto, got)
+
+
+def test_unaligned_final_clamp_window_real_tpu():
+    """Unaligned final clamp windows must compile on real Mosaic.
+
+    H=270 gives 405 storage rows (405 % 8 = 5): the chroma replication
+    and resize bands end in the last extent%align rows, so the final
+    clamped window starts UNALIGNED at extent-win — the case that used
+    to silently fall back to a per-call device jnp.pad (and the case
+    interpret mode cannot prove Mosaic accepts). Checks both the packed
+    convert and the fused preprocess against padded-input runs
+    (bit-identical) and the XLA path (1 LSB)."""
+    from vali_tpu.core.details import ColorspaceConversionContext
+    from vali_tpu.core.enums import PixelFormat
+    from vali_tpu.ops import csc
+    from vali_tpu.ops.pallas_fused import (pallas_nv12_preprocess,
+                                           pallas_nv12_to_rgb)
+
+    B, H, W = 2, 270, 256
+    rows = H * 3 // 2
+    assert rows % 8 != 0
+    base = RNG.integers(0, 256, (B, rows, W), dtype=np.uint8)
+    x = jnp.asarray(base)
+    xp = jnp.asarray(np.concatenate(
+        [base, np.zeros((B, 16, W), np.uint8)], axis=1))
+
+    got = np.asarray(pallas_nv12_to_rgb(x, src_w=W, src_h=H,
+                                        space=ColorSpace.BT_709,
+                                        crange=ColorRange.MPEG))
+    padded = np.asarray(pallas_nv12_to_rgb(xp, src_w=W, src_h=H,
+                                           space=ColorSpace.BT_709,
+                                           crange=ColorRange.MPEG))
+    assert np.array_equal(got, padded)
+    cc = ColorspaceConversionContext(ColorSpace.BT_709, ColorRange.MPEG)
+    want = np.asarray(csc.convert_batch(
+        (x,), PixelFormat.NV12, PixelFormat.RGB, W, H, cc,
+        use_pallas=False)[0])
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+    pre = np.asarray(pallas_nv12_preprocess(x, src_w=W, src_h=H,
+                                            dst_w=64, dst_h=64))
+    pre_p = np.asarray(pallas_nv12_preprocess(xp, src_w=W, src_h=H,
+                                              dst_w=64, dst_h=64))
+    assert np.array_equal(pre, pre_p)
