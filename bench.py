@@ -16,9 +16,40 @@ slope. This cancels RTT and warmup exactly.
 """
 
 import json
+import os
+import sys
+import threading
 import time
 
 import numpy as np
+
+# Progressively-filled result: a watchdog thread emits it if a section
+# (typically a remote compile through a degraded tunnel) blocks past the
+# wall budget — the driver must ALWAYS get the JSON line. One 590s run
+# was externally killed mid-compile with nothing printed; a signal
+# handler is not enough because SIGALRM delivery waits out blocking
+# C calls, so a daemon thread does the emergency emit.
+RESULT = {
+    "metric": "64x1080p NV12->RGB->224x224 fused CSC+resize frames/sec/chip",
+    "value": 0.0,
+    "unit": "frames/sec/chip",
+    "vs_baseline": 0.0,
+    "configs": {},
+}
+_DONE = threading.Event()
+
+
+def _emit_partial(reason):
+    if _DONE.is_set():
+        return
+    RESULT["aborted"] = reason
+    print(json.dumps(RESULT), flush=True)
+    os._exit(0)
+
+
+def _progress(t_start, msg):
+    print(f"[bench {time.monotonic() - t_start:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 K_SHORT = 40
 K_LONG = 200  # long chains: the K_LONG-K_SHORT time delta (~70 ms for the
@@ -113,6 +144,24 @@ def _time_kernel(kernel_fn, x, slice_consume=False, contrast=False):
 def main():
     _t_start = time.monotonic()
 
+    # total wall budget: the driver must get the JSON line even when the
+    # tunnel is slow — secondary sections degrade to zeros, configs
+    # shrink to the quick ones, and a watchdog emits whatever has been
+    # collected if a started section blocks past budget+60s
+    total_budget = float(os.environ.get("VALI_BENCH_BUDGET_S", "460"))
+    watchdog = threading.Timer(
+        total_budget + 60.0,
+        _emit_partial, args=(f"watchdog: exceeded {total_budget}+60s "
+                             "wall budget mid-section",))
+    watchdog.daemon = True
+    watchdog.start()
+
+    def time_left():
+        return total_budget - (time.monotonic() - _t_start)
+
+    def progress(msg):
+        _progress(_t_start, msg)
+
     import jax
     import jax.numpy as jnp
 
@@ -121,6 +170,7 @@ def main():
     from vali_tpu.ops.pallas_fused import (pallas_nv12_preprocess,
                                            required_pad_rows)
 
+    RESULT["device"] = str(jax.devices()[0])
     B, H, W = 64, 1080, 1920
     DH = DW = 224
     rng = np.random.default_rng(0)
@@ -128,32 +178,31 @@ def main():
     nv12_padded = jnp.asarray(
         rng.integers(0, 256, (B, H * 3 // 2 + pad, W), dtype=np.uint8))
     nv12 = jnp.asarray(np.asarray(nv12_padded)[:, :H * 3 // 2, :])
+    progress("arrays staged; timing headline Pallas kernel")
 
     per_batch_pallas, spread = _time_kernel(
         lambda x: pallas_nv12_preprocess(
             x, src_w=W, src_h=H, dst_w=DW, dst_h=DH,
             space=ColorSpace.BT_709, crange=ColorRange.MPEG),
         nv12_padded, slice_consume=True)
+    fps = B / per_batch_pallas
+    in_bytes = nv12_padded.nbytes
+    out_bytes = B * DH * DW * 3
+    gbps = (in_bytes + out_bytes) / per_batch_pallas / 1e9
+    RESULT.update({
+        "value": round(fps, 1),
+        "vs_baseline": round(fps / 4000.0, 3),
+        "ms_per_64frame_batch_pallas": round(per_batch_pallas * 1000, 3),
+        "pallas_slope_spread": round(spread, 3),
+        "hbm_gbytes_per_sec": round(gbps, 1),
+    })
+    progress(f"headline {fps:.0f} fps; timing XLA contrast")
     per_batch_xla, _ = _time_kernel(
         lambda x: fused_preprocess(
             (x,), PixelFormat.NV12, W, H, DW, DH,
             ColorSpace.BT_709, ColorRange.MPEG),
         nv12, contrast=True)
-
-    fps = B / per_batch_pallas
-    in_bytes = nv12_padded.nbytes
-    out_bytes = B * DH * DW * 3
-    gbps = (in_bytes + out_bytes) / per_batch_pallas / 1e9
-
-    # total wall budget: the driver must get the JSON line even when the
-    # tunnel is slow — secondary sections degrade to zeros and configs
-    # shrink to the quick ones rather than risking a timeout kill
-    import os
-
-    total_budget = float(os.environ.get("VALI_BENCH_BUDGET_S", "460"))
-
-    def time_left():
-        return total_budget - (time.monotonic() - _t_start)
+    RESULT["ms_per_64frame_batch_xla"] = round(per_batch_xla * 1000, 3)
 
     # secondary: batched 4K NV12 -> 1080p resize. Headline = the banded
     # Pallas kernel (pallas_nv12_resize); the dense-einsum XLA path
@@ -169,6 +218,7 @@ def main():
     B4R = 16
     resize_4k_fps = resize_4k_fps_xla = preprocess_4k_fps = 0.0
     if time_left() > 220:
+        progress("timing 4K resize (Pallas + XLA contrast)")
         pad4 = required_pad_rows_resize(3840, 2160, 1920, 1080)
         nv12_4k = jnp.asarray(rng.integers(
             0, 256, (B4R, 2160 * 3 // 2 + pad4, 3840), dtype=np.uint8))
@@ -177,16 +227,20 @@ def main():
                                          dst_w=1920, dst_h=1080),
             nv12_4k, slice_consume=True)
         resize_4k_fps = B4R / per_batch_resize
+        RESULT["resize_4k_to_1080p_nv12_fps"] = round(resize_4k_fps, 1)
         per_batch_resize_xla, _ = _time_kernel(
             lambda x: resize_batch((x[:8, :2160 * 3 // 2],),
                                    PixelFormat.NV12,
                                    3840, 2160, 1920, 1080)[0],
             nv12_4k, contrast=True)
         resize_4k_fps_xla = 8 / per_batch_resize_xla
+        RESULT["resize_4k_to_1080p_nv12_fps_xla"] = round(
+            resize_4k_fps_xla, 1)
 
     # 4K straight to model input in ONE fused pass (same kernel, bigger
     # source: decimation makes it even closer to its DMA floor)
     if time_left() > 150:
+        progress("timing 4K fused preprocess")
         pad4p = required_pad_rows(3840, 2160, DH)
         nv12_4kp = jnp.asarray(rng.integers(
             0, 256, (B4, 2160 * 3 // 2 + pad4p, 3840), dtype=np.uint8))
@@ -195,12 +249,14 @@ def main():
                                              dst_w=DW, dst_h=DH),
             nv12_4kp, slice_consume=True)
         preprocess_4k_fps = B4 / per_batch_pre4k
+        RESULT["preprocess_4k_to_224_fps"] = round(preprocess_4k_fps, 1)
 
     # secondary: H2D staging bandwidth (the pipeline's device_put path;
     # through the axon tunnel this is RPC-bound — locally-attached TPUs
     # see PCIe rates instead). 3 timed reps -> median + relative spread,
     # so drift is attributable (like the Pallas slope spread).
     h2d_gbps = h2d_spread = 0.0
+    progress("timing H2D staging + host decode")
     try:
         stage = np.ascontiguousarray(
             np.asarray(nv12_padded)[:16])  # ~50 MB host batch
@@ -239,34 +295,31 @@ def main():
     except Exception:
         pass
 
-    # all five BASELINE.json configs (see bench_configs.py); skippable
-    # via VALI_BENCH_CONFIGS=0 for a fast headline-only run
-    configs = {}
-    if os.environ.get("VALI_BENCH_CONFIGS", "1") != "0":
-        import bench_configs
-
-        configs = bench_configs.run_all(deadline=_t_start + total_budget)
-
-    result = {
-        "metric": "64x1080p NV12->RGB->224x224 fused CSC+resize frames/sec/chip",
-        "value": round(fps, 1),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / 4000.0, 3),
-        "ms_per_64frame_batch_pallas": round(per_batch_pallas * 1000, 3),
-        "pallas_slope_spread": round(spread, 3),
-        "ms_per_64frame_batch_xla": round(per_batch_xla * 1000, 3),
-        "hbm_gbytes_per_sec": round(gbps, 1),
-        "resize_4k_to_1080p_nv12_fps": round(resize_4k_fps, 1),
-        "resize_4k_to_1080p_nv12_fps_xla": round(resize_4k_fps_xla, 1),
-        "preprocess_4k_to_224_fps": round(preprocess_4k_fps, 1),
+    RESULT.update({
         "h2d_staging_gbytes_per_sec": round(h2d_gbps, 2),
         "h2d_staging_spread": round(h2d_spread, 3),
         "sw_decode_fps_single_stream_848x464": round(decode_fps, 1),
         "sw_decode_fps_spread": round(decode_spread, 3),
-        "configs": configs,
-        "device": str(jax.devices()[0]),
-    }
-    print(json.dumps(result))
+    })
+
+    # all five BASELINE.json configs (see bench_configs.py); skippable
+    # via VALI_BENCH_CONFIGS=0 for a fast headline-only run. run_all
+    # writes each config's record into RESULT["configs"] as it lands,
+    # so the watchdog's partial emit carries finished configs too.
+    if os.environ.get("VALI_BENCH_CONFIGS", "1") != "0":
+        import bench_configs
+
+        progress("running BASELINE configs")
+        bench_configs.run_all(deadline=_t_start + total_budget,
+                              sink=RESULT["configs"],
+                              progress=progress)
+
+    RESULT.setdefault("resize_4k_to_1080p_nv12_fps", 0.0)
+    RESULT.setdefault("resize_4k_to_1080p_nv12_fps_xla", 0.0)
+    RESULT.setdefault("preprocess_4k_to_224_fps", 0.0)
+    _DONE.set()
+    watchdog.cancel()
+    print(json.dumps(RESULT))
 
 
 if __name__ == "__main__":

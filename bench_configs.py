@@ -344,18 +344,23 @@ def _over_deadline() -> bool:
     return _DEADLINE is not None and time.monotonic() > _DEADLINE
 
 
-def run_all(deadline: float = None):
+def run_all(deadline: float = None, sink: dict = None, progress=None):
     """Run the five configs; a per-run deadline (time.monotonic value)
     skips remaining configs — and the slow host-bound configs also check
     it between frames/batches — instead of overrunning the caller's
-    timeout (this is a one-core machine)."""
+    timeout (this is a one-core machine).
+
+    ``sink``: records land there as each config finishes (bench.py
+    passes RESULT["configs"] so its watchdog's partial emit carries
+    completed configs). ``progress``: optional per-config stderr logger.
+    """
     global _DEADLINE
     if deadline is not None:
         # even when the headline sections ran long (slow tunnel), give
         # the configs a minimum window so the quick ones still record
         deadline = max(deadline, time.monotonic() + 150.0)
     _DEADLINE = deadline
-    results = {}
+    results = sink if sink is not None else {}
     for name, fn, min_budget in ALL_CONFIGS:
         left = (_DEADLINE - time.monotonic()) if _DEADLINE is not None \
             else float("inf")
@@ -364,6 +369,8 @@ def run_all(deadline: float = None):
                                          f"({left:.0f}s left, needs "
                                          f"{min_budget}s)")}
             continue
+        if progress is not None:
+            progress(f"config {name} (budget left {left:.0f}s)")
         try:
             results[name] = fn()
         except Exception as e:  # a config failure must not kill the line

@@ -50,3 +50,56 @@ def test_config_error_is_contained(monkeypatch):
     res = bc.run_all()
     assert "RuntimeError" in res["a"]["error"]
     assert res["b"] == {"v": 2}
+
+
+def test_sink_receives_each_config_as_it_lands(monkeypatch):
+    """bench.py passes RESULT['configs'] as the sink so the watchdog's
+    partial emit carries every completed config."""
+    sink = {}
+    seen_at_b = {}
+    monkeypatch.setattr(bc, "ALL_CONFIGS", [
+        ("a", lambda: {"v": 1}, 0),
+        ("b", lambda: (seen_at_b.update(sink), {"v": 2})[1], 0),
+    ])
+    msgs = []
+    out = bc.run_all(sink=sink, progress=msgs.append)
+    assert out is sink
+    assert sink == {"a": {"v": 1}, "b": {"v": 2}}
+    # 'a' was already in the sink when 'b' started
+    assert seen_at_b == {"a": {"v": 1}}
+    assert any("config a" in m for m in msgs)
+
+
+def test_watchdog_partial_emit_shape(capsys, monkeypatch):
+    """The emergency emit prints valid single-line JSON carrying the
+    configs collected so far (os._exit stubbed out)."""
+    import json
+    import os
+
+    import bench
+
+    exited = []
+    monkeypatch.setattr(os, "_exit", lambda code: exited.append(code))
+    bench.RESULT["configs"]["done_one"] = {"v": 3}
+    try:
+        bench._emit_partial("test-reason")
+        out = capsys.readouterr().out.strip()
+        d = json.loads(out)
+        assert d["aborted"] == "test-reason"
+        assert d["configs"]["done_one"] == {"v": 3}
+        assert exited == [0]
+    finally:
+        bench.RESULT["configs"].pop("done_one", None)
+        bench.RESULT.pop("aborted", None)
+
+
+def test_partial_emit_noop_after_done(capsys):
+    import bench
+
+    bench._DONE.set()
+    try:
+        bench._emit_partial("late")
+        assert capsys.readouterr().out == ""
+    finally:
+        bench._DONE.clear()
+        bench.RESULT.pop("aborted", None)
