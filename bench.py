@@ -37,13 +37,30 @@ RESULT = {
     "configs": {},
 }
 _DONE = threading.Event()
+_EMIT_LOCK = threading.Lock()  # one JSON line, exactly once
 
 
 def _emit_partial(reason):
-    if _DONE.is_set():
-        return
-    RESULT["aborted"] = reason
-    print(json.dumps(RESULT), flush=True)
+    with _EMIT_LOCK:
+        if _DONE.is_set():
+            return
+        _DONE.set()
+        RESULT["aborted"] = reason
+        # snapshot defensively: the main thread may be inserting into
+        # RESULT/configs at this very moment ("dict changed size during
+        # iteration" would kill the emergency emit)
+        for _ in range(5):
+            try:
+                snap = dict(RESULT)
+                snap["configs"] = dict(RESULT["configs"])
+                line = json.dumps(snap)
+                break
+            except RuntimeError:
+                time.sleep(0.05)
+        else:
+            line = json.dumps({"metric": RESULT["metric"], "value": 0.0,
+                               "aborted": reason})
+        print(line, flush=True)
     os._exit(0)
 
 
@@ -312,15 +329,24 @@ def main():
         progress("running BASELINE configs")
         bench_configs.run_all(deadline=_t_start + total_budget,
                               sink=RESULT["configs"],
-                              progress=progress)
+                              progress=progress,
+                              hard_deadline=_t_start + total_budget + 45)
 
     RESULT.setdefault("resize_4k_to_1080p_nv12_fps", 0.0)
     RESULT.setdefault("resize_4k_to_1080p_nv12_fps_xla", 0.0)
     RESULT.setdefault("preprocess_4k_to_224_fps", 0.0)
-    _DONE.set()
-    watchdog.cancel()
-    print(json.dumps(RESULT))
+    with _EMIT_LOCK:
+        if not _DONE.is_set():
+            _DONE.set()
+            watchdog.cancel()
+            print(json.dumps(RESULT))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 — the line must still print
+        import traceback
+
+        traceback.print_exc()
+        _emit_partial(f"error: {type(e).__name__}: {e}"[:300])

@@ -344,7 +344,8 @@ def _over_deadline() -> bool:
     return _DEADLINE is not None and time.monotonic() > _DEADLINE
 
 
-def run_all(deadline: float = None, sink: dict = None, progress=None):
+def run_all(deadline: float = None, sink: dict = None, progress=None,
+            hard_deadline: float = None):
     """Run the five configs; a per-run deadline (time.monotonic value)
     skips remaining configs — and the slow host-bound configs also check
     it between frames/batches — instead of overrunning the caller's
@@ -353,12 +354,17 @@ def run_all(deadline: float = None, sink: dict = None, progress=None):
     ``sink``: records land there as each config finishes (bench.py
     passes RESULT["configs"] so its watchdog's partial emit carries
     completed configs). ``progress``: optional per-config stderr logger.
+    ``hard_deadline``: cap on the minimum-window extension — bench.py
+    passes watchdog_fire_time - 15s so the grace window can never
+    schedule work the watchdog will kill mid-config.
     """
     global _DEADLINE
     if deadline is not None:
         # even when the headline sections ran long (slow tunnel), give
         # the configs a minimum window so the quick ones still record
         deadline = max(deadline, time.monotonic() + 150.0)
+        if hard_deadline is not None:
+            deadline = min(deadline, hard_deadline)
     _DEADLINE = deadline
     results = sink if sink is not None else {}
     for name, fn, min_budget in ALL_CONFIGS:

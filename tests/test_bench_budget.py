@@ -88,7 +88,11 @@ def test_watchdog_partial_emit_shape(capsys, monkeypatch):
         assert d["aborted"] == "test-reason"
         assert d["configs"]["done_one"] == {"v": 3}
         assert exited == [0]
+        # exactly-once: a second emit (or main's final print) is a no-op
+        bench._emit_partial("again")
+        assert capsys.readouterr().out == ""
     finally:
+        bench._DONE.clear()
         bench.RESULT["configs"].pop("done_one", None)
         bench.RESULT.pop("aborted", None)
 
@@ -103,3 +107,18 @@ def test_partial_emit_noop_after_done(capsys):
     finally:
         bench._DONE.clear()
         bench.RESULT.pop("aborted", None)
+
+
+def test_hard_deadline_caps_minimum_window(monkeypatch):
+    """The 150s grace window must never schedule a config the bench
+    watchdog will kill mid-run: hard_deadline (watchdog - margin) wins."""
+    ran = []
+    monkeypatch.setattr(bc, "ALL_CONFIGS", [
+        ("a", lambda: (ran.append("a"), {"v": 1})[1], 10),
+    ])
+    now = time.monotonic()
+    # exhausted budget, but hard_deadline only 5s away: the window is
+    # capped below the config's 10s gate -> it must skip, not start
+    res = bc.run_all(deadline=now - 100, hard_deadline=now + 5)
+    assert "skipped" in res["a"]
+    assert ran == []

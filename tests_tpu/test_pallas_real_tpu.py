@@ -292,3 +292,16 @@ def test_unaligned_final_clamp_window_real_tpu():
     pre_p = np.asarray(pallas_nv12_preprocess(xp, src_w=W, src_h=H,
                                               dst_w=64, dst_h=64))
     assert np.array_equal(pre, pre_p)
+
+    # uint16 (P10-style MSB-aligned) takes the same unaligned sublane
+    # starts but with 16-bit refs — a separate Mosaic layout path that
+    # interpret mode cannot prove compiles
+    base16 = (RNG.integers(0, 1024, (B, rows, W)).astype(np.uint16) << 6)
+    x16 = jnp.asarray(base16)
+    xp16 = jnp.asarray(np.concatenate(
+        [base16, np.zeros((B, 16, W), np.uint16)], axis=1))
+    pre16 = np.asarray(pallas_nv12_preprocess(x16, src_w=W, src_h=H,
+                                              dst_w=64, dst_h=64))
+    pre16_p = np.asarray(pallas_nv12_preprocess(xp16, src_w=W, src_h=H,
+                                                dst_w=64, dst_h=64))
+    assert np.array_equal(pre16, pre16_p)
