@@ -179,6 +179,23 @@ def main():
     def progress(msg):
         _progress(_t_start, msg)
 
+    # fail fast on a dead tunnel: jax.devices() blocks forever during an
+    # outage (observed live); probe in a thread and emit the line early
+    # instead of burning the whole budget waiting for the watchdog
+    probe = {}
+
+    def _probe_device():
+        import jax as _jax
+
+        probe["device"] = str(_jax.devices()[0])
+
+    pt = threading.Thread(target=_probe_device, daemon=True)
+    pt.start()
+    pt.join(timeout=120.0)
+    if "device" not in probe:
+        _emit_partial("device unresponsive after 120s (tunnel outage?)")
+    progress("device probe ok: " + probe["device"])
+
     import jax
     import jax.numpy as jnp
 
@@ -187,7 +204,7 @@ def main():
     from vali_tpu.ops.pallas_fused import (pallas_nv12_preprocess,
                                            required_pad_rows)
 
-    RESULT["device"] = str(jax.devices()[0])
+    RESULT["device"] = probe["device"]
     B, H, W = 64, 1080, 1920
     DH = DW = 224
     rng = np.random.default_rng(0)
