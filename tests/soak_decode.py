@@ -27,38 +27,11 @@ def rss_mb() -> float:
 def synthesize_clip(path: str, w=848, h=464, n=96, fps=30.0) -> str:
     """Encode+mux a soak clip with our own encoder/muxer so the soak is
     self-contained when the reference checkout is absent (e.g. in the
-    repo's own CI, which has no /root/reference)."""
-    import vali_tpu as vali
+    repo's own CI, which has no /root/reference). Canonical helper lives
+    in vali_tpu.utils.synth (also used by the multichip dryrun)."""
+    from vali_tpu.utils.synth import synthesize_clip as _synth
 
-    enc = vali.PyNvEncoder({"s": f"{w}x{h}", "bf": "0", "lookahead": "0",
-                            "gop": "30", "fps": str(int(fps))},
-                           gpu_id=0, format=vali.PixelFormat.NV12)
-    up = vali.PyFrameUploader(gpu_id=0)
-    pkts = []
-    pkt = np.zeros(0, np.uint8)
-    grad = np.linspace(16, 235, w, dtype=np.float64)
-    for i in range(n):
-        y = np.clip(grad[None, :] + i, 16, 235).astype(np.uint8)
-        y = np.broadcast_to(y, (h, w))
-        uv = np.full((h // 2, w), 128, np.uint8)
-        surf = vali.Surface.Make(vali.PixelFormat.NV12, w, h)
-        assert up.Run(np.concatenate([y.reshape(-1), uv.reshape(-1)]),
-                      surf)[0]
-        if enc.EncodeSingleSurface(surf, pkt):
-            pkts.append(pkt.tobytes())
-    while True:
-        f = np.zeros(0, np.uint8)
-        if not enc.FlushSinglePacket(f) or not f.size:
-            break
-        pkts.append(f.tobytes())
-    assert len(pkts) == n
-
-    from vali_tpu.engine.muxer import PyMuxer
-
-    with PyMuxer(path, w, h, fps=fps) as mux:
-        for i, d in enumerate(pkts):
-            assert mux.Mux(d, pts=i / fps)[0]
-    return path
+    return _synth(path, w=w, h=h, n=n, fps=fps)
 
 
 def main():

@@ -421,7 +421,38 @@ def test_graft_entry_dryrun():
     import jax
 
     n = min(8, len(jax.devices()))
-    ge.dryrun_multichip(n)
+    # the conftest already forces the 8-CPU mesh, so exercise the impl
+    # in-process (dryrun_multichip itself always re-execs — covered by
+    # test_graft_entry_dryrun_outage below)
+    ge._dryrun_impl(n)
+
+
+def test_graft_entry_dryrun_outage(tmp_path):
+    """The driver entry point must complete even when the axon TPU tunnel
+    is dead AND the reference checkout is absent (round-3 verdict #1:
+    an unguarded jax.devices() hung the driver artifact for 124s->kill).
+    PALLAS_AXON_POOL_IPS points at a blackholed address; any code path
+    that touches the parent's axon runtime blocks and trips the timeout.
+    _VALI_DRYRUN_NO_REF forces the synthesized-clip integration leg."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = "10.255.255.1"  # non-routable blackhole
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)  # mimic the driver env, not the conftest's
+    env.pop("_VALI_DRYRUN_CHILD", None)
+    env["_VALI_DRYRUN_NO_REF"] = "1"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "__graft_entry__.py")],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=420)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip(8): OK" in proc.stdout
+    # all three legs produced shard evidence (incl. the synthesized-clip
+    # pipeline leg, which must not silently vanish without the reference)
+    for leg in ("serve", "resize", "pipeline"):
+        assert f"SHARD_EVIDENCE {leg}" in proc.stdout, proc.stdout[-2000:]
 
 
 @pytest.mark.skipif(not os.path.exists(GT), reason="no reference data")
