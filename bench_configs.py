@@ -17,6 +17,8 @@ chip-side ceiling is bench.py's fused-kernel headline.
 """
 
 import json
+import os
+import tempfile
 import time
 
 import numpy as np
@@ -24,11 +26,37 @@ import numpy as np
 CLIP = "/root/reference/tests/data/test.mp4"
 CLIP_1080 = "/root/reference/tests/data/pts_test_video.mkv"
 
+_synth_cache = {}
+
+
+def _clip_or_synth(ref_path, w, h, n):
+    """Use the reference fixture when the checkout exists; otherwise
+    synthesize an equivalent clip with our own encoder+muxer (cached per
+    process) so the bench is self-contained on a clean machine."""
+    if os.path.exists(ref_path):
+        return ref_path
+    key = (w, h, n)
+    if key not in _synth_cache:
+        from vali_tpu.utils.synth import synthesize_clip
+
+        _synth_cache[key] = synthesize_clip(
+            os.path.join(tempfile.mkdtemp(prefix="vali_bench_"),
+                         f"bench_{w}x{h}.mp4"), w=w, h=h, n=n)
+    return _synth_cache[key]
+
+
+def clip_848():
+    return _clip_or_synth(CLIP, 848, 464, 96)
+
+
+def clip_1080():
+    return _clip_or_synth(CLIP_1080, 1920, 1080, 48)
+
 
 def config1_decode_convert_cpu():
     import vali_tpu as vali
 
-    dec = vali.PyDecoder(CLIP, {}, gpu_id=-1)
+    dec = vali.PyDecoder(clip_848(), {}, gpu_id=-1)
     conv = vali.PyFrameConverter(dec.Width, dec.Height, dec.Format,
                                  vali.PixelFormat.RGB)
     cc = vali.ColorspaceConversionContext(vali.ColorSpace.BT_601,
@@ -190,7 +218,7 @@ def config4_inference_e2e():
     # batch_size=16: arrival-order batching amortizes the per-dispatch
     # tunnel RTT over 16 frames (a single stream fills batches itself);
     # the ceiling is then the 1-core software decode rate
-    pipe = MultiStreamPipeline([CLIP], dst_w=224, dst_h=224, gpu_id=0,
+    pipe = MultiStreamPipeline([clip_848()], dst_w=224, dst_h=224, gpu_id=0,
                                out_dtype=jnp.float32, batch_size=16)
     n = 0
     last = None
@@ -214,7 +242,7 @@ def config5_pipeline_64streams(max_batches=3, jpeg_sample=16):
     from vali_tpu.memory.surface import Surface
     from vali_tpu.pipeline.multistream import MultiStreamPipeline
 
-    pipe = MultiStreamPipeline([CLIP_1080] * 64, dst_w=224, dst_h=224,
+    pipe = MultiStreamPipeline([clip_1080()] * 64, dst_w=224, dst_h=224,
                                gpu_id=0, batch_size=64)
     n = 0
     batches = 0
@@ -252,7 +280,7 @@ def config5_pipeline_chipside():
     device-resident: MultiStreamPipeline's real staging/split/dispatch
     path (`_stage_padded` -> `_split` -> `_dispatch_planes`) run from an
     HBM-resident ring of staged batches of REAL decoded 1080p frames —
-    the H2D (tunnel-RTT-bound here, see `h2d_staging_gbytes_per_sec`)
+    the H2D (tunnel-RTT-bound here, see `tunnel_h2d_gbytes_per_sec`)
     replaced by buffer reuse, exactly how a locally-attached deployment
     overlaps staging with compute. Also times the device JPEG stage
     (ops/jpeg.py DCT+quant) on the pipeline's output batch separately
@@ -265,7 +293,7 @@ def config5_pipeline_chipside():
     from vali_tpu.pipeline.multistream import MultiStreamPipeline
 
     B = 64
-    pipe = MultiStreamPipeline([CLIP_1080] * B, dst_w=224, dst_h=224,
+    pipe = MultiStreamPipeline([clip_1080()] * B, dst_w=224, dst_h=224,
                                gpu_id=0, batch_size=B)
     # one real batch through the FULL path (decode -> stage -> H2D ->
     # kernel): validates the e2e contract and leaves the staged host
@@ -368,6 +396,8 @@ def run_all(deadline: float = None, sink: dict = None, progress=None,
     _DEADLINE = deadline
     results = sink if sink is not None else {}
     for name, fn, min_budget in ALL_CONFIGS:
+        if name in results:
+            continue  # bench.py ran the target-bearing configs up front
         left = (_DEADLINE - time.monotonic()) if _DEADLINE is not None \
             else float("inf")
         if left < min_budget:

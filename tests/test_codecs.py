@@ -669,6 +669,32 @@ def test_p12_decode_is_p012_layout(tmp_path):
     assert rgb.mean() > 10
 
 
+def test_p12_odd_geometry_fails_loudly(tmp_path):
+    """Odd-dimension 12-bit streams cannot be expressed in the P012
+    layout PixFmt.P12 promises (interleaved UV rows need 2*ceil(w/2) > w
+    samples), so decode must surface UNSUPPORTED_FMT_CONV_PARAMS instead
+    of mislabeling planar bytes — intentional deviation, documented in
+    docs/MIGRATING.md (advisor round 3; decoder.cpp CopyFrame)."""
+    rng = np.random.default_rng(7)
+    for w, h in ((63, 48), (64, 47)):
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+        y = rng.integers(0, 4096, (h, w), dtype=np.uint16)
+        u = rng.integers(0, 4096, (ch, cw), dtype=np.uint16)
+        v = rng.integers(0, 4096, (ch, cw), dtype=np.uint16)
+        path = str(tmp_path / f"odd_{w}x{h}.y4m")
+        with open(path, "wb") as f:
+            f.write(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420p12\n".encode())
+            f.write(b"FRAME\n")
+            for pl in (y, u, v):
+                f.write(pl.astype("<u2").tobytes())
+        dec = vali.PyDecoder(path, {}, gpu_id=-1)
+        assert dec.Format == F.P12
+        buf = np.empty(dec.HostFrameSize, np.uint8)
+        ok, info = dec.DecodeSingleFrame(buf)
+        assert not ok
+        assert info == vali.TaskExecInfo.UNSUPPORTED_FMT_CONV_PARAMS
+
+
 def _encode_packets(codec, w, h, fills):
     """Encode synthetic NV12 frames, return per-frame packets."""
     enc = vali.PyNvEncoder({"s": f"{w}x{h}", "codec": codec, "gop": "4",

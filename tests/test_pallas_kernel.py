@@ -436,3 +436,56 @@ class TestClampOverPad:
         d = np.asarray(pallas_nv12_preprocess(
             xp, src_w=W, src_h=H, dst_w=224, dst_h=224, interpret=True))
         assert np.array_equal(c, d)
+
+
+def test_undersized_plane_raises_value_error():
+    """An input plane smaller than the declared source size must fail
+    loudly with ValueError (not a bare assert, which python -O strips
+    into silent band-tail truncation — advisor round 3)."""
+    from vali_tpu.ops.pallas_fused import (pallas_packed_resize,
+                                           pallas_plane_resize)
+
+    short = jnp.asarray(RNG.integers(0, 256, (1, 100, 256), dtype=np.uint8))
+    with pytest.raises(ValueError, match="rows < src_h"):
+        pallas_plane_resize(short, src_h=256, dst_h=64, dst_w=64,
+                            interpret=True)
+    packed = jnp.asarray(
+        RNG.integers(0, 256, (1, 100, 128 * 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="rows < src_h"):
+        pallas_packed_resize(packed, src_w=128, src_h=256, dst_w=64,
+                             dst_h=64, interpret=True)
+
+
+def test_wrappers_expose_use_pallas():
+    """PySurfaceConverter/PySurfaceResizer accept use_pallas=False for
+    the bit-exact XLA route (advisor round 3: the TPU default routes
+    packed formats through the ~1-LSB Pallas kernels; the opt-out must
+    be reachable from the wrapper layer). On the CPU backend both
+    routes are the XLA path, so outputs match exactly."""
+    import vali_tpu as vali
+
+    W, H = 128, 64
+    nv12 = RNG.integers(0, 256, (H * 3 // 2, W), dtype=np.uint8)
+    src = vali.Surface.from_numpy(nv12.reshape(-1), vali.PixelFormat.NV12,
+                                  width=W, height=H)
+    outs = []
+    for up in (None, False):
+        dst = vali.Surface.Make(vali.PixelFormat.RGB, W, H)
+        conv = vali.PySurfaceConverter(gpu_id=0, use_pallas=up)
+        ok, info = conv.Run(src, dst)
+        assert ok, info
+        outs.append(dst.to_numpy().copy())
+    assert np.array_equal(outs[0], outs[1])
+
+    routs = []
+    rgb_src = vali.Surface.from_numpy(outs[0].reshape(-1),
+                                      vali.PixelFormat.RGB,
+                                      width=W, height=H)
+    for up in (None, False):
+        dst = vali.Surface.Make(vali.PixelFormat.RGB, 48, 32)
+        rsz = vali.PySurfaceResizer(vali.PixelFormat.RGB, gpu_id=0,
+                                    use_pallas=up)
+        ok, info = rsz.Run(rgb_src, dst)
+        assert ok, info
+        routs.append(dst.to_numpy().copy())
+    assert np.array_equal(routs[0], routs[1])

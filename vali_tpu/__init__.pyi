@@ -462,7 +462,8 @@ class PySurfaceDownloader:
     def Run(self, src: Surface, dst: numpy.ndarray) -> Tuple[bool, TaskExecInfo]: ...
 
 class PySurfaceConverter:
-    def __init__(self, gpu_id: int = ..., stream: Optional[int] = ...) -> None: ...
+    def __init__(self, gpu_id: int = ..., stream: Optional[int] = ...,
+                 use_pallas: Optional[bool] = ...) -> None: ...
     @staticmethod
     def Conversions() -> List[Tuple[PixelFormat, PixelFormat]]: ...
     def Run(self, src: Surface, dst: Surface,
@@ -477,7 +478,7 @@ class PySurfaceConverter:
 class PySurfaceResizer:
     def __init__(self, format: PixelFormat, gpu_id: int = ...,
                  stream: Optional[int] = ..., method: str = ...,
-                 turbo: bool = ...) -> None: ...
+                 turbo: bool = ..., use_pallas: Optional[bool] = ...) -> None: ...
     def Run(self, src: Surface, dst: Surface) -> Tuple[bool, TaskExecInfo]: ...
     def RunAsync(self, src: Surface, dst: Surface) -> Tuple[bool, TaskExecInfo]: ...
     @property

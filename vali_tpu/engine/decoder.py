@@ -305,7 +305,14 @@ class PyDecoder:
 
     @property
     def Duration(self) -> float:
-        """Stream duration in seconds."""
+        """Stream duration in TRUE seconds.
+
+        Intentional deviation: the reference divides stream-timebase
+        units by AV_TIME_BASE (TaskDecodeFrame.cpp GetStreamParams),
+        which only equals seconds when the timebase happens to be
+        1/1000000; this build multiplies by the actual timebase
+        (src/native/decoder.cpp Duration()). See docs/MIGRATING.md
+        "Intentional behavioral deviations"."""
         return self._props()["duration"]
 
     @property

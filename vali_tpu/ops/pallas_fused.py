@@ -865,8 +865,15 @@ def _banded_blocks_from_dense(wdense: np.ndarray, tile: int, align: int,
         # an aligned-only clamp missed the last extent%align rows and
         # silently forced the pad/dense path for 1080p storage, whose
         # 1620 rows are not a multiple of align=8)
-        assert all(row_offset + hi <= extent for _, hi in bands), \
-            "band beyond storage extent"
+        # ValueError, not assert: an undersized input (e.g. a plane with
+        # fewer rows than src_h) must fail loudly — and `python -O`
+        # strips asserts, which would silently truncate band tails
+        if not all(row_offset + hi <= extent for _, hi in bands):
+            bad = [(lo, hi) for lo, hi in bands if row_offset + hi > extent]
+            raise ValueError(
+                f"resize band(s) {bad[:3]} (+offset {row_offset}) exceed "
+                f"the storage extent of {extent} rows — input plane is "
+                f"smaller than the declared source size")
         if win >= extent:
             win, dense = extent, True
 
@@ -1139,6 +1146,9 @@ def pallas_plane_resize(
 
     B, _, W = plane.shape
     H, DH, DW = src_h, dst_h, dst_w
+    if plane.shape[1] < H:
+        raise ValueError(
+            f"plane has {plane.shape[1]} rows < src_h={H}")
     dt = np.dtype(plane.dtype)
     hbd = dt.itemsize > 1
     cdt = jnp.float32 if hbd else jnp.bfloat16
@@ -1491,6 +1501,9 @@ def pallas_packed_resize(
     if plane.shape[2] != W * C:
         raise ValueError(
             f"packed plane has {plane.shape[2]} lanes, expected {W * C}")
+    if plane.shape[1] < H:
+        raise ValueError(
+            f"packed plane has {plane.shape[1]} rows < src_h={H}")
     dt = np.dtype(plane.dtype)
     hbd = dt.itemsize > 1
     cdt = jnp.float32 if hbd else jnp.bfloat16

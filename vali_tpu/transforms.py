@@ -34,18 +34,20 @@ def _fail(info: TaskExecInfo) -> Tuple[bool, TaskExecInfo]:
     return (False, info)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("src_fmt", "dst_fmt", "w", "h", "cc"))
-def _jit_convert(planes, *, src_fmt, dst_fmt, w, h, cc):
+@functools.partial(jax.jit, static_argnames=(
+    "src_fmt", "dst_fmt", "w", "h", "cc", "use_pallas"))
+def _jit_convert(planes, *, src_fmt, dst_fmt, w, h, cc, use_pallas=None):
     cc_ctx = (ColorspaceConversionContext(cc[0], cc[1])
               if cc is not None else None)
-    return csc.convert_batch(planes, src_fmt, dst_fmt, w, h, cc_ctx)
+    return csc.convert_batch(planes, src_fmt, dst_fmt, w, h, cc_ctx,
+                             use_pallas=use_pallas)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "fmt", "sw", "sh", "dw", "dh", "method"))
-def _jit_resize(planes, *, fmt, sw, sh, dw, dh, method):
-    return resize.resize_batch(planes, fmt, sw, sh, dw, dh, method)
+    "fmt", "sw", "sh", "dw", "dh", "method", "use_pallas"))
+def _jit_resize(planes, *, fmt, sw, sh, dw, dh, method, use_pallas=None):
+    return resize.resize_batch(planes, fmt, sw, sh, dw, dh, method,
+                               use_pallas=use_pallas)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -92,7 +94,20 @@ class _SurfaceOp:
 
 
 class PySurfaceConverter(_SurfaceOp):
-    """Pixel format / color space converter (23 conversion pairs)."""
+    """Pixel format / color space converter (23 conversion pairs).
+
+    On TPU, NV12->RGB/BGR (uint8) routes to the banded Pallas kernel by
+    default — ~5x the XLA path at 1080p, within 1-2 LSB of it (bfloat16
+    coefficient rounding; PSNR > 54 dB vs the exact path). Construct
+    with ``use_pallas=False`` for the bit-exact XLA route, or
+    ``use_pallas=True`` to force the kernel (errors off-TPU). Every
+    other conversion pair is bit-exact on every backend.
+    """
+
+    def __init__(self, gpu_id: int = 0, stream: Optional[int] = None,
+                 use_pallas: Optional[bool] = None):
+        super().__init__(gpu_id, stream)
+        self._use_pallas = use_pallas
 
     @staticmethod
     def Conversions():
@@ -111,7 +126,8 @@ class PySurfaceConverter(_SurfaceOp):
             with op_scope("ConvertSurface"):
                 out = _jit_convert(planes, src_fmt=src.Format,
                                    dst_fmt=dst.Format, w=src.Width,
-                                   h=src.Height, cc=cc)
+                                   h=src.Height, cc=cc,
+                                   use_pallas=self._use_pallas)
         except csc.UnsupportedConversionParams:
             return _fail(TaskExecInfo.UNSUPPORTED_FMT_CONV_PARAMS)
         except KeyError:
@@ -135,14 +151,22 @@ class PySurfaceResizer(_SurfaceOp):
 
     def __init__(self, format: PixelFormat, gpu_id: int = 0,
                  stream: Optional[int] = None, method: str = resize.LANCZOS,
-                 turbo: bool = False):
+                 turbo: bool = False, use_pallas: Optional[bool] = None):
         """``turbo=True`` (beyond reference) routes NV12/P10/P12 and
         the planar formats (Y/GRAY12/YUV420/YUV444/RGB_PLANAR/
         RGB_32F_PLANAR) through the banded Pallas resize kernels — ~9x
         the dense XLA path on TPU at 4K->1080p, within compute-dtype
         rounding of it (uint8 resizes in bfloat16 instead of float32;
         PSNR >48 dB, often bit-equal; float planes stay float32).
-        Packed formats and the default mode keep the exact XLA path."""
+
+        The packed formats (RGB/BGR/RGB_32F) route to the banded Pallas
+        packed resize BY DEFAULT on TPU (~3x the XLA einsum at
+        1080p->224; uint8 computes in bfloat16, within 1 LSB — PSNR
+        > 54 dB vs the exact path; float32 stays float32). Pass
+        ``use_pallas=False`` for the bit-exact XLA route on packed
+        formats, ``use_pallas=True`` to force the kernel. Planar and
+        semi-planar formats in the default (non-turbo) mode always use
+        the exact XLA path."""
         super().__init__(gpu_id, stream)
         format = PixelFormat(format)
         if format not in resize.SUPPORTED_FORMATS:
@@ -150,6 +174,7 @@ class PySurfaceResizer(_SurfaceOp):
         self._format = format
         self._method = method
         self._turbo = turbo
+        self._use_pallas = use_pallas
 
     @property
     def Format(self) -> PixelFormat:
@@ -214,7 +239,8 @@ class PySurfaceResizer(_SurfaceOp):
             else:
                 out = _jit_resize(planes, fmt=fmt, sw=src.Width,
                                   sh=src.Height, dw=dst.Width,
-                                  dh=dst.Height, method=self._method)
+                                  dh=dst.Height, method=self._method,
+                                  use_pallas=self._use_pallas)
         return self._finish(dst, out, sync)
 
     def Run(self, src, dst):

@@ -37,10 +37,13 @@ def num_devices() -> int:
 
 def pallas_platform_available() -> bool:
     """True when the default backend can run the compiled Pallas TPU
-    kernels (i.e. is not the CPU interpreter). Single source of truth
-    for the op-level Pallas-vs-XLA routing in csc/resize/multistream."""
+    (Mosaic) kernels. Single source of truth for the op-level
+    Pallas-vs-XLA routing in csc/resize/multistream. Strictly
+    ``platform == "tpu"`` (the axon tunnel reports "tpu" too): on a
+    GPU/METAL backend the pltpu kernels would fail at compile time, so
+    any non-TPU accelerator must take the XLA path."""
     try:
-        return jax.devices()[0].platform != "cpu"
+        return jax.devices()[0].platform == "tpu"
     except RuntimeError:
         return False
 
