@@ -1,0 +1,102 @@
+"""Shared wrapper-layer drive for the cross-device parity suite.
+
+Runs the PUBLIC product API (Surface.Make, PySurfaceConverter/Resizer/UD
+.Run, MultiStreamPipeline) end-to-end and returns every output as host
+numpy. Executed twice: in the real-TPU test process and in a forced-CPU
+subprocess, so TPU wrapper outputs can be compared against the CPU-mesh
+outputs the tests/ suite validates against goldens — the same
+run-everything-on-every-device model as the reference
+(/root/reference/tests/test_common.py:104-130).
+
+Deterministic: fixed seed, single-stream pipeline (arrival order ==
+decode order).
+"""
+
+import numpy as np
+
+SEED = 123
+W, H = 256, 96          # lane-friendly, small enough for quick compiles
+DW, DH = 64, 40
+NV_DW, NV_DH = 128, 48  # NV12 resize target (even dims required)
+PIPE_DST = 64
+PIPE_BATCH = 4
+
+
+def compute_all(clip: str) -> dict:
+    import vali_tpu as vali
+
+    F = vali.PixelFormat
+    rng = np.random.default_rng(SEED)
+    out = {}
+
+    nv12 = rng.integers(0, 256, (H * 3 // 2, W), dtype=np.uint8)
+    src = vali.Surface.from_numpy(nv12.reshape(-1), F.NV12,
+                                  width=W, height=H)
+
+    # Surface.Make on the device + uploader + download round trip
+    made = vali.Surface.Make(F.NV12, W, H)
+    up = vali.PyFrameUploader(gpu_id=0)
+    ok, info = up.Run(nv12.reshape(-1), made)
+    assert ok, info
+    out["surface_roundtrip"] = np.asarray(made.to_numpy()).copy()
+
+    # converter: auto route (Pallas on TPU) and exact XLA route
+    for tag, use_pallas in (("conv_auto", None), ("conv_exact", False)):
+        dst = vali.Surface.Make(F.RGB, W, H)
+        conv = vali.PySurfaceConverter(gpu_id=0, use_pallas=use_pallas)
+        ok, info = conv.Run(src, dst)
+        assert ok, info
+        out[tag] = np.asarray(dst.to_numpy()).copy()
+
+    # packed RGB resizer: auto route (Pallas on TPU) and exact XLA route
+    rgb_src = vali.Surface.from_numpy(out["conv_exact"].reshape(-1),
+                                      F.RGB, width=W, height=H)
+    for tag, use_pallas in (("rsz_packed_auto", None),
+                            ("rsz_packed_exact", False)):
+        dst = vali.Surface.Make(F.RGB, DW, DH)
+        rsz = vali.PySurfaceResizer(F.RGB, gpu_id=0, method="lanczos_aa",
+                                    use_pallas=use_pallas)
+        ok, info = rsz.Run(rgb_src, dst)
+        assert ok, info
+        out[tag] = np.asarray(dst.to_numpy()).copy()
+
+    # NV12 resizer: default (XLA einsum) and turbo (banded Pallas)
+    for tag, turbo in (("rsz_nv12", False), ("rsz_nv12_turbo", True)):
+        dst = vali.Surface.Make(F.NV12, NV_DW, NV_DH)
+        rsz = vali.PySurfaceResizer(F.NV12, gpu_id=0, turbo=turbo)
+        ok, info = rsz.Run(src, dst)
+        assert ok, info
+        out[tag] = np.asarray(dst.to_numpy()).copy()
+
+    # UD: fused upsample-downscale-convert NV12 -> RGB
+    dst = vali.Surface.Make(F.RGB, DW, DH)
+    udop = vali.PySurfaceUD(gpu_id=0)
+    ok, info = udop.Run(src, dst)
+    assert ok, info
+    out["ud_nv12_rgb"] = np.asarray(dst.to_numpy()).copy()
+
+    # one MultiStreamPipeline batch: decode -> stage -> H2D -> fused
+    # preprocess (hits the Pallas preprocess route on TPU)
+    from vali_tpu.pipeline.multistream import MultiStreamPipeline
+
+    pipe = MultiStreamPipeline([clip], dst_w=PIPE_DST, dst_h=PIPE_DST,
+                               gpu_id=0, batch_size=PIPE_BATCH)
+    for batch, ids in pipe:
+        out["pipeline_batch"] = np.asarray(batch).copy()
+        out["pipeline_ids"] = np.asarray(ids)
+        pipe.stop()
+        break
+    return out
+
+
+if __name__ == "__main__":
+    # subprocess entry: compute on whatever backend the env forces and
+    # save to the npz path in argv[2]; argv[1] is the clip path
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    res = compute_all(sys.argv[1])
+    np.savez(sys.argv[2], **res)
+    print("wrapper cases saved:", sorted(res))

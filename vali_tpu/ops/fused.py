@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -129,9 +130,11 @@ def fused_preprocess(
 
     def resample(p, wh, ww):
         t = jnp.einsum("oh,nhw->now", wh, p.astype(jnp.float32),
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
         return jnp.einsum("now,pw->nop", t, ww,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
 
     yr = resample(y, wy_h, wy_w) - y_offset
     ur = resample(u, wc_h, wc_w) - c_off

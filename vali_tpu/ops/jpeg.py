@@ -79,7 +79,8 @@ def _dct_quant(plane: jnp.ndarray, qtable: np.ndarray,
     blocks = _blockify(plane.astype(jnp.float32) - center)
     d = jnp.asarray(dct_matrix())
     coef = jnp.einsum("ux,nijxy,vy->nijuv", d, blocks, d,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     q = jnp.asarray(qtable.astype(np.float32))
     return jnp.clip(jnp.round(coef / q), -32768, 32767).astype(jnp.int16)
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 import functools
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -168,13 +169,17 @@ def _apply_separable(img: jnp.ndarray, wh: np.ndarray,
     ww = jnp.asarray(ww)
     if img.ndim == 3:
         tmp = jnp.einsum("oh,nhw->now", wh, img,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
         return jnp.einsum("now,pw->nop", tmp, ww,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     tmp = jnp.einsum("oh,nhwc->nowc", wh, img,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     return jnp.einsum("nowc,pw->nopc", tmp, ww,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
 
 
 def resize_plane(plane: jnp.ndarray, out_h: int, out_w: int,

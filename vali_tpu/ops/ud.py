@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -57,9 +58,11 @@ def _tex_resize(plane: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
                                     phase="tex"))
     img = plane.astype(jnp.float32)
     tmp = jnp.einsum("oh,nhw->now", wh, img,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     return jnp.einsum("now,pw->nop", tmp, ww,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
 
 
 def ud_batch(planes: Sequence[jnp.ndarray], src_fmt: PixelFormat,
