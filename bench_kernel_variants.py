@@ -46,6 +46,15 @@ design. Measured on v5e (64x1080p -> 224x224, ms/batch):
      silently forced the chroma banding dense; padding each half to a
      LANE_TILE multiple localizes the bands -> windows 1280 of 1920)
 
+  round-4 candidate (2026-08-18): "fuse the H-pass chroma and luma DMAs
+     into one slab now that windows are static" (round-3 verdict #8) —
+     structurally already the case: the kernel's only input DMA is the
+     single whole-frame BlockSpec((1, rows, W)) block per grid step
+     (pallas_fused.py in_specs[0]); the luma/chroma H-pass "windows"
+     are static VMEM slices of that resident slab, not separate DMAs.
+     Nothing to fuse; no new measurement possible. The remaining gap to
+     the 0.23 ms floor stays the M=32 H-pass occupancy story below.
+
 Conclusion: the adopted kernel is compute-bound at ~6.2 us/frame with
 DMA fully hidden. Budget at the measured 324 T(FL)OPS dot rate:
 banded W-pass ~1.2 us, H-pass ~2.7 us (M=32 tiles cap MXU occupancy at
