@@ -9,4 +9,6 @@ Import the submodules directly for the full API:
   - ``ops.fused``        single-pass CSC+resize(+normalize) preprocess
   - ``ops.pallas_fused`` the banded Pallas TPU kernel for the NV12 hot path
   - ``ops.colors``       colorimetry matrices as data
+  - ``ops.metrics``      batched on-device MSE/PSNR/SSIM (beyond reference)
+  - ``ops.jpeg``         device JPEG DCT+quant stage
 """
