@@ -122,3 +122,57 @@ def test_hard_deadline_caps_minimum_window(monkeypatch):
     res = bc.run_all(deadline=now - 100, hard_deadline=now + 5)
     assert "skipped" in res["a"]
     assert ran == []
+
+
+def test_main_live_path_control_flow(capsys, monkeypatch):
+    """End-to-end control flow of bench.main() on the CPU backend with
+    the device timing faked: the round-4 ordering must (1) record the
+    host-bound numbers, (2) run the target-bearing configs 2 + chipside
+    unconditionally right after the headline, (3) not re-run them in
+    run_all (skip-existing), and (4) emit ONE JSON line carrying all of
+    it under the renamed tunnel_h2d keys."""
+    import json
+
+    import bench
+
+    monkeypatch.setenv("VALI_BENCH_BUDGET_S", "600")
+    monkeypatch.setattr(bench, "_time_kernel",
+                        lambda *a, **k: (0.001, 0.01))
+    calls = []
+    monkeypatch.setattr(
+        bc, "config2_convert_resize_tpu",
+        lambda: (calls.append("2"), {"value": 111.0})[1])
+    monkeypatch.setattr(
+        bc, "config5_pipeline_chipside",
+        lambda: (calls.append("chip"), {"value": 222.0})[1])
+    monkeypatch.setattr(bc, "ALL_CONFIGS", [
+        # the target-bearing pair already landed via the direct calls —
+        # run_all must SKIP them even with different fakes registered
+        ("2_tpu_two_stage_convert_resize", lambda: {"value": -1}, 0),
+        ("5_pipeline_chipside", lambda: {"value": -1}, 0),
+        ("3_transcode_4k_hevc",
+         lambda: (calls.append("3"), {"value": 3.0})[1], 0),
+    ])
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    d = json.loads(out)
+    try:
+        assert "aborted" not in d, d
+        # (1) host-bound numbers are real (reference clip or synth)
+        assert d["sw_decode_fps_single_stream_848x464"] > 0
+        assert d["configs"]["1_sw_decode_cpu_convert"]["value"] > 0
+        # (2) + (3): direct-call values survived, run_all skipped them
+        assert d["configs"]["2_tpu_two_stage_convert_resize"] == \
+            {"value": 111.0}
+        assert d["configs"]["5_pipeline_chipside"] == {"value": 222.0}
+        assert calls.count("2") == 1 and calls.count("chip") == 1
+        assert d["configs"]["3_transcode_4k_hevc"] == {"value": 3.0}
+        # headline computed from the faked slope
+        assert d["value"] > 0
+        # (4) renamed tunnel metric, old name gone
+        assert "tunnel_h2d_gbytes_per_sec" in d
+        assert "h2d_staging_gbytes_per_sec" not in d
+    finally:
+        bench._DONE.clear()
+        bench.RESULT["configs"].clear()
+        bench.RESULT["value"] = 0.0
