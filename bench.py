@@ -273,6 +273,11 @@ def main():
     # must land in ONE driver JSON line (round-3 verdict #3 — chipside
     # was squeezed out under budget and borrowed from a sibling run).
     # XLA-contrast and 4K sections are trimmed first instead.
+    # Deliberate tradeoff: on a tunnel SO degraded that the headline
+    # alone eats the budget, the watchdog may fire mid-config and the
+    # partial line then carries headline-only — acceptable, because no
+    # gating policy could have recorded these configs in that state
+    # either, and the sink-as-they-land design keeps whatever finished.
     if run_configs:
         import bench_configs
 

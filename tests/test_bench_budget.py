@@ -132,10 +132,14 @@ def test_main_live_path_control_flow(capsys, monkeypatch):
     run_all (skip-existing), and (4) emit ONE JSON line carrying all of
     it under the renamed tunnel_h2d keys."""
     import json
+    import os
 
     import bench
 
     monkeypatch.setenv("VALI_BENCH_BUDGET_S", "600")
+    # if anything trips _emit_partial, it must not os._exit the pytest
+    # process (which would read as a green run with most tests unrun)
+    monkeypatch.setattr(os, "_exit", lambda code: None)
     monkeypatch.setattr(bench, "_time_kernel",
                         lambda *a, **k: (0.001, 0.01))
     calls = []

@@ -971,3 +971,54 @@ def test_encoder_sync_packet_arrival_contract():
     pkt = np.zeros(0, np.uint8)
     first = enc.EncodeSingleSurface(nv12_surface(80), pkt, sync=True)
     assert not first and not pkt.size
+
+
+def test_encode_single_frame_matches_surface_path():
+    """EncodeSingleFrame (beyond reference: host-frame input, zero
+    device round trips) must produce byte-identical bitstreams to the
+    EncodeSingleSurface path for the same input frames — it IS the same
+    native encoder fed the same bytes. Also the synthesize_clip /
+    bench-outage dependency: this path must never touch JAX."""
+    w, h = 96, 64
+    opts = {"s": f"{w}x{h}", "gop": "8", "bf": "0", "lookahead": "0",
+            "bitrate": "1M", "fps": "30"}
+    frames = []
+    rng = np.random.default_rng(3)
+    for i in range(6):
+        y = np.full((h, w), 40 + 25 * i, np.uint8)
+        y[16:32, 16:48] = rng.integers(0, 256, (16, 32), dtype=np.uint8)
+        uv = np.full((h // 2, w), 128, np.uint8)
+        frames.append(np.concatenate([y.reshape(-1), uv.reshape(-1)]))
+
+    def run_surface():
+        enc = vali.PyNvEncoder(opts, gpu_id=0, format=F.NV12)
+        up = vali.PyFrameUploader(gpu_id=0)
+        pkt = np.zeros(0, np.uint8)
+        out = []
+        for f in frames:
+            surf = vali.Surface.Make(F.NV12, w, h)
+            assert up.Run(f, surf)[0]
+            if enc.EncodeSingleSurface(surf, pkt):
+                out.append(pkt.tobytes())
+        while enc.FlushSinglePacket(pkt) and pkt.size:
+            out.append(pkt.tobytes())
+        return out
+
+    def run_frame():
+        enc = vali.PyNvEncoder(opts, gpu_id=0, format=F.NV12)
+        pkt = np.zeros(0, np.uint8)
+        out = []
+        for f in frames:
+            if enc.EncodeSingleFrame(f, pkt):
+                out.append(pkt.tobytes())
+        while enc.FlushSinglePacket(pkt) and pkt.size:
+            out.append(pkt.tobytes())
+        return out
+
+    assert run_frame() == run_surface()
+
+    # size-mismatch contract
+    enc = vali.PyNvEncoder(opts, gpu_id=0, format=F.NV12)
+    pkt = np.zeros(0, np.uint8)
+    with pytest.raises(RuntimeError, match="encoder expects"):
+        enc.EncodeSingleFrame(frames[0][:-1], pkt)

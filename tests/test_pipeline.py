@@ -441,12 +441,13 @@ def test_graft_entry_dryrun_outage(tmp_path):
     env["PALLAS_AXON_POOL_IPS"] = "10.255.255.1"  # non-routable blackhole
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)  # mimic the driver env, not the conftest's
-    env.pop("_VALI_DRYRUN_CHILD", None)
     env["_VALI_DRYRUN_NO_REF"] = "1"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # outer timeout must exceed dryrun's internal 480s wall clamp, so
+    # the clamp (not this test) is what bounds a hung child
     proc = subprocess.run(
         [sys.executable, os.path.join(repo, "__graft_entry__.py")],
-        env=env, cwd=repo, capture_output=True, text=True, timeout=420)
+        env=env, cwd=repo, capture_output=True, text=True, timeout=560)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "dryrun_multichip(8): OK" in proc.stdout
     # all three legs produced shard evidence (incl. the synthesized-clip

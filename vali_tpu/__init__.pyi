@@ -531,6 +531,9 @@ class PyNvEncoder:
     def EncodeSurface(self, surface: Surface, packet: numpy.ndarray,
                       sei: Optional[numpy.ndarray] = ..., sync: bool = ...,
                       append: bool = ...) -> bool: ...
+    def EncodeSingleFrame(self, frame: numpy.ndarray, packet: numpy.ndarray,
+                          sei: Optional[numpy.ndarray] = ...,
+                          append: bool = ...) -> bool: ...
     def Flush(self, packets: numpy.ndarray) -> bool: ...
     def FlushSinglePacket(self, packets: numpy.ndarray) -> bool: ...
     def Reconfigure(self, settings: Dict[str, str], force_idr: bool = ...,

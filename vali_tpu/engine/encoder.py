@@ -112,16 +112,9 @@ class PyNvEncoder:
 
     # --- encode ------------------------------------------------------------
 
-    def _encode_impl(self, surface: Optional[Surface], packet: np.ndarray,
-                     sei: Optional[np.ndarray], sync: bool,
-                     append: bool) -> bool:
-        if surface is None or surface.IsEmpty:
-            return self.FlushSinglePacket(packet)
-        if (surface.Width != self.Width or surface.Height != self.Height
-                or surface.Format != self._format):
-            raise RuntimeError(
-                "Surface does not match encoder size/format")
-        frame = planes_to_host_frame(surface.plane_arrays())
+    def _encode_host_frame(self, frame: np.ndarray, packet: np.ndarray,
+                           sei: Optional[np.ndarray],
+                           append: bool) -> bool:
         sei_buf = None
         if sei is not None and getattr(sei, "size", 0):
             sei_buf = np.ascontiguousarray(sei).reshape(-1).view(np.uint8)
@@ -143,6 +136,18 @@ class PyNvEncoder:
         _append_packet(packet, data, append)
         return True
 
+    def _encode_impl(self, surface: Optional[Surface], packet: np.ndarray,
+                     sei: Optional[np.ndarray], sync: bool,
+                     append: bool) -> bool:
+        if surface is None or surface.IsEmpty:
+            return self.FlushSinglePacket(packet)
+        if (surface.Width != self.Width or surface.Height != self.Height
+                or surface.Format != self._format):
+            raise RuntimeError(
+                "Surface does not match encoder size/format")
+        frame = planes_to_host_frame(surface.plane_arrays())
+        return self._encode_host_frame(frame, packet, sei, append)
+
     def EncodeSingleSurface(self, surface, packet: np.ndarray,
                             sei: Optional[np.ndarray] = None,
                             sync: bool = False,
@@ -152,6 +157,26 @@ class PyNvEncoder:
 
     # The reference exposes the same entry point under both names.
     EncodeSurface = EncodeSingleSurface
+
+    def EncodeSingleFrame(self, frame: np.ndarray, packet: np.ndarray,
+                          sei: Optional[np.ndarray] = None,
+                          append: bool = False) -> bool:
+        """Encode one HOST frame (beyond reference).
+
+        Same packet contract as EncodeSingleSurface, but the input is a
+        flat host frame in the encoder's pixel format — the exact layout
+        ``PyDecoder.DecodeSingleFrame`` produces. Host-side pipelines
+        (``gpu_id=-1`` decode -> encode) skip the Surface upload/download
+        round trip entirely — through a tunneled device that is two RPCs
+        per frame — and the clip synthesizer stays JAX-free, so it can
+        run before any device runtime is touched.
+        """
+        flat = np.ascontiguousarray(frame).reshape(-1).view(np.uint8)
+        if flat.nbytes != self.FrameSizeInBytes:
+            raise RuntimeError(
+                f"Frame has {flat.nbytes} bytes, encoder expects "
+                f"{self.FrameSizeInBytes}")
+        return self._encode_host_frame(flat, packet, sei, append)
 
     def FlushSinglePacket(self, packet: np.ndarray) -> bool:
         """Retrieve one buffered packet after EOS; False when drained (parity: PyNvEncoder.cpp:263-281)."""

@@ -18,13 +18,16 @@ def synthesize_clip(path: str, w: int = 848, h: int = 464, n: int = 96,
     """Encode ``n`` moving-gradient NV12 frames with PyNvEncoder and mux
     them into ``path`` (container inferred from the extension). Returns
     ``path``. The clip decodes back bit-exactly through PyDecoder in
-    tests/test_fidelity.py's round-trip harness."""
+    tests/test_fidelity.py's round-trip harness.
+
+    Deliberately JAX-free (host-frame encode, no Surface round trip):
+    bench.py synthesizes clips BEFORE its device probe, and during an
+    axon tunnel outage any jax.devices() call blocks forever."""
     import vali_tpu as vali
 
     enc = vali.PyNvEncoder({"s": f"{w}x{h}", "bf": "0", "lookahead": "0",
                             "gop": "30", "fps": str(int(fps))},
                            gpu_id=0, format=vali.PixelFormat.NV12)
-    up = vali.PyFrameUploader(gpu_id=0)
     pkts = []
     pkt = np.zeros(0, np.uint8)
     grad = np.linspace(16, 235, w, dtype=np.float64)
@@ -32,10 +35,8 @@ def synthesize_clip(path: str, w: int = 848, h: int = 464, n: int = 96,
         y = np.clip(grad[None, :] + i, 16, 235).astype(np.uint8)
         y = np.broadcast_to(y, (h, w))
         uv = np.full((h // 2, w), 128, np.uint8)
-        surf = vali.Surface.Make(vali.PixelFormat.NV12, w, h)
-        assert up.Run(np.concatenate([y.reshape(-1), uv.reshape(-1)]),
-                      surf)[0]
-        if enc.EncodeSingleSurface(surf, pkt):
+        frame = np.concatenate([y.reshape(-1), uv.reshape(-1)])
+        if enc.EncodeSingleFrame(frame, pkt):
             pkts.append(pkt.tobytes())
     while True:
         f = np.zeros(0, np.uint8)
