@@ -268,3 +268,87 @@ def test_tracing_scopes():
             pass
     finally:
         tracing.enable(True)
+
+
+def test_from_cai_honors_strides():
+    """A CAI-style dict from a sliced/transposed producer carries byte
+    strides; ignoring them garbles pixels (parity: reference
+    PySurface.cpp:487-496 consumes strides). Advisor review round 4."""
+    h, w = 32, 48
+    base = np.arange(h * w * 2, dtype=np.uint8).reshape(h, w * 2)
+    view = base[:, ::2]  # non-contiguous: stride (w*2, 2)
+    d = {"shape": view.shape, "typestr": "|u1",
+         "data": (view.ctypes.data, False),
+         "strides": view.strides, "version": 3}
+    surf = vali.Surface.from_cai(d, vali.PixelFormat.Y)
+    assert np.array_equal(surf.to_numpy().reshape(h, w), view)
+
+    # contiguous producers may pass strides=None per the CAI spec
+    cont = np.ascontiguousarray(view)
+    d2 = {"shape": cont.shape, "typestr": "|u1",
+          "data": (cont.ctypes.data, False), "strides": None, "version": 3}
+    surf2 = vali.Surface.from_cai(d2, vali.PixelFormat.Y)
+    assert np.array_equal(surf2.to_numpy().reshape(h, w), view)
+
+    with pytest.raises(ValueError, match="negative strides"):
+        vali.Surface.from_cai(
+            {"shape": (4, 4), "typestr": "|u1",
+             "data": (cont.ctypes.data, False), "strides": (-4, 1)},
+            vali.PixelFormat.Y)
+
+
+def test_from_jax_explicit_dims_must_agree():
+    """Explicit width/height that contradict the export shape must raise
+    instead of silently deriving different dimensions."""
+    import jax.numpy as jnp
+
+    arr = jnp.zeros((96, 64), dtype=jnp.uint8)  # NV12 export: 64x64
+    ok = vali.Surface.from_jax(arr, vali.PixelFormat.NV12,
+                               width=64, height=64)
+    assert (ok.Width, ok.Height) == (64, 64)
+    with pytest.raises(ValueError, match="implies"):
+        vali.Surface.from_jax(arr, vali.PixelFormat.NV12,
+                              width=32, height=48)
+
+
+def test_multiplane_dlpack_raises_runtime_error_not_tpu_hint():
+    """__dlpack__ on a multi-plane surface must report the multi-plane
+    cause (RuntimeError, like __dlpack_device__), not the TPU-resident
+    hint — on the CPU backend that diagnosis would be doubly wrong."""
+    surf = vali.Surface.Make(vali.PixelFormat.YUV420, 32, 32)
+    with pytest.raises(RuntimeError, match="multi-plane"):
+        surf.__dlpack__()
+    with pytest.raises(RuntimeError, match="multi-plane"):
+        surf.__dlpack_device__()
+
+
+def test_make_allocates_on_target_device():
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs multi-device mesh")
+    dev = jax.devices()[3]
+    surf = vali.Surface.Make(vali.PixelFormat.NV12, 64, 64, gpu_id=3)
+    assert surf.device == dev
+    for arr in surf.plane_arrays():
+        assert next(iter(arr.devices())) == dev
+
+
+def test_yuv_to_rgb_channels_high_bit_depth_is_msb_aligned():
+    """bit_depth>8 means the MSB-aligned uint16 layout (P010/P012:
+    v16 = v8*256) everywhere in this project; the channel converter must
+    match the 8-bit result for the same 8-bit content."""
+    from vali_tpu.ops.csc import yuv_to_rgb_channels
+
+    rng = np.random.default_rng(5)
+    y8 = rng.integers(16, 236, (1, 16, 32)).astype(np.float32)
+    u8 = rng.integers(16, 241, (1, 16, 32)).astype(np.float32)
+    v8 = rng.integers(16, 241, (1, 16, 32)).astype(np.float32)
+    r8, g8, b8 = yuv_to_rgb_channels(
+        y8, u8, v8, vali.ColorSpace.BT_709, vali.ColorRange.MPEG)
+    r16, g16, b16 = yuv_to_rgb_channels(
+        y8 * 256.0, u8 * 256.0, v8 * 256.0,
+        vali.ColorSpace.BT_709, vali.ColorRange.MPEG, bit_depth=10)
+    assert np.allclose(np.asarray(r16) / 256.0, np.asarray(r8), atol=1e-3)
+    assert np.allclose(np.asarray(g16) / 256.0, np.asarray(g8), atol=1e-3)
+    assert np.allclose(np.asarray(b16) / 256.0, np.asarray(b8), atol=1e-3)

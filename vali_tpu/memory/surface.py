@@ -172,10 +172,13 @@ class Surface:
         surf._width = int(width)
         surf._height = int(height)
         dtype = jnp.dtype(info.dtype)
-        surf._arrays = [
-            jax.device_put(jnp.zeros((h, w), dtype=dtype), device)
-            for (h, w) in info.plane_dims(width, height)
-        ]
+        # allocate directly on the target device: zeros-then-device_put
+        # paid a cross-device copy per plane whenever gpu_id != 0
+        with jax.default_device(device):
+            surf._arrays = [
+                jnp.zeros((h, w), dtype=dtype)
+                for (h, w) in info.plane_dims(width, height)
+            ]
         registry.register(surf, f"Surface[{surf._format.name}]",
                           info.host_size(width, height))
         return surf
@@ -207,7 +210,17 @@ class Surface:
                     height, width = h0, w0
         else:
             arr = jnp.asarray(arrays)
-            width, height, planes = _storage_from_export(arr, info)
+            dw, dh, planes = _storage_from_export(arr, info)
+            # an explicit width/height must AGREE with the export shape —
+            # silently deriving different dimensions turns a caller's
+            # mistake into a wrong-sized surface that only fails later
+            if ((width is not None and int(width) != dw)
+                    or (height is not None and int(height) != dh)):
+                raise ValueError(
+                    f"array of export shape {tuple(arr.shape)} implies "
+                    f"{dw}x{dh}, but width={width} height={height} was "
+                    f"requested")
+            width, height = dw, dh
         info.validate(width, height)
         expected = info.plane_dims(width, height)
         if len(planes) != len(expected):
@@ -250,13 +263,32 @@ class Surface:
         """
         if isinstance(d, dict):
             shape = tuple(d["shape"])
-            typestr = d["typestr"]
+            dt = np.dtype(d["typestr"])
             data = d["data"]
             ptr = data[0] if isinstance(data, (tuple, list)) else int(data)
-            count = int(np.prod(shape))
-            buf = (ctypes.c_char * (count * np.dtype(typestr).itemsize))
-            host = np.frombuffer(buf.from_address(ptr),
-                                 dtype=np.dtype(typestr)).reshape(shape)
+            strides = d.get("strides")
+            if strides is None:  # C-contiguous per the CAI spec
+                count = int(np.prod(shape))
+                buf = (ctypes.c_char * (count * dt.itemsize))
+                host = np.frombuffer(buf.from_address(ptr),
+                                     dtype=dt).reshape(shape)
+            else:
+                # honor byte strides like the reference does
+                # (PySurface.cpp:487-496): a sliced/transposed producer
+                # is NOT C-contiguous and reshape would garble pixels
+                strides = tuple(int(s) for s in strides)
+                if any(s < 0 for s in strides):
+                    raise ValueError(
+                        "negative strides are not supported by "
+                        "Surface.from_cai")
+                span = dt.itemsize + sum(
+                    (n - 1) * s for n, s in zip(shape, strides) if n > 0)
+                flat = np.frombuffer(
+                    (ctypes.c_char * span).from_address(ptr),
+                    dtype=np.uint8)
+                host = np.lib.stride_tricks.as_strided(
+                    flat[:dt.itemsize].view(dt), shape=shape,
+                    strides=strides)
             host = np.array(host)  # copy out of foreign memory
         else:
             host = np.asarray(d)
@@ -400,6 +432,13 @@ class Surface:
             [np.asarray(a).reshape(-1) for a in self._arrays])
 
     def __dlpack__(self, stream=None, **kwargs):
+        # multi-plane surfaces raise the same RuntimeError as
+        # __dlpack_device__ (NOT the TPU hint, which would misdiagnose
+        # the failure on any backend)
+        if self._info.export_shape is None:
+            raise RuntimeError(
+                f"{self._format.name} is multi-plane; DLPack export is "
+                f"unsupported (parity: Surfaces.hpp:168-176)")
         try:
             return self.to_jax().__dlpack__(**kwargs)
         except (BufferError, RuntimeError) as e:
@@ -528,8 +567,6 @@ class CudaBuffer:
         """Copy another buffer's contents into this one (device-to-device)."""
         if other.RawMemSize != self.RawMemSize:
             raise RuntimeError("CudaBuffer size mismatch in CopyFrom")
-        import jax
-
         # the copy lands on THIS buffer's device (jnp.copy would keep
         # the source's placement, silently migrating the buffer)
         dev = next(iter(self._array.devices()))

@@ -103,7 +103,12 @@ def yuv_to_rgb_channels(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
         raise UnsupportedConversionParams(
             f"YUV->RGB unsupported for {space.name}+{crange.name}")
     m, y_off = mo
-    scale = float(1 << (bit_depth - 8))
+    # bit_depth > 8 means the project-wide MSB-aligned uint16 layout
+    # (NVDEC P010/P012: v16 = v8 * 256, regardless of 10 vs 12 bits —
+    # see formats.py and decoder.cpp's <<4 repack), so offsets scale by
+    # 256. An LSB-aligned 2^(d-8) scaling here once mismatched the only
+    # 10/12-bit data the project has (advisor review).
+    scale = 256.0 if bit_depth > 8 else 1.0
     c_off = 128.0 * scale
     m = m.astype(np.float32)
     yf = y.astype(jnp.float32) - y_off * scale
@@ -113,14 +118,6 @@ def yuv_to_rgb_channels(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     g = m[1, 0] * yf + m[1, 1] * uf + m[1, 2] * vf
     b = m[2, 0] * yf + m[2, 1] * uf + m[2, 2] * vf
     return r, g, b
-
-
-def yuv_to_rgb(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
-               space: ColorSpace, crange: ColorRange,
-               bit_depth: int = 8) -> jnp.ndarray:
-    """Full-resolution YUV planes [N,H,W] -> float32 RGB [N,H,W,3]."""
-    r, g, b = yuv_to_rgb_channels(y, u, v, space, crange, bit_depth)
-    return jnp.stack([r, g, b], axis=-1)
 
 
 def rgb_to_yuv_channels(r: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
@@ -138,13 +135,6 @@ def rgb_to_yuv_channels(r: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
     u = m[1, 0] * r + m[1, 1] * g + m[1, 2] * b + 128.0
     v = m[2, 0] * r + m[2, 1] * g + m[2, 2] * b + 128.0
     return y, u, v
-
-
-def rgb_to_yuv(rgb: jnp.ndarray, space: ColorSpace,
-               crange: ColorRange) -> Tuple[jnp.ndarray, ...]:
-    """float32 RGB [N,H,W,3] -> float32 (y, u, v) full-resolution planes."""
-    return rgb_to_yuv_channels(rgb[..., 0], rgb[..., 1], rgb[..., 2],
-                               space, crange)
 
 
 def _stage_chroma(u: jnp.ndarray, v: jnp.ndarray):
