@@ -46,8 +46,11 @@ VideoDecoder::VideoDecoder(const char* url, OptMap opts, const IoHooks* io,
      * doesn't burn through the custom-IO buffer (parity:
      * TaskDecodeFrame.cpp:211-233). Only possible when we can rewind. */
     if (m_custom_io_seekable) {
-      std::array<uint8_t, 1024> probe_buf{};
-      int nbytes = io->read(io->opaque, probe_buf.data(), probe_buf.size());
+      // probers may read buf_size + AVPROBE_PADDING_SIZE bytes; the
+      // tail must exist and stay zeroed (the reference overreads here,
+      // TaskDecodeFrame.cpp:219-231 — UB we don't copy)
+      std::array<uint8_t, 1024 + AVPROBE_PADDING_SIZE> probe_buf{};
+      int nbytes = io->read(io->opaque, probe_buf.data(), 1024);
       io->seek(io->opaque, 0, SEEK_SET);
       if (nbytes > 0) {
         AVProbeData pd = {};
@@ -199,6 +202,10 @@ void VideoDecoder::SaveCurrentRes() {
 VideoDecoder::Status VideoDecoder::ReadPacket() {
   while (!m_eof) {
     AVPacket* pkt = av_packet_alloc();
+    if (!pkt) {
+      m_end_decode = true;
+      return ST_ERROR;
+    }
     m_timeout->Reset();
     int ret = av_read_frame(m_fmt_ctx, pkt);
     if (AVERROR_EOF == ret) {
@@ -383,7 +390,15 @@ Info VideoDecoder::Seek(int64_t frame_num, double ts_sec, bool by_number,
   // Full codec reopen, then backwards container seek (parity:
   // TaskDecodeFrame.cpp:990-1002).
   CloseCodec();
-  OpenCodec();
+  try {
+    OpenCodec();
+  } catch (const std::exception& e) {
+    // OpenCodec throws (ctor path); from here it must degrade to the
+    // (FAIL, msg) contract — an exception would unwind through the
+    // GIL-released binding frame and terminate the interpreter
+    msg = std::string("codec reopen during seek failed: ") + e.what();
+    return Info::FAIL;
+  }
 
   m_timeout->Reset();
   int ret = avformat_seek_file(m_fmt_ctx, m_stream_idx, min_timestamp,

@@ -96,7 +96,6 @@ class VideoDecoder {
   Status ReadPacket();
   Status SendPacket();
   Status ReceiveFrame();
-  Status StashableDecode(std::string& msg, Info& info);
   void SaveSideData();
   void SavePacketData();
   void SaveCurrentRes();

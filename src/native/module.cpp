@@ -176,7 +176,12 @@ PyObject* Decoder_decode(DecoderObject* self, PyObject*) {
   std::string msg;
   Info info;
   Py_BEGIN_ALLOW_THREADS
-  info = self->dec->DecodeNext(msg);
+  try {
+    info = self->dec->DecodeNext(msg);
+  } catch (const std::exception& e) {  // never unwind through C frames
+    info = Info::FAIL;
+    msg = e.what();
+  }
   Py_END_ALLOW_THREADS
   return Py_BuildValue("is", static_cast<int>(info), msg.c_str());
 }
@@ -192,7 +197,12 @@ PyObject* Decoder_seek(DecoderObject* self, PyObject* args) {
   std::string msg;
   Info info;
   Py_BEGIN_ALLOW_THREADS
-  info = self->dec->Seek(frame_num, ts_sec, by_number != 0, msg);
+  try {
+    info = self->dec->Seek(frame_num, ts_sec, by_number != 0, msg);
+  } catch (const std::exception& e) {  // never unwind through C frames
+    info = Info::FAIL;
+    msg = e.what();
+  }
   Py_END_ALLOW_THREADS
   return Py_BuildValue("is", static_cast<int>(info), msg.c_str());
 }
@@ -203,8 +213,13 @@ PyObject* Decoder_copy_frame(DecoderObject* self, PyObject* args) {
   if (!PyArg_ParseTuple(args, "O", &buf_obj)) return nullptr;
   Py_buffer view;
   if (PyObject_GetBuffer(buf_obj, &view, PyBUF_WRITABLE) < 0) return nullptr;
-  int written = self->dec->CopyFrame(static_cast<uint8_t*>(view.buf),
-                                     static_cast<size_t>(view.len));
+  int written;
+  try {
+    written = self->dec->CopyFrame(static_cast<uint8_t*>(view.buf),
+                                   static_cast<size_t>(view.len));
+  } catch (const std::exception&) {  // e.g. bad_alloc in the P012 repack
+    written = -1;
+  }
   PyBuffer_Release(&view);
   return PyLong_FromLong(written);
 }

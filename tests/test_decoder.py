@@ -307,9 +307,15 @@ def test_decode_to_surface():
     mean = float(np.asarray(planes[0]).mean())
     assert 10 < mean < 245
 
-    # frame path must be rejected on device decoders (parity)
-    with pytest.raises(RuntimeError):
-        dec.DecodeSingleFrame(np.zeros(1, dtype=np.uint8))
+    # frame path must be rejected on device decoders with (False, FAIL),
+    # not an exception (parity: PyDecoder.cpp:80-84) — and the wrong-path
+    # call must not have consumed a frame
+    ok, info = dec.DecodeSingleFrame(np.zeros(1, dtype=np.uint8))
+    assert (ok, info) == (False, vali.TaskExecInfo.FAIL)
+    # surface path on a host decoder mirrors it (PyDecoder.cpp:99-103)
+    host_dec, _ = make_decoder("basic", gpu_id=-1)
+    ok, info = host_dec.DecodeSingleSurface(surf)
+    assert (ok, info) == (False, vali.TaskExecInfo.FAIL)
 
 
 def test_decode_surface_async():
@@ -318,6 +324,46 @@ def test_decode_surface_async():
     ok, info = dec.DecodeSingleSurfaceAsync(surf)
     assert ok
     surf.block_until_ready()
+
+
+def test_mismatched_surface_does_not_consume_frame():
+    """A wrong-sized/format surface is rejected BEFORE decoding (parity:
+    PyDecoder.cpp:105-121); the old post-decode check silently dropped
+    one decoded frame per failed call (advisor review round 4)."""
+    dec, rec = make_decoder("basic", gpu_id=0)
+    small = vali.Surface.Make(dec.Format, dec.Width // 2, dec.Height // 2,
+                              gpu_id=0)
+    ok, info = dec.DecodeSingleSurface(small)
+    assert (ok, info) == (False, vali.TaskExecInfo.SRC_DST_SIZE_MISMATCH)
+    # every frame must still be deliverable after the rejection
+    surf = vali.Surface.Make(dec.Format, dec.Width, dec.Height, gpu_id=0)
+    n = 0
+    while dec.DecodeSingleSurface(surf)[0]:
+        n += 1
+    assert n == rec["num_frames"]
+
+
+def test_async_staging_reuse_waits_for_transfer():
+    """Back-to-back async surface decodes must not corrupt earlier
+    surfaces via staging-buffer reuse: each decoded frame's pixels must
+    match the sync path's (advisor review round 4: PJRT only guarantees
+    the host source after the transfer completes)."""
+    dec_a, rec = make_decoder("basic", gpu_id=0)
+    dec_s, _ = make_decoder("basic", gpu_id=0)
+    surfs = [vali.Surface.Make(dec_a.Format, dec_a.Width, dec_a.Height,
+                               gpu_id=0) for _ in range(4)]
+    got = []
+    for s in surfs:
+        ok, _ = dec_a.DecodeSingleSurfaceAsync(s)
+        assert ok
+        got.append(s)
+    ref_surf = vali.Surface.Make(dec_s.Format, dec_s.Width, dec_s.Height,
+                                 gpu_id=0)
+    for s in got:
+        ok, _ = dec_s.DecodeSingleSurface(ref_surf)
+        assert ok
+        assert np.array_equal(np.asarray(s.plane_arrays()[0]),
+                              np.asarray(ref_surf.plane_arrays()[0]))
 
 
 def test_mpeg4_decode():

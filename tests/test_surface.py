@@ -352,3 +352,26 @@ def test_yuv_to_rgb_channels_high_bit_depth_is_msb_aligned():
     assert np.allclose(np.asarray(r16) / 256.0, np.asarray(r8), atol=1e-3)
     assert np.allclose(np.asarray(g16) / 256.0, np.asarray(g8), atol=1e-3)
     assert np.allclose(np.asarray(b16) / 256.0, np.asarray(b8), atol=1e-3)
+
+
+def test_upload_snapshots_host_bytes():
+    """Upload semantics copy the bytes as of call time (parity: CUDA
+    H2D). On host-backed devices jax.device_put can zero-copy ALIAS the
+    caller's numpy memory — mutating the frame after Run() must not
+    change the surface (advisor review round 4; this bit the decoder's
+    reused staging buffer for real)."""
+    w, h = 128, 64
+    frame = np.full(w * h * 3 // 2, 100, np.uint8)
+    surf = vali.Surface.Make(vali.PixelFormat.NV12, w, h)
+    up = vali.PyFrameUploader(gpu_id=0)
+    assert up.Run(frame, surf)[0]
+    frame[:] = 7  # caller reuses the buffer
+    assert int(np.asarray(surf.plane_arrays()[0])[0, 0]) == 100
+
+    surf2 = vali.Surface.from_numpy(frame.copy(), vali.PixelFormat.NV12,
+                                    width=w, height=h)
+    src2 = frame.copy()
+    surf3 = vali.Surface.from_numpy(src2, vali.PixelFormat.NV12,
+                                    width=w, height=h)
+    src2[:] = 200
+    assert np.array_equal(surf3.to_numpy(), surf2.to_numpy())

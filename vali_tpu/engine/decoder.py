@@ -90,7 +90,6 @@ class PyDecoder:
                 raise TypeError(
                     "input must be a URL string or an object with .read")
             self._dec = native.Decoder(None, opts, input, False)
-        self._stage = np.zeros(0, dtype=np.uint8)
 
     # --- decode ------------------------------------------------------------
 
@@ -121,9 +120,10 @@ class PyDecoder:
         if isinstance(pkt_data, SeekContext) and seek_ctx is None:
             pkt_data, seek_ctx = None, pkt_data
         if self._gpu_id >= 0:
-            raise RuntimeError(
-                "Decoder has device surface output. Use DecodeSingleSurface "
-                "instead or construct with gpu_id=-1")
+            # parity: the reference returns (False, FAIL) on the
+            # accelerated-path mismatch (PyDecoder.cpp:80-84), it does
+            # not raise
+            return (False, TaskExecInfo.FAIL)
         info_val, msg = self._do_decode(seek_ctx)
         info = TaskExecInfo(info_val)
         if info == TaskExecInfo.RES_CHANGE:
@@ -136,8 +136,10 @@ class PyDecoder:
         size = self.HostFrameSize
         if frame.nbytes != size:
             try:
-                frame.resize((size // frame.dtype.itemsize,),
-                             refcheck=False)
+                # ceil, not floor: a frame size not divisible by the
+                # caller's dtype itemsize must never truncate the buffer
+                elems = -(-size // frame.dtype.itemsize)
+                frame.resize((elems,), refcheck=False)
             except ValueError:  # array does not own its data
                 return (False, TaskExecInfo.INVALID_INPUT)
         written = self._dec.copy_frame(frame)
@@ -148,11 +150,21 @@ class PyDecoder:
 
     def _decode_surface(self, surf: Surface, pkt_data, seek_ctx, sync):
         if self._gpu_id < 0:
-            raise RuntimeError(
-                "Decoder has host frame output. Use DecodeSingleFrame "
-                "instead or construct with gpu_id >= 0")
+            # parity: (False, FAIL), not an exception (PyDecoder.cpp:100)
+            return (False, TaskExecInfo.FAIL)
         if surf is None or surf.IsEmpty:
             return (False, TaskExecInfo.INVALID_INPUT)
+        # Validate the destination BEFORE decoding (parity:
+        # PyDecoder.cpp:105-121): rejecting after _do_decode would
+        # consume and irreversibly drop a decoded frame per failed call.
+        p = self._props()
+        width, height = p["width"], p["height"]
+        fmt = PixelFormat(p["format"])
+        if (surf.Width != width or surf.Height != height
+                or surf.Format != fmt):
+            return (False, TaskExecInfo.SRC_DST_FMT_MISMATCH
+                    if surf.Format != fmt
+                    else TaskExecInfo.SRC_DST_SIZE_MISMATCH)
         info_val, msg = self._do_decode(seek_ctx)
         info = TaskExecInfo(info_val)
         if info == TaskExecInfo.RES_CHANGE:
@@ -161,20 +173,23 @@ class PyDecoder:
             return (True, info)
         if info != TaskExecInfo.SUCCESS:
             return (False, info)
-        if (surf.Width != self.Width or surf.Height != self.Height
-                or surf.Format != self.Format):
-            return (False, TaskExecInfo.SRC_DST_FMT_MISMATCH
-                    if surf.Format != self.Format
-                    else TaskExecInfo.SRC_DST_SIZE_MISMATCH)
-
-        size = self.HostFrameSize
-        if self._stage.nbytes != size:
-            self._stage = np.zeros(size, dtype=np.uint8)
-        written = self._dec.copy_frame(self._stage)
+        # a RES_CHANGE may have updated the props since the pre-check
+        p = self._props()
+        width, height = p["width"], p["height"]
+        fmt = PixelFormat(p["format"])
+        size = p["host_frame_size"]
+        # FRESH staging buffer per decode — never reused. device_put can
+        # zero-copy ALIAS host memory on CPU-family backends (observed on
+        # the forced-8-device host platform with an explicit device arg,
+        # even for multi-MB planes), so a reused buffer silently
+        # corrupted every previously returned surface, sync or async.
+        # Ownership transfers instead: the device arrays keep the buffer
+        # alive, and nothing ever writes it again.
+        stage = np.empty(size, dtype=np.uint8)
+        written = self._dec.copy_frame(stage)
         if written < 0:
             return (False, _copy_frame_error(written))
-        planes = host_frame_to_planes(
-            self._stage, self.Format, self.Width, self.Height)
+        planes = host_frame_to_planes(stage, fmt, width, height)
         import jax
 
         arrays = [jax.device_put(p, self._device) for p in planes]

@@ -42,6 +42,19 @@ def _device_of(arr) -> "jax.Device":
     return jax.devices()[0]
 
 
+def _host_snapshot(a, device) -> np.ndarray:
+    """Snapshot host bytes before a device_put targeting a HOST-backed
+    device. jax.device_put can zero-copy ALIAS host numpy memory on
+    CPU-family backends (observed even for multi-MB aligned planes with
+    an explicit device arg), but upload semantics require the bytes as
+    of call time — the reference's CUDA upload always copies. Real
+    accelerators copy on transfer, so only host platforms pay this."""
+    a = np.ascontiguousarray(a)
+    if getattr(device, "platform", None) == "cpu":
+        return np.array(a)
+    return a
+
+
 _TPU_DLPACK_HINT = (
     "DLPack export is not available for TPU-resident surfaces (the DLPack "
     "protocol has no TPU device type, and host frameworks cannot address "
@@ -307,19 +320,20 @@ class Surface:
         if device is None:
             device = get_device(gpu_id)
         if isinstance(array, (list, tuple)):
-            planes = [jax.device_put(np.ascontiguousarray(a), device)
+            planes = [jax.device_put(_host_snapshot(a, device), device)
                       for a in array]
             return Surface.from_jax(planes, format, width, height)
-        array = np.ascontiguousarray(array)
-        if array.ndim == 1:
+        if np.ndim(array) == 1:
             from .host import host_frame_to_planes
             if width is None or height is None:
                 raise ValueError(
                     "flat host frames require explicit width/height")
-            host_planes = host_frame_to_planes(array, format, width, height)
-            planes = [jax.device_put(p, device) for p in host_planes]
+            host_planes = host_frame_to_planes(
+                np.ascontiguousarray(array), format, width, height)
+            planes = [jax.device_put(_host_snapshot(p, device), device)
+                      for p in host_planes]
             return Surface.from_jax(planes, format, width, height)
-        arr = jax.device_put(array, device)
+        arr = jax.device_put(_host_snapshot(array, device), device)
         return Surface.from_jax(arr, format, width, height)
 
     # --- mutation by ops ---------------------------------------------------

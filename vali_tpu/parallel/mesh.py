@@ -61,8 +61,16 @@ def make_mesh(data: int = 0, spatial: int = 1,
 
 def shard_planes(planes, mesh: Mesh):
     """Place batched planes on the mesh: batch over data, rows over
-    spatial."""
+    spatial. Host numpy inputs are snapshotted first on host-backed
+    meshes (device_put can alias host memory there; see
+    memory.surface._host_snapshot)."""
     sharding = NamedSharding(mesh, P("data", "spatial", None))
+    if mesh.devices.flat[0].platform == "cpu":
+        from ..memory.surface import _host_snapshot
+
+        planes = tuple(
+            _host_snapshot(p, mesh.devices.flat[0])
+            if isinstance(p, np.ndarray) else p for p in planes)
     return tuple(jax.device_put(p, sharding) for p in planes)
 
 

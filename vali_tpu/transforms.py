@@ -339,8 +339,14 @@ class PyFrameUploader:
                 return _fail(TaskExecInfo.INVALID_INPUT)
             host_planes = host_frame_to_planes(
                 flat, dst.Format, dst.Width, dst.Height)
+            from .memory.surface import _host_snapshot
+
             with op_scope("CudaUploadFrame"):
-                arrays = [jax.device_put(p, self._device)
+                # snapshot before device_put: on host-backed devices the
+                # transfer may alias the caller's memory, but upload
+                # semantics (parity: CUDA H2D) copy the bytes as of now
+                arrays = [jax.device_put(_host_snapshot(p, self._device),
+                                         self._device)
                           for p in host_planes]
             dst._replace_arrays(arrays)
             self._stream.record_arrays(arrays)
