@@ -10,5 +10,7 @@ Import the submodules directly for the full API:
   - ``ops.pallas_fused`` the banded Pallas TPU kernel for the NV12 hot path
   - ``ops.colors``       colorimetry matrices as data
   - ``ops.metrics``      batched on-device MSE/PSNR/SSIM (beyond reference)
+  - ``ops.analytics``    histograms, luma stats, scene-change detection
+                         (beyond reference)
   - ``ops.jpeg``         device JPEG DCT+quant stage
 """
