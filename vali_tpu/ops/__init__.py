@@ -12,5 +12,8 @@ Import the submodules directly for the full API:
   - ``ops.metrics``      batched on-device MSE/PSNR/SSIM (beyond reference)
   - ``ops.analytics``    histograms, luma stats, scene-change detection
                          (beyond reference)
+  - ``ops.tonemap``      HDR->SDR tone mapping: PQ/HLG, BT.2390/
+                         Reinhard/Hable, BT.2020->BT.709 (beyond
+                         reference)
   - ``ops.jpeg``         device JPEG DCT+quant stage
 """
