@@ -107,3 +107,15 @@ def test_sample_multichip(CLIP):
 def test_sample_profile(tmp_path):
     out = run_sample("sample_profile.py", str(tmp_path), timeout=300)
     assert "trace" in out.lower()
+
+
+def test_sample_scene_detection(CLIP):
+    out = run_sample("sample_scene_detection.py", CLIP)
+    assert "cuts at frames:" in out and out.strip().endswith("OK")
+
+
+def test_sample_hdr_tonemap():
+    # self-synthesizing: no input clip needed
+    out = run_sample("sample_hdr_tonemap.py", timeout=300)
+    assert "tone-mapped to SDR" in out
+    assert "wrote SDR stream" in out and out.strip().endswith("OK")
