@@ -86,6 +86,21 @@ def compute_all(clip: str) -> dict:
         out["pipeline_ids"] = np.asarray(ids)
         pipe.stop()
         break
+
+    # analytics: scene scores + histogram over a two-scene luma batch
+    from vali_tpu.ops import analytics, tonemap
+
+    lum = rng.integers(30, 90, (6, H, W)).astype(np.uint8)
+    lum[3:] += 120
+    out["scene_scores"] = np.asarray(
+        analytics.scene_change_scores(lum)).copy()
+    out["histogram"] = np.asarray(
+        analytics.histogram_batch(lum, bins=64)).copy()
+
+    # tonemap: PQ-coded HDR batch -> SDR uint8
+    hdr = rng.uniform(0.0, 0.9, (2, H, W, 3)).astype(np.float32)
+    out["tonemap_sdr"] = np.asarray(tonemap.tonemap_batch(
+        hdr, transfer="pq", peak_nits=1000.0, target_nits=100.0)).copy()
     return out
 
 

@@ -13,7 +13,8 @@ see (Mosaic cast gaps, layout quirks; round-3 verdict missing #1).
 Tolerances: u8 XLA routes are bit-exact up to f32 .5-boundary rounding
 (<=1 LSB, rare — einsums pin precision=HIGHEST so the MXU computes true
 f32); Pallas routes compute uint8 in bfloat16, within 2 LSB of the CPU
-path with high PSNR. Run with its own budget (compiles ~7 new shapes):
+path with high PSNR. Run with its own budget (compiles ~10 new shapes,
+incl. the analytics/tonemap elementwise cases):
 
     timeout 900 python3 -m pytest tests_tpu/test_wrappers_tpu.py -q
 """
@@ -136,3 +137,20 @@ def test_pipeline_batch(outputs):
                - cpu["pipeline_batch"].astype(int))
     assert d.max() <= 2
     assert _psnr(tpu["pipeline_batch"], cpu["pipeline_batch"]) > 50.0
+
+
+def test_analytics_on_chip(outputs):
+    tpu, cpu = outputs
+    # histogram is integer counting: must agree exactly
+    assert np.array_equal(tpu["histogram"], cpu["histogram"])
+    # scores are f32 reductions; TPU accumulation order may differ
+    np.testing.assert_allclose(tpu["scene_scores"], cpu["scene_scores"],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_tonemap_on_chip(outputs):
+    tpu, cpu = outputs
+    d = np.abs(tpu["tonemap_sdr"].astype(int)
+               - cpu["tonemap_sdr"].astype(int))
+    assert d.max() <= 1          # f32 transcendental rounding only
+    assert (d > 0).mean() < 1e-2
