@@ -27,24 +27,29 @@ def main():
     w, h = dec.Width, dec.Height
     print(f"{uri}: {w}x{h} {dec.Format.name}, {dec.NumFrames} frames")
 
-    # luma plane is all the detector needs — skip the chroma copy
+    # luma plane is all the detector needs — skip the chroma copy.
+    # Signal peak by format: P10/P12 planes are MSB-aligned uint16
+    # (v16 = v10<<6, peak 65472); planar yuv420p10 is LSB (peak 1023).
+    F = vali.PixelFormat
+    if dec.Format in (F.P10, F.P12):
+        dtype, peak = np.uint16, float(1023 << 6)
+    elif dec.Format == F.YUV420_10bit:
+        dtype, peak = np.uint16, 1023.0
+    else:
+        dtype, peak = np.uint8, 255.0
     frames = []
     buf = np.ndarray(dec.HostFrameSize, dtype=np.uint8)
     while True:
         ok, _ = dec.DecodeSingleFrame(buf)
         if not ok:
             break
-        frames.append(buf.view(
-            np.uint16 if dec.Format in (vali.PixelFormat.P10,
-                                        vali.PixelFormat.P12,
-                                        vali.PixelFormat.YUV420_10bit)
-            else np.uint8)[:w * h].reshape(h, w).copy())
+        frames.append(buf.view(dtype)[:w * h].reshape(h, w).copy())
     clip = np.stack(frames)
     print(f"decoded {clip.shape[0]} luma planes")
 
-    scores = np.asarray(analytics.scene_change_scores(clip))
+    scores = np.asarray(analytics.scene_change_scores(clip, peak=peak))
     cuts = analytics.detect_scene_changes(clip, threshold=threshold,
-                                          min_gap=3)
+                                          min_gap=3, peak=peak)
     print(f"max transition score {scores.max():.3f}, "
           f"median {np.median(scores):.3f}")
     print(f"cuts at frames: "

@@ -144,3 +144,45 @@ class TestSceneChange:
             frames, hist_weight=1.0))
         np.testing.assert_allclose(only_sad, sad, rtol=1e-6)
         np.testing.assert_allclose(only_hd, hd, rtol=1e-6)
+
+
+class TestHighBitDepth:
+    """10/12/16-bit and float inputs must not inherit the 8-bit
+    normalization (review round 4 finding)."""
+
+    def _clip16(self, lo_a, hi_a, lo_b, hi_b, n=8, cut=4, h=24, w=32):
+        frames = []
+        for i in range(n):
+            lo, hi = (lo_a, hi_a) if i < cut else (lo_b, hi_b)
+            frames.append(RNG.integers(lo, hi, (h, w)).astype(np.uint16))
+        return np.stack(frames)
+
+    def test_lsb_10bit_with_explicit_peak(self):
+        clip = self._clip16(100, 300, 700, 1000)
+        scores = np.asarray(analytics.scene_change_scores(clip, peak=1023.0))
+        assert scores[3] > 0.3
+        assert np.all(np.delete(scores, 3) < 0.2)
+        cuts = analytics.detect_scene_changes(clip, threshold=0.3,
+                                              peak=1023.0)
+        np.testing.assert_array_equal(cuts, [4])
+
+    def test_msb_p10_with_default_uint16_peak(self):
+        # P10-style MSB alignment: the uint16 default peak (65535) and
+        # histogram range apply without any explicit peak
+        clip = self._clip16(100, 300, 700, 1000) << 6
+        scores = np.asarray(analytics.scene_change_scores(clip))
+        assert scores[3] > 0.3
+        assert np.all(np.delete(scores, 3) < 0.2)
+
+    def test_float_code_values_default_peak(self):
+        a = RNG.uniform(0.05, 0.25, (4, 16, 16)).astype(np.float32)
+        b = RNG.uniform(0.70, 0.95, (4, 16, 16)).astype(np.float32)
+        clip = np.concatenate([a, b])
+        scores = np.asarray(analytics.scene_change_scores(clip))
+        assert scores[3] > 0.3 and np.all(np.delete(scores, 3) < 0.2)
+
+    def test_sad_peak_default_matches_explicit(self):
+        clip = self._clip16(0, 1024, 0, 1024)
+        np.testing.assert_allclose(
+            np.asarray(analytics.frame_diff_scores(clip)),
+            np.asarray(analytics.frame_diff_scores(clip, peak=65535.0)))

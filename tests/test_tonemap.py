@@ -222,3 +222,31 @@ class TestBt2020Yuv:
             y, u, v, bit_depth=12, full_range=True))
         np.testing.assert_allclose(rgb[0, 0, 0], [1, 1, 1], atol=1e-3)
         np.testing.assert_allclose(rgb[0, 0, 1], [0, 0, 0], atol=1e-3)
+
+    def test_msb_aligned_p010_layout(self):
+        # P010 convention: v16 = v10 << 6. White/black must land exactly
+        y = (np.array([[[940, 64]]], dtype=np.uint16) << 6)
+        u = np.full_like(y, 512 << 6)
+        v = np.full_like(y, 512 << 6)
+        rgb = np.asarray(tonemap.bt2020_yuv_to_rgb(
+            y, u, v, bit_depth=10, msb_aligned=True))
+        np.testing.assert_allclose(rgb[0, 0, 0], [1, 1, 1], atol=1e-5)
+        np.testing.assert_allclose(rgb[0, 0, 1], [0, 0, 0], atol=1e-5)
+
+    def test_msb_matches_lsb_values(self):
+        y = RNG.integers(64, 941, (1, 4, 6)).astype(np.uint16)
+        u = RNG.integers(64, 961, (1, 4, 6)).astype(np.uint16)
+        v = RNG.integers(64, 961, (1, 4, 6)).astype(np.uint16)
+        lsb = np.asarray(tonemap.bt2020_yuv_to_rgb(y, u, v, bit_depth=10))
+        msb = np.asarray(tonemap.bt2020_yuv_to_rgb(
+            y << 6, u << 6, v << 6, bit_depth=10, msb_aligned=True))
+        np.testing.assert_allclose(msb, lsb, atol=1e-5)
+
+    def test_msb_full_range(self):
+        y = (np.array([[[1023, 0]]], dtype=np.uint16) << 6)
+        u = np.full_like(y, 512 << 6)
+        v = np.full_like(y, 512 << 6)
+        rgb = np.asarray(tonemap.bt2020_yuv_to_rgb(
+            y, u, v, bit_depth=10, full_range=True, msb_aligned=True))
+        np.testing.assert_allclose(rgb[0, 0, 0], [1, 1, 1], atol=2e-3)
+        np.testing.assert_allclose(rgb[0, 0, 1], [0, 0, 0], atol=2e-3)

@@ -49,10 +49,10 @@ def _host_snapshot(a, device) -> np.ndarray:
     an explicit device arg), but upload semantics require the bytes as
     of call time — the reference's CUDA upload always copies. Real
     accelerators copy on transfer, so only host platforms pay this."""
-    a = np.ascontiguousarray(a)
     if getattr(device, "platform", None) == "cpu":
-        return np.array(a)
-    return a
+        # one copy serves both needs: contiguity and a call-time snapshot
+        return np.array(a, order="C")
+    return np.ascontiguousarray(a)
 
 
 _TPU_DLPACK_HINT = (

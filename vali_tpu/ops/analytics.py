@@ -93,12 +93,39 @@ def luma_stats_batch(frames: jnp.ndarray) -> dict:
     }
 
 
+def _default_peak(dtype) -> float:
+    """Signal peak by dtype: 255 (uint8), 65535 (uint16), 1.0 (float —
+    code values). Keeps the 10/12/16-bit and float paths from silently
+    inheriting the 8-bit normalization."""
+    if dtype == jnp.uint8:
+        return 255.0
+    if dtype == jnp.uint16:
+        return 65535.0
+    return 1.0
+
+
+def _default_hist_range(dtype, peak: Optional[float]
+                        ) -> Tuple[float, float]:
+    if peak is not None:
+        return (0.0, float(peak) * (256.0 / 255.0)
+                if dtype == jnp.uint8 else float(peak))
+    if dtype == jnp.uint8:
+        return (0.0, 256.0)
+    if dtype == jnp.uint16:
+        return (0.0, 65536.0)
+    return (0.0, 1.0)
+
+
 @functools.partial(jax.jit, static_argnames=("peak",))
-def frame_diff_scores(frames: jnp.ndarray, peak: float = 255.0
-                      ) -> jnp.ndarray:
+def frame_diff_scores(frames: jnp.ndarray,
+                      peak: Optional[float] = None) -> jnp.ndarray:
     """Mean absolute difference between consecutive frames, normalized
     to [0, 1]: [N, ...] -> [N-1] float32 (row i scores the i -> i+1
-    transition). The classic SAD shot-boundary signal."""
+    transition). The classic SAD shot-boundary signal. ``peak`` defaults
+    by dtype (255 / 65535 / 1.0 for float code values); pass it
+    explicitly for e.g. LSB-aligned 10-bit uint16 (1023)."""
+    if peak is None:
+        peak = _default_peak(frames.dtype)
     x = frames.astype(jnp.float32)
     d = jnp.abs(x[1:] - x[:-1])
     return jnp.mean(d, axis=_flat_axes(d)) / peak
@@ -121,20 +148,23 @@ def hist_delta_scores(frames: jnp.ndarray, bins: int = 64,
 
 @functools.partial(jax.jit, static_argnames=("bins", "peak", "hist_weight"))
 def scene_change_scores(frames: jnp.ndarray, bins: int = 64,
-                        peak: float = 255.0,
+                        peak: Optional[float] = None,
                         hist_weight: float = 0.5) -> jnp.ndarray:
     """Blended shot-boundary score per transition: [N, ...] -> [N-1]
     float32 in [0, 1]. ``hist_weight`` balances histogram distance
-    (motion-robust) against SAD (sensitive, catches fades)."""
+    (motion-robust) against SAD (sensitive, catches fades). ``peak``
+    defaults by dtype (255 / 65535 / 1.0); for LSB-aligned 10/12-bit
+    uint16 pass the true peak (1023 / 4095) so both the SAD
+    normalization and the histogram range match the signal."""
     sad = frame_diff_scores(frames, peak=peak)
-    vrange = (0.0, 256.0) if frames.dtype == jnp.uint8 else (0.0, peak + 1.0)
+    vrange = _default_hist_range(frames.dtype, peak)
     hd = hist_delta_scores(frames, bins=bins, value_range=vrange)
     return hist_weight * hd + (1.0 - hist_weight) * sad
 
 
 def detect_scene_changes(frames, threshold: float = 0.3,
                          min_gap: int = 1, bins: int = 64,
-                         peak: float = 255.0,
+                         peak: Optional[float] = None,
                          hist_weight: float = 0.5) -> np.ndarray:
     """Host-side convenience: indices i where frame i starts a new shot.
 

@@ -91,10 +91,12 @@ def hlg_eotf(e: jnp.ndarray, luma: jnp.ndarray,
     return peak_nits * jnp.power(jnp.maximum(luma, 1e-7), gamma - 1.0) * scene
 
 
-@functools.partial(jax.jit, static_argnames=("bit_depth", "full_range"))
+@functools.partial(jax.jit, static_argnames=("bit_depth", "full_range",
+                                              "msb_aligned"))
 def bt2020_yuv_to_rgb(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                       bit_depth: int = 10,
-                      full_range: bool = False) -> jnp.ndarray:
+                      full_range: bool = False,
+                      msb_aligned: bool = False) -> jnp.ndarray:
     """BT.2020 (non-constant-luminance) YCbCr -> nonlinear RGB code
     values: per-plane [N, H, W] -> [N, H, W, 3] float32 in [0, 1].
 
@@ -106,15 +108,27 @@ def bt2020_yuv_to_rgb(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     co-sited with luma (e.g. via ``ops.csc``'s upsample or a resize of
     the U/V planes); the output stays PQ/HLG-encoded, ready for
     :func:`tonemap_batch`.
+
+    ``msb_aligned`` describes where the code values sit in the uint16
+    container: planar yuv420p10/p12 decode output (``PixelFormat.
+    YUV420_10bit``) is LSB-aligned (values 0..2^depth-1, the default);
+    P010/P012-layout planes (``PixelFormat.P10``/``P12``, v16 = v10<<6 —
+    the NVDEC convention this build's decoder reproduces, see
+    decoder.cpp yuv420p12->P012 repack) are MSB-aligned and need
+    ``msb_aligned=True``.
     """
     kr, kb = 0.2627, 0.0593
     kg = 1.0 - kr - kb
-    scale = float(1 << (bit_depth - 8))
+    # offsets/extents in code units: LSB scales the 8-bit studio points
+    # by 2^(depth-8); MSB-aligned data lives in the top bits of the
+    # uint16, i.e. the 8-bit points scaled by 256 regardless of depth
+    scale = 256.0 if msb_aligned else float(1 << (bit_depth - 8))
     yf = y.astype(jnp.float32)
     uf = u.astype(jnp.float32)
     vf = v.astype(jnp.float32)
     if full_range:
-        maxv = float((1 << bit_depth) - 1)
+        maxv = (float(((1 << bit_depth) - 1) << (16 - bit_depth))
+                if msb_aligned else float((1 << bit_depth) - 1))
         yn = yf / maxv
         un = uf / maxv - 0.5
         vn = vf / maxv - 0.5
