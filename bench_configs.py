@@ -74,10 +74,19 @@ def config1_decode_convert_cpu():
 
 
 def _slope_time(fn, arg, K_short=8, K_long=24, reps=3):
+    """Two-point-slope per-call time, loop overhead subtracted.
+
+    Mirrors bench.py's _time_kernel: the fori_loop's per-iteration
+    perturbation (1-byte dynamic_update_slice + scalar accumulate,
+    ~0.03 ms through this tunnel) is measured by a kernel-free baseline
+    pass at the same chain lengths and subtracted — without it the
+    reported slope overstates sub-0.1ms kernels (the device JPEG stage)
+    by up to ~2x. The baseline loops carry no kernel so their remote
+    compiles are cheap."""
     import jax
     import jax.numpy as jnp
 
-    def make(K):
+    def make(K, use_fn):
         @jax.jit
         def run(x):
             def body(k, carry):
@@ -86,25 +95,34 @@ def _slope_time(fn, arg, K_short=8, K_long=24, reps=3):
                     *([1] * xx.ndim))
                 xx = jax.lax.dynamic_update_slice(
                     xx, patch, (0,) * xx.ndim)
-                out = fn(xx)
-                return (acc + jnp.sum(out[1].astype(jnp.int32))
-                        if isinstance(out, tuple)
-                        else acc + jnp.sum(out.astype(jnp.int32)), xx)
+                if use_fn:
+                    out = fn(xx)
+                    acc = (acc + jnp.sum(out[1].astype(jnp.int32))
+                           if isinstance(out, tuple)
+                           else acc + jnp.sum(out.astype(jnp.int32)))
+                else:
+                    acc = acc + xx[(0,) * xx.ndim].astype(jnp.int32)
+                return (acc, xx)
             acc, _ = jax.lax.fori_loop(0, K, body, (jnp.int32(0), x))
             return acc
         return run
 
-    times = {}
-    for K in (K_short, K_long):
-        r = make(K)
-        float(r(arg))
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
+    def slope(use_fn, n_reps):
+        times = {}
+        for K in (K_short, K_long):
+            r = make(K, use_fn)
             float(r(arg))
-            best = min(best, time.perf_counter() - t0)
-        times[K] = best
-    return (times[K_long] - times[K_short]) / (K_long - K_short)
+            best = float("inf")
+            for _ in range(n_reps):
+                t0 = time.perf_counter()
+                float(r(arg))
+                best = min(best, time.perf_counter() - t0)
+            times[K] = best
+        return (times[K_long] - times[K_short]) / (K_long - K_short)
+
+    with_kernel = slope(True, reps)
+    baseline = slope(False, max(2, reps - 1))
+    return max(with_kernel - baseline, 1e-9)
 
 
 def config2_convert_resize_tpu():
@@ -190,6 +208,7 @@ def config3_full_transcode_4k():
     assert cvt.Run(rotd, nv12)[0]
     pkt = np.zeros(0, dtype=np.uint8)
     n = 0
+    cut_short = False
     t0 = time.perf_counter()
     while dec.DecodeSingleSurface(src)[0]:
         assert rsz.Run(src, small)[0]
@@ -197,13 +216,20 @@ def config3_full_transcode_4k():
         assert cvt.Run(rotd, nv12)[0]
         enc.EncodeSingleSurface(nv12, pkt)
         n += 1
+        if _over_deadline():  # per-frame: each loop costs ~4 tunnel RTTs
+            cut_short = True
+            break
+    t_end = time.perf_counter()
     flush = np.zeros(0, dtype=np.uint8)
     enc.Flush(flush)
-    fps = n / (time.perf_counter() - t0)
-    assert n == n_src, (n, n_src)
-    return {"value": round(fps, 2),
-            "unit": "frames/sec (host codec + tunnel RTT bound)",
-            "frames": n}
+    fps = n / (t_end - t0)
+    assert cut_short or n == n_src, (n, n_src)
+    rec = {"value": round(fps, 2),
+           "unit": "frames/sec (host codec + tunnel RTT bound)",
+           "frames": n}
+    if cut_short:
+        rec["note"] = "cut short at the bench deadline"
+    return rec
 
 
 def config4_inference_e2e():
@@ -223,6 +249,7 @@ def config4_inference_e2e():
     n = 0
     last = None
     t0 = None
+    cut_short = False
     for batch, ids in pipe:
         last = infer(params, batch)
         if t0 is None:  # first batch pays preprocess+model compile
@@ -230,10 +257,17 @@ def config4_inference_e2e():
             t0 = time.perf_counter()
             continue
         n += batch.shape[0]
+        if _over_deadline():  # per-batch: don't overrun into the watchdog
+            cut_short = True
+            pipe.stop()
+            break
     np.asarray(last)
     fps = n / (time.perf_counter() - t0)
-    return {"value": round(fps, 1),
-            "unit": "frames/sec (tunnel RTT bound)", "frames": n}
+    rec = {"value": round(fps, 1),
+           "unit": "frames/sec (tunnel RTT bound)", "frames": n}
+    if cut_short:
+        rec["note"] = "cut short at the bench deadline"
+    return rec
 
 
 def config5_pipeline_64streams(max_batches=3, jpeg_sample=16):
@@ -248,6 +282,7 @@ def config5_pipeline_64streams(max_batches=3, jpeg_sample=16):
     batches = 0
     last_batch = None
     t0 = None
+    t_end = None
     for batch, ids in pipe:
         np.asarray(batch[0, 0, 0])  # materialize the device future
         last_batch = batch
@@ -257,9 +292,12 @@ def config5_pipeline_64streams(max_batches=3, jpeg_sample=16):
         n += batch.shape[0]
         batches += 1
         if batches >= max_batches or _over_deadline():
+            # close the timing window BEFORE stop(): queue drain +
+            # thread join take 0.2-5s and would deflate a ~1s window
+            t_end = time.perf_counter()
             pipe.stop()
             break
-    fps = n / (time.perf_counter() - t0)
+    fps = n / ((t_end or time.perf_counter()) - t0)
 
     jpeg_rate = 0.0
     if last_batch is not None:
@@ -275,7 +313,8 @@ def config5_pipeline_64streams(max_batches=3, jpeg_sample=16):
             "jpeg_per_sec": round(jpeg_rate, 1)}
 
 
-def config5_pipeline_chipside():
+def config5_pipeline_chipside(B=64, dst=224, K_dispatch=(40, 200),
+                              K_jpeg=(200, 2000)):
     """The north-star config through the PRODUCT pipeline code,
     device-resident: MultiStreamPipeline's real staging/split/dispatch
     path (`_stage_padded` -> `_split` -> `_dispatch_planes`) run from an
@@ -284,7 +323,11 @@ def config5_pipeline_chipside():
     replaced by buffer reuse, exactly how a locally-attached deployment
     overlaps staging with compute. Also times the device JPEG stage
     (ops/jpeg.py DCT+quant) on the pipeline's output batch separately
-    from host entropy coding."""
+    from host entropy coding.
+
+    Parameters exist ONLY so tests can run the identical code path
+    scaled down on the CPU backend; the bench always uses the defaults.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -292,8 +335,7 @@ def config5_pipeline_chipside():
     from vali_tpu.ops.jpeg import jpeg_transform_batch
     from vali_tpu.pipeline.multistream import MultiStreamPipeline
 
-    B = 64
-    pipe = MultiStreamPipeline([clip_1080()] * B, dst_w=224, dst_h=224,
+    pipe = MultiStreamPipeline([clip_1080()] * B, dst_w=dst, dst_h=dst,
                                gpu_id=0, batch_size=B)
     # one real batch through the FULL path (decode -> stage -> H2D ->
     # kernel): validates the e2e contract and leaves the staged host
@@ -301,10 +343,29 @@ def config5_pipeline_chipside():
     it = iter(pipe)
     batch, ids = next(it)
     np.asarray(batch[0, 0, 0])
-    assert batch.shape == (B, 224, 224, 3), batch.shape
-    assert pipe._staging_inflight, "expected a staged batch in flight"
-    staged_host = pipe._staging_inflight[0][0].copy()
-    pipe.stop()
+    assert batch.shape == (B, dst, dst, 3), batch.shape
+    # Join the stager thread BEFORE touching the staging ring: the
+    # background stager keeps prefetching and _staging_acquire reassigns
+    # _staging_inflight mid-stage, so a live-thread read races (can see
+    # an empty list for seconds through the tunnel). it.close() runs the
+    # generator's finally: stop event -> stager join -> pipe.stop().
+    it.close()
+    ring = [buf for buf, _ in pipe._staging_inflight] + pipe._staging_free
+    staged = [buf for buf in ring if buf.shape[0] == B]
+    if staged:
+        staged_host = staged[0].copy()
+    else:
+        # XLA route (CPU backend in tests): no pad-staging ring — the
+        # pipeline np.stack()s raw decoded frames. Rebuild that batch.
+        assert pipe._stage_plane_dims is None, "ring empty on Pallas route"
+        import vali_tpu as vali
+
+        dec = vali.PyDecoder(clip_1080(), {}, gpu_id=-1)
+        buf = np.zeros(dec.HostFrameSize, dtype=np.uint8)
+        frames = []
+        while len(frames) < B and dec.DecodeSingleFrame(buf)[0]:
+            frames.append(buf.copy())
+        staged_host = np.stack((frames * B)[:B])
 
     # HBM-resident staged planes, exactly as production dispatches them:
     # _stage_one splits the staged batch on the HOST (zero-copy views)
@@ -323,19 +384,20 @@ def config5_pipeline_chipside():
         return pipe._dispatch_planes((p,) + rest)
 
     per_batch = _slope_time(pipeline_dispatch, dev_planes[0],
-                            K_short=40, K_long=200, reps=4)
+                            K_short=K_dispatch[0], K_long=K_dispatch[1],
+                            reps=4)
     fps = B / per_batch
 
     # device JPEG stage on the pipeline's real output batch
-    packed = jnp.reshape(batch, (B, 224, 224 * 3))
+    packed = jnp.reshape(batch, (B, dst, dst * 3))
     # the device JPEG stage is ~30 us/batch: K=20/100 chains gave a ~2 ms
     # slope delta — below tunnel jitter, and the reported number swung 3x
     # between runs. 200/2000 puts the delta at ~55 ms.
     per_jpeg = _slope_time(
         lambda x: jpeg_transform_batch(
-            (x,), src_fmt=int(PixelFormat.RGB), width=224, height=224,
+            (x,), src_fmt=int(PixelFormat.RGB), width=dst, height=dst,
             quality=85)[0],
-        packed, K_short=200, K_long=2000, reps=3)
+        packed, K_short=K_jpeg[0], K_long=K_jpeg[1], reps=3)
     return {"value": round(fps, 1),
             "unit": "frames/sec/chip (pipeline code, HBM-resident ring)",
             "ms_per_batch": round(per_batch * 1000, 3),
