@@ -141,3 +141,28 @@ def test_device_jpeg_yuv444_subsample_override():
     full = jpeg_encode_device([s], quality=85)
     sub = jpeg_encode_device([s], quality=85, subsample420=True)
     assert len(sub[0]) < len(full[0])
+
+
+def test_yuv420_subsample_false_raises():
+    """YUV420 input is already 4:2:0; asking for 4:4:4 output must raise
+    instead of silently ignoring the override."""
+    from vali_tpu.engine.jpeg import jpeg_encode_device
+
+    surf = vali.Surface.Make(vali.PixelFormat.YUV420, 32, 32)
+    with pytest.raises(ValueError, match="already 4:2:0"):
+        jpeg_encode_device([surf], subsample420=False)
+
+
+def test_transform_batch_validates_declared_size():
+    """width/height are the logical size the host writer declares; a
+    plane shape that disagrees must error instead of the writer's edge
+    clamping silently producing wrong edge blocks."""
+    import jax.numpy as jnp
+
+    from vali_tpu.core.enums import PixelFormat
+    from vali_tpu.ops.jpeg import jpeg_transform_batch
+
+    rgb = jnp.zeros((1, 16, 16 * 3), dtype=jnp.uint8)
+    with pytest.raises(ValueError, match="does not match"):
+        jpeg_transform_batch((rgb,), src_fmt=int(PixelFormat.RGB),
+                             width=32, height=16, quality=85)

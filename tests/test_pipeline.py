@@ -750,3 +750,81 @@ def test_pipeline_normalize_requires_float_dtype():
     with pytest.raises(ValueError, match="float out_dtype"):
         MultiStreamPipeline([GT], dst_w=32, dst_h=32,
                             normalize=((0.5,) * 3, (0.25,) * 3))
+
+
+@pytest.mark.skipif(not os.path.exists(GT), reason="no reference data")
+def test_public_stop_unblocks_stager():
+    """pipeline.stop() called directly (not via iterator teardown) drains
+    the frame queues INCLUDING the per-stream EOS sentinels; the stager
+    must wake via the stop event instead of blocking forever on a queue
+    that will never see another item, and the consumer's iteration must
+    terminate."""
+    import threading
+
+    from vali_tpu.pipeline.multistream import MultiStreamPipeline
+
+    pipe = MultiStreamPipeline([GT] * 2, dst_w=32, dst_h=32, gpu_id=0,
+                               batch_size=2)
+    it = iter(pipe)
+    next(it)
+    pipe.stop()  # public cancel while the stager may be mid-assemble
+    done = []
+
+    def drain():
+        for _ in it:
+            pass
+        done.append(True)
+
+    t = threading.Thread(target=drain, daemon=True)
+    t.start()
+    t.join(timeout=30.0)
+    assert done, "iterator did not terminate after a public stop()"
+
+
+@pytest.mark.skipif(not os.path.exists(GT), reason="no reference data")
+def test_staging_acquire_evicts_mismatched_shapes():
+    """Batch shapes shrink as streams hit EOS; buffers whose shape no
+    longer matches must be evicted from the free list (bounded by the
+    prefetch depth) instead of stranding multi-MB host buffers for the
+    pipeline's lifetime."""
+    from vali_tpu.pipeline.multistream import MultiStreamPipeline
+
+    pipe = MultiStreamPipeline([GT], dst_w=32, dst_h=32, gpu_id=0)
+    try:
+        for n in range(20, 0, -1):  # ever-shrinking batches
+            buf = pipe._staging_acquire(n, 1024)
+            assert buf.shape == (n, 1024)
+            pipe._staging_inflight.append((buf, None))  # resolved future
+        assert (len(pipe._staging_free)
+                + len(pipe._staging_inflight)) <= pipe.prefetch + 3
+    finally:
+        pipe.stop()
+
+
+def test_pallas_format_registry_consistent():
+    """staging_pad_rows must cover exactly pallas_preprocess_formats():
+    a format padded for a kernel that never runs would silently feed pad
+    rows into the XLA path (shifting the chroma split)."""
+    from vali_tpu.ops.pallas_fused import (pallas_preprocess_formats,
+                                           staging_pad_rows)
+
+    covered = pallas_preprocess_formats()
+    for fmt in PixelFormat:
+        if fmt == PixelFormat.UNDEFINED:
+            continue
+        pads = staging_pad_rows(fmt, 1920, 1080, 224)
+        assert (pads is not None) == (fmt in covered), fmt
+
+
+@pytest.mark.skipif(not os.path.exists(GT), reason="no reference data")
+def test_geometry_probe_honors_opts():
+    """Sources beyond the first are geometry-validated with the SAME
+    decoder opts as source 0 — geometry-affecting opts must not make
+    uniform streams fail validation."""
+    from vali_tpu.pipeline.multistream import MultiStreamPipeline
+
+    # any innocuous opt exercises the coercion path end to end
+    pipe = MultiStreamPipeline([GT, GT + "?dup"[:0], GT], dst_w=32,
+                               dst_h=32, gpu_id=0,
+                               opts={"threads": 1}, batch_size=2)
+    pipe.stop()

@@ -404,3 +404,51 @@ def test_resizer_turbo_planar_formats(fmt):
         else:
             tol = 3 if a.dtype == np.uint8 else 12  # GRAY12 u16 LSBs
             assert np.abs(a.astype(int) - b.astype(int)).max() <= tol
+
+
+def test_empty_surface_returns_invalid_input_not_crash():
+    """Wrapper contract: Run returns (bool, TaskExecInfo) — an empty
+    (default-constructed) Surface must map to INVALID_INPUT, not leak a
+    RuntimeError from plane_arrays (PySurfaceResizer already did this;
+    Converter/Rotator/UD now match)."""
+    empty_a, empty_b = vali.Surface(), vali.Surface()
+    conv = vali.PySurfaceConverter(gpu_id=0)
+    ok, info = conv.Run(empty_a, empty_b)
+    assert not ok and info == vali.TaskExecInfo.INVALID_INPUT
+
+    # typed-but-real surfaces against an empty peer
+    surf, _ = make_filled(F.NV12)
+    rot = vali.PySurfaceRotator(gpu_id=0)
+    # an empty dst shares the UNDEFINED format -> format mismatch is an
+    # acceptable earlier rejection; the contract is only "no exception"
+    ok, info = rot.Run(surf, empty_b, 90.0)
+    assert not ok
+
+
+def test_rotator_right_angle_with_shift_uses_traced_path(monkeypatch):
+    """A right angle with a non-canonical shift must take the
+    traced-scalar jit (one compile per SHAPE); the static path would
+    recompile for every distinct shift value (30-240s each on axon)."""
+    import vali_tpu.transforms as T
+
+    surf, _ = make_filled(F.RGB)
+    dst = vali.Surface.Make(F.RGB, W, H)
+    called = {}
+    real = T._jit_rotate_dynamic
+
+    def spy(*a, **k):
+        called["dynamic"] = True
+        return real(*a, **k)
+
+    monkeypatch.setattr(T, "_jit_rotate_dynamic", spy)
+    rot = vali.PySurfaceRotator(gpu_id=0)
+    ok, _ = rot.Run(surf, dst, 90.0, shift_x=3.5, shift_y=1.0)
+    assert ok
+    assert called.get("dynamic"), "right-angle+shift took the static path"
+
+    # canonical right angles (no shift) still take the static rot90 path
+    called.clear()
+    dst2 = vali.Surface.Make(F.RGB, H, W)
+    ok, _ = rot.Run(surf, dst2, 90.0)
+    assert ok
+    assert "dynamic" not in called

@@ -76,8 +76,10 @@ def jpeg_encode_device(surfaces, quality: int = 85,
     via libjpeg's jpeg_write_coefficients. Accepts RGB/BGR/RGB_PLANAR/Y/
     YUV444/YUV420 surfaces of equal geometry; returns a list of numpy JPEG
     byte arrays. ``subsample420=None`` picks the format's natural
-    subsampling (4:2:0 except for YUV444); pass an explicit bool to
-    override either way.
+    subsampling (4:2:0 except for YUV444). An explicit bool overrides it
+    where physically possible: YUV420 input is already subsampled, so
+    ``subsample420=False`` with YUV420 surfaces raises (4:4:4 output
+    cannot be reconstructed), and the flag is ignored for grayscale.
     """
     import jax.numpy as jnp
 
@@ -99,6 +101,10 @@ def jpeg_encode_device(surfaces, quality: int = 85,
     if subsample420 is None:
         is420 = fmt != PixelFormat.YUV444
     else:
+        if not subsample420 and fmt == PixelFormat.YUV420:
+            raise ValueError(
+                "subsample420=False is impossible for YUV420 input: the "
+                "chroma is already 4:2:0-subsampled")
         is420 = bool(subsample420) or fmt == PixelFormat.YUV420
     y_c, cb_c, cr_c = jpeg_transform_batch(
         batched, src_fmt=int(fmt), width=w, height=h, quality=quality,

@@ -122,6 +122,24 @@ def jpeg_transform_batch(planes, *, src_fmt: int, width: int, height: int,
     from ..core.enums import PixelFormat
 
     fmt = PixelFormat(src_fmt)
+    # width/height are the logical size the host writer will declare;
+    # validate them against the storage planes so a mismatch errors here
+    # instead of the writer's edge-block clamping silently producing
+    # wrong edge content
+    _, ph, pw = planes[0].shape
+    expect = {
+        PixelFormat.Y: (height, width),
+        PixelFormat.RGB: (height, width * 3),
+        PixelFormat.BGR: (height, width * 3),
+        PixelFormat.RGB_PLANAR: (height * 3, width),
+        PixelFormat.YUV444: (height, width),
+        PixelFormat.YUV420: (height, width),
+    }.get(fmt)
+    if expect is not None and (ph, pw) != expect:
+        raise ValueError(
+            f"jpeg_transform_batch: plane shape {(ph, pw)} does not match "
+            f"the declared {width}x{height} for {fmt.name} "
+            f"(expected {expect})")
     ql, qc = quant_tables(quality)
 
     if fmt == PixelFormat.Y:

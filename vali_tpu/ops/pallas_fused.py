@@ -463,6 +463,61 @@ def staging_pad_rows(fmt, src_w: int, src_h: int, dst_h: int,
     return None
 
 
+def pallas_preprocess_formats():
+    """The formats a banded Pallas preprocess kernel covers — the single
+    source of truth shared by the pipeline's staging decision
+    (multistream._pallas_usable), staging_pad_rows, and the
+    pallas_preprocess dispatch below. Keeping all three keyed off one set
+    means a new format cannot end up host-padded for a kernel that never
+    runs (padded planes silently fed to the XLA path would shift the
+    chroma split)."""
+    from ..core.enums import PixelFormat
+
+    return frozenset({
+        PixelFormat.NV12, PixelFormat.P10, PixelFormat.P12,
+        PixelFormat.YUV420, PixelFormat.YUV420_10bit,
+        PixelFormat.YUV422, PixelFormat.YUV444,
+    })
+
+
+def pallas_preprocess(planes, fmt, *, src_w, src_h, dst_w, dst_h,
+                      space, crange, out_dtype, method, normalize):
+    """Dispatch the banded fused CSC+resize kernel for ``fmt``.
+
+    Every format in :func:`pallas_preprocess_formats` has a branch here;
+    an uncovered format raises instead of letting a caller fall back to
+    the XLA path with pad rows baked into the planes. Output is planar
+    [B, 3, dst_h, dst_w] (callers moveaxis for interleaved)."""
+    from ..core.enums import PixelFormat
+
+    fmt = PixelFormat(fmt)
+    if fmt in (PixelFormat.NV12, PixelFormat.P10, PixelFormat.P12):
+        return pallas_nv12_preprocess(
+            planes[0], src_w=src_w, src_h=src_h, dst_w=dst_w, dst_h=dst_h,
+            space=space, crange=crange, out_dtype=out_dtype, method=method,
+            normalize=normalize)
+    if fmt in (PixelFormat.YUV420, PixelFormat.YUV420_10bit):
+        bd = 10 if fmt == PixelFormat.YUV420_10bit else 8
+        return pallas_yuv420_preprocess(
+            planes[0], planes[1], planes[2], src_w=src_w, src_h=src_h,
+            dst_w=dst_w, dst_h=dst_h, space=space, crange=crange,
+            out_dtype=out_dtype, method=method, normalize=normalize,
+            bit_depth=bd)
+    if fmt == PixelFormat.YUV422:
+        return pallas_yuv422_preprocess(
+            planes[0], planes[1], planes[2], src_w=src_w, src_h=src_h,
+            dst_w=dst_w, dst_h=dst_h, space=space, crange=crange,
+            out_dtype=out_dtype, method=method, normalize=normalize)
+    if fmt == PixelFormat.YUV444:
+        return pallas_yuv444_preprocess(
+            planes[0], planes[1], planes[2], src_w=src_w, src_h=src_h,
+            dst_w=dst_w, dst_h=dst_h, space=space, crange=crange,
+            out_dtype=out_dtype, method=method, normalize=normalize)
+    raise ValueError(
+        f"no Pallas preprocess kernel for {fmt!r} — "
+        f"pallas_preprocess_formats() is out of sync with this dispatch")
+
+
 def required_pad_rows_yuv422(src_w: int, src_h: int, dst_h: int,
                              method: str = LANCZOS_AA) -> int:
     """Extra rows (beyond H) each YUV422 plane must carry (chroma shares

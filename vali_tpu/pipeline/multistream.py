@@ -44,18 +44,17 @@ def _preprocess_jit(planes, *, src_fmt, src_w, src_h, dst_w, dst_h, space,
 
 
 def _pallas_usable(src_fmt, space, crange) -> bool:
-    """The banded Pallas kernels cover NV12 and planar YUV420 on real
-    TPUs."""
+    """True when a banded Pallas kernel covers the format on this
+    platform (format set shared with staging_pad_rows and the
+    pallas_preprocess dispatch — one source of truth)."""
     from ..utils.device import pallas_platform_available
 
     if not pallas_platform_available():
         return False
     from ..ops import colors
+    from ..ops.pallas_fused import pallas_preprocess_formats
 
-    return (PixelFormat(src_fmt) in (PixelFormat.NV12, PixelFormat.YUV420,
-                                     PixelFormat.YUV420_10bit,
-                                     PixelFormat.YUV422, PixelFormat.YUV444,
-                                     PixelFormat.P10, PixelFormat.P12)
+    return (PixelFormat(src_fmt) in pallas_preprocess_formats()
             and colors.yuv2rgb_matrix(space, crange) is not None)
 
 
@@ -211,15 +210,22 @@ class MultiStreamPipeline:
         # headers only, no codec open) — the workers' decoders are the
         # full opens
         from ..engine._loader import load_native
+        from ..engine._opts import opt_str
 
         native = load_native()
+        # the probe must see the SAME opts the workers decode with:
+        # geometry-affecting options (e.g. video_size for raw input)
+        # otherwise make uniform streams fail validation — or mismatched
+        # ones pass it
+        probe_opts = {opt_str(k): opt_str(v)
+                      for k, v in (opts or {}).items()}
         seen = {self.sources[0]} if isinstance(self.sources[0],
                                                (str, bytes)) else set()
         for i, src in enumerate(self.sources[1:], start=1):
             if not isinstance(src, (str, bytes)) or src in seen:
                 continue  # non-path sources are validated by their worker
             seen.add(src)
-            p = native.Decoder(src, {}, None, True).props()
+            p = native.Decoder(src, probe_opts, None, True).props()
             geom = (p["width"], p["height"], PixelFormat(p["format"]))
             if geom != (self.src_w, self.src_h, self.src_fmt):
                 raise ValueError(
@@ -313,6 +319,18 @@ class MultiStreamPipeline:
                             pass
                     w.join(timeout=0.1)
 
+    def _q_get(self, q):
+        """Queue get that honors the stop event. A public ``stop()`` call
+        drains the queues — including the per-stream EOS sentinels — so a
+        stager blocked in a plain ``q.get()`` would never wake. Returns
+        None when stopped (treated as end of streams)."""
+        while not self._stop.is_set():
+            try:
+                return q.get(timeout=0.2)
+            except queue.Empty:
+                continue
+        return None
+
     def _assemble(self) -> Optional[Tuple[np.ndarray, List[int]]]:
         frames: List[np.ndarray] = []
         ids: List[int] = []
@@ -321,7 +339,12 @@ class MultiStreamPipeline:
             for sid, q in enumerate(self._queues):
                 if not self._alive_mask[sid]:
                     continue
-                _, frame = q.get()
+                item = self._q_get(q)
+                if item is None:  # stopped mid-batch: recycle + bail
+                    for buf in frames:
+                        self._buf_pool.put(buf)
+                    return None
+                _, frame = item
                 if frame is None:
                     self._alive_mask[sid] = False
                     self._live -= 1
@@ -330,7 +353,12 @@ class MultiStreamPipeline:
                 ids.append(sid)
         else:
             while len(frames) < self.batch_size and self._live > 0:
-                stream_id, frame = self._frame_q.get()
+                item = self._q_get(self._frame_q)
+                if item is None:
+                    for buf in frames:
+                        self._buf_pool.put(buf)
+                    return None
+                stream_id, frame = item
                 if frame is None:
                     self._live -= 1
                     continue
@@ -437,6 +465,9 @@ class MultiStreamPipeline:
                     out_q.put(staged)
                     if staged is None:
                         return
+                # stopped (public stop() or iterator teardown): the
+                # consumer may be parked in out_q.get() — terminate it
+                out_q.put(None)
             except Exception as e:  # surfaced below
                 out_q.put(e)
 
@@ -514,6 +545,14 @@ class MultiStreamPipeline:
             if buf.shape == (n, total):
                 self._staging_free.pop(i)
                 return buf
+        # no exact-shape buffer: evict mismatched ones beyond the prefetch
+        # depth. Batch shape shrinks as streams hit EOS; without eviction
+        # every shrink strands the old multi-MB buffers in the free list
+        # for the pipeline's lifetime (64 streams ending one by one would
+        # retain gigabytes).
+        cap = self.prefetch + 2
+        if len(self._staging_free) > cap:
+            self._staging_free = self._staging_free[-cap:]
         return np.zeros((n, total), dtype=np.uint8)
 
     def _stage_padded(self, frames) -> np.ndarray:
@@ -560,42 +599,16 @@ def preprocess_batch(planes, src_fmt: PixelFormat, src_w: int, src_h: int,
     if normalize is not None:
         normalize = (tuple(float(v) for v in normalize[0]),
                      tuple(float(v) for v in normalize[1]))
-    if use_pallas and src_fmt in (PixelFormat.NV12, PixelFormat.P10,
-                                  PixelFormat.P12):
-        from ..ops.pallas_fused import pallas_nv12_preprocess
+    if use_pallas:
+        from ..ops.pallas_fused import (pallas_preprocess,
+                                        pallas_preprocess_formats)
 
-        out = pallas_nv12_preprocess(
-            planes[0], src_w=src_w, src_h=src_h, dst_w=dst_w, dst_h=dst_h,
-            space=space, crange=crange, out_dtype=out_dtype, method=method,
-            normalize=normalize)
-        return out if planar else jnp.moveaxis(out, 1, -1)
-    if use_pallas and src_fmt in (PixelFormat.YUV420,
-                                  PixelFormat.YUV420_10bit):
-        from ..ops.pallas_fused import pallas_yuv420_preprocess
-
-        bd = 10 if src_fmt == PixelFormat.YUV420_10bit else 8
-        out = pallas_yuv420_preprocess(
-            planes[0], planes[1], planes[2], src_w=src_w, src_h=src_h,
-            dst_w=dst_w, dst_h=dst_h, space=space, crange=crange,
-            out_dtype=out_dtype, method=method, normalize=normalize,
-            bit_depth=bd)
-        return out if planar else jnp.moveaxis(out, 1, -1)
-    if use_pallas and src_fmt == PixelFormat.YUV422:
-        from ..ops.pallas_fused import pallas_yuv422_preprocess
-
-        out = pallas_yuv422_preprocess(
-            planes[0], planes[1], planes[2], src_w=src_w, src_h=src_h,
-            dst_w=dst_w, dst_h=dst_h, space=space, crange=crange,
-            out_dtype=out_dtype, method=method, normalize=normalize)
-        return out if planar else jnp.moveaxis(out, 1, -1)
-    if use_pallas and src_fmt == PixelFormat.YUV444:
-        from ..ops.pallas_fused import pallas_yuv444_preprocess
-
-        out = pallas_yuv444_preprocess(
-            planes[0], planes[1], planes[2], src_w=src_w, src_h=src_h,
-            dst_w=dst_w, dst_h=dst_h, space=space, crange=crange,
-            out_dtype=out_dtype, method=method, normalize=normalize)
-        return out if planar else jnp.moveaxis(out, 1, -1)
+        if src_fmt in pallas_preprocess_formats():
+            out = pallas_preprocess(
+                planes, src_fmt, src_w=src_w, src_h=src_h, dst_w=dst_w,
+                dst_h=dst_h, space=space, crange=crange,
+                out_dtype=out_dtype, method=method, normalize=normalize)
+            return out if planar else jnp.moveaxis(out, 1, -1)
     return _preprocess_jit(
         tuple(planes), src_fmt=src_fmt, src_w=src_w,
         src_h=src_h, dst_w=dst_w, dst_h=dst_h, space=space, crange=crange,

@@ -117,6 +117,8 @@ class PySurfaceConverter(_SurfaceOp):
     def _run(self, src: Surface, dst: Surface, cc_ctx, sync: bool):
         if src.Width != dst.Width or src.Height != dst.Height:
             return _fail(TaskExecInfo.INVALID_INPUT)
+        if src.IsEmpty or dst.IsEmpty:
+            return _fail(TaskExecInfo.INVALID_INPUT)
         cc = None
         if cc_ctx is not None:
             cc = (ColorSpace(cc_ctx.color_space),
@@ -266,11 +268,22 @@ class PySurfaceRotator(_SurfaceOp):
             return _fail(TaskExecInfo.SRC_DST_FMT_MISMATCH)
         if src.Format not in rotate.SUPPORTED_FORMATS:
             return _fail(TaskExecInfo.NOT_SUPPORTED)
+        if src.IsEmpty or dst.IsEmpty:
+            return _fail(TaskExecInfo.INVALID_INPUT)
         planes = tuple(p[None] for p in src.plane_arrays())
         import math as _math
 
         angle, shift_x, shift_y = float(angle), float(shift_x), float(shift_y)
-        right_angle = _math.fmod(angle, 90.0) == 0.0
+        # Static (rot90-lowered) path only for the canonical right-angle
+        # cases: a right angle with an arbitrary per-call shift must take
+        # the traced-scalar path, else every distinct shift value is a
+        # fresh jit entry (a 30-240s remote compile per frame on axon for
+        # e.g. a pan).
+        right_angle = _math.fmod(angle, 90.0) == 0.0 and (
+            (shift_x == 0.0 and shift_y == 0.0)
+            or rotate._is_canonical_right_angle(
+                float(int(round(angle)) % 360), shift_x, shift_y,
+                src.Width, src.Height))
         with op_scope("RotateSurface"):
             if right_angle:
                 # few canonical variants: static args keep the rot90
@@ -306,6 +319,8 @@ class PySurfaceUD(_SurfaceOp):
     def _run(self, src: Surface, dst: Surface, sync: bool):
         if (src.Format, dst.Format) not in ud.SUPPORTED_CONVERSIONS:
             return _fail(TaskExecInfo.NOT_SUPPORTED)
+        if src.IsEmpty or dst.IsEmpty:
+            return _fail(TaskExecInfo.INVALID_INPUT)
         planes = tuple(p[None] for p in src.plane_arrays())
         with op_scope("UDSurface"):
             out = _jit_ud(planes, src_fmt=src.Format, dst_fmt=dst.Format,
