@@ -167,8 +167,10 @@ void VideoEncoder::Open() {
     default:
       throw std::runtime_error("Unsupported encoder input format");
   }
-  // Check the codec supports it.
-  bool supported = false;
+  // Check the codec supports it. A NULL pix_fmts list means the codec
+  // accepts any format (FFmpeg convention, e.g. rawvideo/wrapped
+  // encoders), not that it supports none.
+  bool supported = codec->pix_fmts == nullptr;
   for (const AVPixelFormat* p = codec->pix_fmts;
        p && *p != AV_PIX_FMT_NONE; p++) {
     if (*p == m_enc_pix_fmt) {
@@ -287,20 +289,35 @@ void VideoEncoder::Open() {
   }
   it = m_opts.find("initqp");
   if (it != m_opts.end() && m_opts.find("constqp") == m_opts.end()) {
-    av_dict_set(&priv, "qp", it->second.c_str(), 0);
+    // NVENC initqp only SEEDS the rate-control loop; mapping it to the
+    // x264/x265 'qp' option would switch the whole encode to constant-QP
+    // and silently discard the requested bitrate. Honor it as a QP only
+    // in constqp rate-control mode; otherwise it has no software
+    // equivalent.
+    if (rc == "constqp") {
+      av_dict_set(&priv, "qp", it->second.c_str(), 0);
+    } else if (m_verbose) {
+      std::cerr << "vali-tpu encoder: 'initqp' seeds NVENC rate control; "
+                   "no software equivalent outside rc=constqp, ignored\n";
+    }
   }
   it = m_opts.find("cq");
   if (it != m_opts.end() && !it->second.empty()) {
     av_dict_set(&priv, "crf", it->second.c_str(), 0);
   }
+  // libx265 exposes no 'rc-lookahead'/'aq-mode' AVOptions (unconsumed
+  // dict entries are silently freed after open) — its knobs must go
+  // through x265-params.
   it = m_opts.find("lookahead");
   if (it != m_opts.end()) {
-    av_dict_set(&priv, "rc-lookahead", it->second.c_str(), 0);
+    if (m_is_hevc) add_x265_param("rc-lookahead=" + it->second);
+    else av_dict_set(&priv, "rc-lookahead", it->second.c_str(), 0);
   }
   // NVENC spatial AQ -> x264/x265 variance AQ; temporal AQ -> mb-tree.
   it = m_opts.find("aq");
   if (it != m_opts.end()) {
-    av_dict_set(&priv, "aq-mode", "1", 0);
+    if (m_is_hevc) add_x265_param("aq-mode=1");
+    else av_dict_set(&priv, "aq-mode", "1", 0);
   }
   it = m_opts.find("temporalaq");
   if (it != m_opts.end() && !m_is_hevc) {
@@ -312,8 +329,18 @@ void VideoEncoder::Open() {
   it = m_opts.find("multipass");
   if (it != m_opts.end() && it->second != "0" &&
       m_opts.find("lookahead") == m_opts.end()) {
-    av_dict_set(&priv, "rc-lookahead", "32", 0);
+    if (m_is_hevc) add_x265_param("rc-lookahead=32");
+    else av_dict_set(&priv, "rc-lookahead", "32", 0);
   }
+  // force_idr contract (NVENC forceIDR): a forced pict_type=I must come
+  // out as a true IDR. Both wrappers gate that behind 'forced-idr';
+  // x265 additionally demotes a forced IDR to a CRA under its default
+  // open GOP, so HEVC closes the GOP — which is itself NVENC parity
+  // (NVENC HEVC has no open-GOP mode; its keyframes are IDR). Measured
+  // here: forced-idr alone -> CRA; no-open-gop alone -> non-IRAP I
+  // slice; both -> IDR_N_LP with repeated parameter sets.
+  av_dict_set(&priv, "forced-idr", "1", 0);
+  if (m_is_hevc) add_x265_param("no-open-gop=1");
   if (m_verbose) {
     for (const char* ignored : {"ldkfs", "max_res", "numrefl1"}) {
       if (m_opts.count(ignored)) {
@@ -459,27 +486,46 @@ bool VideoEncoder::PopPacket(std::vector<uint8_t>& out) {
 
 Info VideoEncoder::Reconfigure(const OptMap& new_opts, bool force_idr,
                                bool reset_enc, std::string& msg) {
+  // Validate EVERYTHING before merging: a rejected call must leave
+  // m_opts untouched, or the bad values poison the next Reconfigure.
   for (const auto& kv : new_opts) {
     if (kOptionDocs.find(kv.first) == kOptionDocs.end()) {
       msg = "Invalid parameter name \"" + kv.first + "\"";
       return Info::INVALID_INPUT;
     }
-    m_opts[kv.first] = kv.second;
   }
-  auto it = m_opts.find("s");
+  auto it = new_opts.find("s");
   int w = m_width, h = m_height;
-  if (it != m_opts.end()) sscanf(it->second.c_str(), "%dx%d", &w, &h);
+  if (it != new_opts.end()) {
+    // validate like the constructor: a partial match ("1920") would
+    // silently keep the old height and reopen at a size the caller
+    // never asked for
+    if (sscanf(it->second.c_str(), "%dx%d", &w, &h) != 2 || w <= 0 ||
+        h <= 0) {
+      msg = "Invalid frame size: " + it->second;
+      return Info::INVALID_INPUT;
+    }
+  }
   if (!reset_enc && (w != m_width || h != m_height)) {
     msg = "Resolution change requires reset_encoder=True";
     return Info::NOT_SUPPORTED;
   }
+  for (const auto& kv : new_opts) m_opts[kv.first] = kv.second;
   m_width = w;
   m_height = h;
   // Software encoders can't be re-tuned in flight: drain, close, reopen.
   Flush(msg);
   Close();
   m_frame_index = 0;
-  Open();
+  try {
+    Open();
+  } catch (...) {
+    // roll back to a fully-closed state: a half-open context (m_ctx set,
+    // m_frame null after a failed avcodec_open2) would crash the next
+    // EncodeFrame; closed, it reports "encoder not open" instead.
+    Close();
+    throw;
+  }
   return Info::SUCCESS;
 }
 

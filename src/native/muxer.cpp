@@ -151,12 +151,20 @@ void Muxer::ExtractAv1Extradata(const uint8_t* data, size_t size) {
     if (!has_size || pos >= size) return;
     uint64_t obu_size = 0;
     int shift = 0;
-    while (pos < size) {  // leb128
+    bool size_ok = false;
+    while (pos < size) {  // leb128: the spec caps it at 8 bytes; a
+                          // malformed run of continuation bytes would
+                          // otherwise shift past 64 bits (UB)
       uint8_t b = data[pos++];
       obu_size |= static_cast<uint64_t>(b & 0x7F) << shift;
       shift += 7;
-      if (!(b & 0x80)) break;
+      if (!(b & 0x80)) {
+        size_ok = true;
+        break;
+      }
+      if (shift >= 56) return;  // > 8 leb128 bytes: malformed, bail
     }
+    if (!size_ok) return;  // input ended mid-leb128
     size_t end = pos + obu_size;
     if (end > size) return;
     if (type == 1) {  // OBU_SEQUENCE_HEADER

@@ -1022,3 +1022,77 @@ def test_encode_single_frame_matches_surface_path():
     pkt = np.zeros(0, np.uint8)
     with pytest.raises(RuntimeError, match="encoder expects"):
         enc.EncodeSingleFrame(frames[0][:-1], pkt)
+
+
+def test_reconfigure_invalid_size_rejected_and_state_intact():
+    """A partial/garbage 's' must be rejected up front (INVALID_INPUT)
+    without half-applying it, and the encoder must stay fully usable at
+    its original geometry."""
+    enc = vali.PyNvEncoder({"s": f"{W}x{H}", "bitrate": "1M"}, gpu_id=0)
+    for bad in ("320", "0x0", "-16x-16", "junk"):
+        assert not enc.Reconfigure({"s": bad}, reset_encoder=True), bad
+    assert (enc.Width, enc.Height) == (W, H)
+    packet = np.zeros(0, dtype=np.uint8)
+    wrote = []
+    for i in range(6):
+        if enc.EncodeSingleSurface(nv12_surface(70 + 10 * i), packet):
+            wrote.append(packet.tobytes())
+    flush = np.zeros(0, dtype=np.uint8)
+    enc.Flush(flush)
+    assert (b"".join(wrote) + flush.tobytes())  # real bitstream came out
+
+
+def test_reconfigure_open_failure_is_not_a_crash():
+    """When the reopen inside Reconfigure fails (odd size for 4:2:0),
+    the encoder must roll back to a fully-closed state: the next encode
+    reports failure instead of dereferencing a half-open context."""
+    enc = vali.PyNvEncoder({"s": f"{W}x{H}", "bitrate": "1M"}, gpu_id=0)
+    with pytest.raises(RuntimeError):
+        enc.Reconfigure({"s": "101x101"}, reset_encoder=True)
+    frame = np.zeros(enc.FrameSizeInBytes, dtype=np.uint8)
+    packet = np.zeros(0, dtype=np.uint8)
+    assert enc.EncodeSingleFrame(frame, packet) is False  # graceful
+
+
+def _encode_es_native_force(opts, force_at, n_frames=8):
+    """Encode via the native per-frame force_idr entry point."""
+    from vali_tpu.memory.host import planes_to_host_frame
+
+    enc = vali.PyNvEncoder(opts, gpu_id=0)
+    chunks = []
+    for i in range(n_frames):
+        frame = planes_to_host_frame(
+            nv12_surface(60 + 12 * i).plane_arrays())
+        info, _ = enc._enc.encode(frame, i == force_at, None)
+        assert vali.TaskExecInfo(info) == vali.TaskExecInfo.SUCCESS
+        while True:
+            data = enc._enc.pop_packet()
+            if data is None:
+                break
+            chunks.append(bytes(data))
+    flush = np.zeros(0, dtype=np.uint8)
+    enc.Flush(flush)
+    return b"".join(chunks) + flush.tobytes()
+
+
+def test_forced_idr_native_is_idr_h264():
+    """Per-frame force_idr must produce a true mid-GOP IDR (NAL 5) for
+    H.264 — libx264 gates this behind 'forced-idr' (NVENC contract)."""
+    es = _encode_es_native_force(
+        {"s": f"{W}x{H}", "gop": "250", "bf": "0", "lookahead": "0"},
+        force_at=4)
+    nals = _h264_nal_types(es)
+    assert nals.count(5) >= 2, nals  # stream start + the forced frame
+
+
+def test_forced_idr_native_is_idr_hevc():
+    """HEVC per-frame force_idr yields a TRUE mid-GOP IDR (NAL 19/20),
+    not a CRA: the encoder sets 'forced-idr' AND closes the GOP (x265's
+    open-GOP default demotes forced IDRs to CRA) — closed GOP is NVENC
+    parity anyway."""
+    es = _encode_es_native_force(
+        {"s": f"{W}x{H}", "codec": "hevc", "gop": "250", "bf": "0",
+         "lookahead": "0"}, force_at=4)
+    nals = _hevc_nal_types(es)
+    idrs = sum(1 for t in nals if t in (19, 20))
+    assert idrs >= 2, nals  # stream start + the forced frame

@@ -249,3 +249,19 @@ def test_mux_unknown_option_rejected(tmp_path):
     ok, info = mux.Mux(b"\x00\x00\x01\x65" + b"\x00" * 50, pts=0.0,
                        key=True)
     assert not ok and info == vali.TaskExecInfo.INVALID_INPUT
+
+
+def test_av1_malformed_obu_does_not_crash(tmp_path):
+    """The AV1 sequence-header scanner parses caller-controlled bytes; a
+    leb128 run past the spec's 8-byte cap (or truncated mid-size) must
+    bail cleanly instead of shifting past 64 bits."""
+    import vali_tpu as vali
+
+    path = str(tmp_path / "junk.mkv")
+    mux = vali.PyMuxer(path, 64, 48, codec="av1")
+    # type=1 (sequence header), has_size=1, then 12 continuation bytes
+    ok, info = mux.Mux(b"\x0a" + b"\xff" * 12 + b"\x00" * 8, pts=0.0,
+                       key=True)
+    # truncated mid-leb128
+    mux.Mux(b"\x0a" + b"\x80" * 3, pts=1 / 30)
+    mux.Close()  # no crash is the assertion; the file may be unplayable

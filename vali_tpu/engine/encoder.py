@@ -30,10 +30,11 @@ def _append_packet(packet: np.ndarray, data: bytes, append: bool) -> None:
     appending (parity: PyNvEncoder.cpp:246-256)."""
     arr = np.frombuffer(data, dtype=np.uint8)
     if append and packet.size:
-        old = packet.copy()
-        packet.resize((old.size + arr.size,), refcheck=False)
-        packet[:old.size] = old
-        packet[old.size:] = arr
+        # ndarray.resize preserves leading contents in place — no copy of
+        # the existing bytes needed
+        n = packet.size
+        packet.resize((n + arr.size,), refcheck=False)
+        packet[n:] = arr
     else:
         packet.resize((arr.size,), refcheck=False)
         packet[:] = arr

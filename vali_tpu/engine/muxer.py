@@ -48,7 +48,14 @@ class PyMuxer:
 
     def Mux(self, packet, pts: float, dts: Optional[float] = None,
             key: bool = False) -> Tuple[bool, TaskExecInfo]:
-        """Write one access unit. ``packet`` is bytes or a uint8 array."""
+        """Write one access unit. ``packet`` is bytes or a uint8 array.
+
+        ``dts`` defaults to ``pts``, which is only correct for streams
+        without frame reordering: encode with ``{'bf': '0'}`` (as the
+        samples and ``utils.synth`` do), or pass the real decode
+        timestamps explicitly for B-frame streams — with reordering,
+        pts-as-dts makes the container writer reject non-monotonic
+        timestamps mid-stream or produce jerky playback."""
         if isinstance(packet, np.ndarray):
             packet = np.ascontiguousarray(packet).tobytes()
         pts_t = int(round(pts * self._tb_den))
@@ -69,5 +76,12 @@ class PyMuxer:
     def __enter__(self) -> "PyMuxer":
         return self
 
-    def __exit__(self, *exc) -> None:
-        self.Close()
+    def __exit__(self, exc_type, exc, tb) -> None:
+        ok, info = self.Close()
+        # a failed trailer write means the file is unplayable; swallowing
+        # it would let a with-block exit green on a corrupt container.
+        # Don't mask an exception already unwinding, though.
+        if not ok and exc_type is None:
+            raise RuntimeError(
+                f"PyMuxer.Close failed writing the container trailer "
+                f"({info.name}); the output file is likely corrupt")
