@@ -254,7 +254,12 @@ def tonemap_batch(rgb: jnp.ndarray, transfer: str = "pq",
 
     if convert_gamut:
         m = jnp.asarray(BT2020_TO_BT709, dtype=jnp.float32)
-        lin = jnp.einsum("...c,dc->...d", lin, m)
+        # true-f32 matmul: the MXU's bf16 default loses ~0.4% here, which
+        # the 1/2.4 gamma blows up to ~20 LSB right at the gamut-clip
+        # boundary (found by tests_tpu/test_wrappers_tpu.py on real TPU)
+        lin = jnp.einsum("...c,dc->...d", lin, m,
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
 
     sdr = jnp.clip(lin / float(target_nits), 0.0, 1.0)
     sdr = jnp.power(sdr, 1.0 / float(out_gamma))
