@@ -828,3 +828,111 @@ def test_geometry_probe_honors_opts():
                                dst_h=32, gpu_id=0,
                                opts={"threads": 1}, batch_size=2)
     pipe.stop()
+
+
+def test_letterbox_params_geometry():
+    from vali_tpu.ops.fused import letterbox_params
+
+    # 16:9 into a square: content 640x360 centered vertically
+    iw, ih, left, top, scale = letterbox_params(1920, 1080, 640, 640)
+    assert (iw, ih, left, top) == (640, 360, 0, 140)
+    assert scale == pytest.approx(1 / 3)
+    # portrait into a square pads left/right
+    iw, ih, left, top, _ = letterbox_params(480, 640, 320, 320)
+    assert (iw, ih, left, top) == (240, 320, 40, 0)
+    # exact fit: no pad
+    assert letterbox_params(128, 128, 64, 64)[:4] == (64, 64, 0, 0)
+    with pytest.raises(ValueError):
+        letterbox_params(0, 10, 64, 64)
+
+
+def test_letterbox_preprocess_uint8():
+    """Content block == fused_preprocess at the inner size; everything
+    outside it is exactly the pad value."""
+    import jax.numpy as jnp
+
+    from vali_tpu.ops.fused import (fused_preprocess, letterbox_params,
+                                    letterbox_preprocess)
+
+    B, H, W, DST = 2, 96, 256, 64
+    nv12 = jnp.asarray(RNG.integers(0, 256, (B, H * 3 // 2, W), np.uint8))
+    iw, ih, left, top, _ = letterbox_params(W, H, DST, DST)
+    got = np.asarray(letterbox_preprocess(
+        (nv12,), PixelFormat.NV12, W, H, DST, DST))
+    want_inner = np.asarray(fused_preprocess(
+        (nv12,), PixelFormat.NV12, W, H, iw, ih))
+    assert got.shape == (B, DST, DST, 3)
+    assert np.array_equal(got[:, top:top + ih, left:left + iw], want_inner)
+    mask = np.ones((DST, DST), bool)
+    mask[top:top + ih, left:left + iw] = False
+    assert (got[:, mask] == 114).all()
+    # custom pad value
+    got9 = np.asarray(letterbox_preprocess(
+        (nv12,), PixelFormat.NV12, W, H, DST, DST, pad_value=9))
+    assert (got9[:, mask] == 9).all()
+
+
+def test_letterbox_preprocess_float_normalize_planar():
+    """Float path: the canvas gets the same normalize transform as the
+    content, and planar moves channels first AFTER padding."""
+    import jax.numpy as jnp
+
+    from vali_tpu.ops.fused import letterbox_params, letterbox_preprocess
+
+    B, H, W, DST = 1, 64, 128, 48
+    nv12 = jnp.asarray(RNG.integers(0, 256, (B, H * 3 // 2, W), np.uint8))
+    mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+    got = np.asarray(letterbox_preprocess(
+        (nv12,), PixelFormat.NV12, W, H, DST, DST,
+        out_dtype=jnp.float32, planar=True, normalize=(mean, std)))
+    assert got.shape == (B, 3, DST, DST)
+    iw, ih, left, top, _ = letterbox_params(W, H, DST, DST)
+    want_fill = (114 / 255.0 - np.array(mean)) / np.array(std)
+    np.testing.assert_allclose(got[0, :, 0, 0], want_fill, atol=1e-6)
+    # content region is not the fill
+    assert not np.allclose(got[0, :, top + ih // 2, left + iw // 2],
+                           want_fill)
+
+
+def test_preprocess_batch_letterbox_routes():
+    """pipeline.preprocess_batch(letterbox=True) matches the ops-level
+    composition on the XLA path."""
+    import jax.numpy as jnp
+
+    from vali_tpu.ops.fused import letterbox_preprocess
+    from vali_tpu.pipeline.multistream import preprocess_batch
+
+    B, H, W, DST = 2, 96, 128, 64
+    nv12 = jnp.asarray(RNG.integers(0, 256, (B, H * 3 // 2, W), np.uint8))
+    got = np.asarray(preprocess_batch(
+        (nv12,), PixelFormat.NV12, W, H, DST, DST, letterbox=True,
+        use_pallas=False))
+    want = np.asarray(letterbox_preprocess(
+        (nv12,), PixelFormat.NV12, W, H, DST, DST))
+    assert np.array_equal(got, want)
+
+
+def test_multistream_pipeline_letterbox(tmp_path):
+    """End-to-end: a 16:9 synthesized clip through the pipeline with
+    letterbox=True yields square batches with gray bars top+bottom."""
+    from vali_tpu.ops.fused import letterbox_params
+    from vali_tpu.pipeline.multistream import MultiStreamPipeline
+    from vali_tpu.utils.synth import synthesize_clip
+
+    clip = str(tmp_path / "lb.mp4")
+    synthesize_clip(clip, w=256, h=96, n=12)
+    DST = 64
+    pipe = MultiStreamPipeline([clip], dst_w=DST, dst_h=DST, gpu_id=0,
+                               batch_size=2, letterbox=True)
+    iw, ih, left, top, _ = letterbox_params(256, 96, DST, DST)
+    batch = None
+    for batch, ids in pipe:
+        pipe.stop()
+        break
+    assert batch is not None and batch.shape[1:] == (DST, DST, 3)
+    arr = np.asarray(batch)
+    mask = np.ones((DST, DST), bool)
+    mask[top:top + ih, left:left + iw] = False
+    assert (arr[:, mask] == 114).all()
+    # content band is real video, not pad
+    assert arr[:, ~mask].std() > 1.0

@@ -158,3 +158,100 @@ def fused_preprocess(
     if planar:
         rgb = jnp.moveaxis(rgb, -1, 1)
     return rgb
+
+
+def letterbox_params(src_w: int, src_h: int, dst_w: int, dst_h: int
+                     ) -> Tuple[int, int, int, int, float]:
+    """Static letterbox geometry: aspect-preserving fit of (src_w, src_h)
+    inside (dst_w, dst_h), centered.
+
+    Returns ``(inner_w, inner_h, left, top, scale)`` — the resized content
+    size, the pad offsets of its top-left corner, and the scale factor.
+    Callers map model outputs (boxes, masks) back to source coordinates
+    with ``src = (dst - (left, top)) / scale``.
+
+    All values are plain Python numbers computed from static shapes, so the
+    padded output keeps a static shape under jit.
+    """
+    if src_w <= 0 or src_h <= 0 or dst_w <= 0 or dst_h <= 0:
+        raise ValueError(
+            f"letterbox_params needs positive sizes, got src {src_w}x{src_h}"
+            f" dst {dst_w}x{dst_h}")
+    scale = min(dst_w / src_w, dst_h / src_h)
+    # round() keeps the common exact cases exact (e.g. 1920x1080 -> 640x360
+    # inside 640x640) and is the convention detection stacks use.
+    inner_w = max(1, min(dst_w, round(src_w * scale)))
+    inner_h = max(1, min(dst_h, round(src_h * scale)))
+    left = (dst_w - inner_w) // 2
+    top = (dst_h - inner_h) // 2
+    return inner_w, inner_h, left, top, scale
+
+
+def letterbox_preprocess(
+    planes: Tuple[jnp.ndarray, ...],
+    src_fmt: PixelFormat,
+    src_w: int,
+    src_h: int,
+    dst_w: int,
+    dst_h: int,
+    space: ColorSpace = ColorSpace.BT_709,
+    crange: ColorRange = ColorRange.MPEG,
+    out_dtype=jnp.uint8,
+    planar: bool = False,
+    method: str = LANCZOS_AA,
+    normalize: Optional[Tuple[Tuple[float, float, float],
+                              Tuple[float, float, float]]] = None,
+    pad_value: int = 114,
+) -> jnp.ndarray:
+    """Batched fused decode-side letterbox: CSC + chroma upsample +
+    aspect-preserving resize + centered constant pad, one jitted pass.
+
+    The standard detection-serving input path (YOLO-family convention:
+    gray 114 pad). The resample itself is :func:`fused_preprocess` onto the
+    static inner grid from :func:`letterbox_params`; the pad is a static
+    ``dynamic_update_slice`` into a constant canvas, so XLA fuses the whole
+    thing and the output shape stays [N, dst_h, dst_w, 3] for every source
+    geometry — one compiled program serves mixed-aspect streams at a fixed
+    model input size.
+
+    ``pad_value`` is in 8-bit display units regardless of src bit depth or
+    out_dtype; float outputs get ``pad_value/255`` pushed through the same
+    normalize transform as the content so the canvas is what the model
+    expects. Returns the padded batch; use :func:`letterbox_params` for the
+    box-mapping geometry. No reference counterpart (beyond-parity; the
+    reference resizes anisotropically — ResizeSurface, ResizeUtils.cu).
+    """
+    inner_w, inner_h, left, top, _ = letterbox_params(
+        src_w, src_h, dst_w, dst_h)
+    inner = fused_preprocess(planes, src_fmt, src_w, src_h, inner_w,
+                             inner_h, space, crange, out_dtype, False,
+                             method, normalize)
+    return letterbox_pad(inner, dst_w, dst_h, left, top,
+                         pad_value=pad_value, normalize=normalize,
+                         planar=planar)
+
+
+def letterbox_pad(inner: jnp.ndarray, dst_w: int, dst_h: int, left: int,
+                  top: int, *, pad_value: int = 114, normalize=None,
+                  planar: bool = False) -> jnp.ndarray:
+    """Place a channel-last [N, h, w, 3] content block onto a constant
+    [N, dst_h, dst_w, 3] canvas at a static offset (the pad half of
+    :func:`letterbox_preprocess`, reused by pipeline routes whose content
+    resample runs in a Pallas kernel). ``pad_value`` semantics match
+    letterbox_preprocess; the canvas dtype follows ``inner.dtype``."""
+    out_dtype = inner.dtype
+    n = inner.shape[0]
+    if np.dtype(out_dtype) == np.uint8:
+        fill = jnp.full((3,), np.uint8(np.clip(pad_value, 0, 255)),
+                        dtype=jnp.uint8)
+    else:
+        fill = jnp.full((3,), pad_value / 255.0, dtype=out_dtype)
+        if normalize is not None:
+            mean = jnp.asarray(normalize[0], dtype=out_dtype)
+            std = jnp.asarray(normalize[1], dtype=out_dtype)
+            fill = ((fill - mean) / std).astype(out_dtype)
+    canvas = jnp.broadcast_to(fill, (n, dst_h, dst_w, 3)).astype(out_dtype)
+    rgb = jax.lax.dynamic_update_slice(canvas, inner, (0, top, left, 0))
+    if planar:
+        rgb = jnp.moveaxis(rgb, -1, 1)
+    return rgb

@@ -43,6 +43,17 @@ def _preprocess_jit(planes, *, src_fmt, src_w, src_h, dst_w, dst_h, space,
                             normalize)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "dst_w", "dst_h", "left", "top", "pad_value", "normalize", "planar"))
+def _letterbox_pad_jit(inner, *, dst_w, dst_h, left, top, pad_value,
+                       normalize, planar):
+    from ..ops.fused import letterbox_pad
+
+    return letterbox_pad(inner, dst_w, dst_h, left, top,
+                         pad_value=pad_value, normalize=normalize,
+                         planar=planar)
+
+
 def _pallas_usable(src_fmt, space, crange) -> bool:
     """True when a banded Pallas kernel covers the format on this
     platform (format set shared with staging_pad_rows and the
@@ -134,7 +145,9 @@ class MultiStreamPipeline:
                  sync_streams: bool = False,
                  prefetch: int = 2,
                  decode_threads: Optional[int] = None,
-                 mesh=None):
+                 mesh=None,
+                 letterbox: bool = False,
+                 pad_value: int = 114):
         """``sync_streams=True`` assembles batches with exactly one frame
         per live stream (lock-step across streams, e.g. for synchronized
         multi-camera rigs); the default takes frames in arrival order for
@@ -148,7 +161,11 @@ class MultiStreamPipeline:
         per stream). ``mesh``: a ``jax.sharding.Mesh`` with a "data" axis
         — staged batches are sharded over it and the preprocess runs on
         every chip of the mesh (batch_size must be divisible by the
-        data-axis size; gpu_id is then ignored)."""
+        data-axis size; gpu_id is then ignored). ``letterbox=True``
+        keeps the source aspect ratio: content is resized to fit inside
+        dst_w x dst_h and centered on a ``pad_value`` canvas (detection
+        convention — see ops/fused.letterbox_params for mapping model
+        outputs back to source coordinates)."""
         if not sources:
             raise ValueError("Need at least one source")
         self.sources = list(sources)
@@ -166,6 +183,8 @@ class MultiStreamPipeline:
                 "normalize requires a float out_dtype (e.g. jnp.float32 "
                 "or jnp.bfloat16)")
         self.normalize = normalize
+        self.letterbox = bool(letterbox)
+        self.pad_value = int(pad_value)
         self.sync_streams = sync_streams
         self.prefetch = max(1, int(prefetch))
         self.mesh = mesh
@@ -198,10 +217,16 @@ class MultiStreamPipeline:
         self._staging_free = []
         if _pallas_usable(self.src_fmt, space, crange):
             from ..core.formats import format_info as _fi
+            from ..ops.fused import letterbox_params
             from ..ops.pallas_fused import staging_pad_rows
 
+            # letterbox: the Pallas kernel resamples onto the INNER grid
+            # (the pad is a separate cheap canvas update), so staging pads
+            # follow the inner height.
+            content_dst_h = dst_h if not self.letterbox else \
+                letterbox_params(self.src_w, self.src_h, dst_w, dst_h)[1]
             pads = staging_pad_rows(self.src_fmt, self.src_w, self.src_h,
-                                    dst_h, method=self.method)
+                                    content_dst_h, method=self.method)
             dims = _fi(self.src_fmt).plane_dims(self.src_w, self.src_h)
             if pads is not None and any(pads):
                 self._stage_plane_dims = tuple(
@@ -422,7 +447,8 @@ class MultiStreamPipeline:
             self.dst_w, self.dst_h, space=self.space,
             crange=self.crange, out_dtype=self.out_dtype,
             planar=self.planar, method=self.method,
-            normalize=self.normalize)
+            normalize=self.normalize, letterbox=self.letterbox,
+            pad_value=self.pad_value)
 
     def _sharded_preprocess(self):
         """shard_map the fused preprocess over the mesh's data axis: each
@@ -441,7 +467,8 @@ class MultiStreamPipeline:
                 self.dst_w, self.dst_h, space=self.space,
                 crange=self.crange, out_dtype=self.out_dtype,
                 planar=self.planar, method=self.method,
-                normalize=self.normalize)
+                normalize=self.normalize, letterbox=self.letterbox,
+                pad_value=self.pad_value)
 
         from ..core.formats import format_info
 
@@ -586,12 +613,17 @@ def preprocess_batch(planes, src_fmt: PixelFormat, src_w: int, src_h: int,
                      out_dtype=jnp.uint8, planar: bool = False,
                      method: str = LANCZOS_AA,
                      normalize=None,
-                     use_pallas: Optional[bool] = None) -> jax.Array:
+                     use_pallas: Optional[bool] = None,
+                     letterbox: bool = False,
+                     pad_value: int = 114) -> jax.Array:
     """One-shot jitted fused preprocess over already-batched planes.
 
     On TPU the NV12 path routes to the banded Pallas kernel
     (ops/pallas_fused.py, ~5x the XLA version); everything else uses the
     XLA fused op. Pass ``use_pallas=False`` to force the XLA path.
+    ``letterbox=True`` resizes aspect-preserving onto a centered
+    ``pad_value`` canvas (ops/fused.letterbox_preprocess semantics) —
+    the content resample still takes the Pallas route when available.
     """
     src_fmt = PixelFormat(src_fmt)
     if use_pallas is None:
@@ -599,6 +631,18 @@ def preprocess_batch(planes, src_fmt: PixelFormat, src_w: int, src_h: int,
     if normalize is not None:
         normalize = (tuple(float(v) for v in normalize[0]),
                      tuple(float(v) for v in normalize[1]))
+    if letterbox:
+        from ..ops.fused import letterbox_params
+
+        inner_w, inner_h, left, top, _ = letterbox_params(
+            src_w, src_h, dst_w, dst_h)
+        inner = preprocess_batch(
+            planes, src_fmt, src_w, src_h, inner_w, inner_h, space=space,
+            crange=crange, out_dtype=out_dtype, planar=False,
+            method=method, normalize=normalize, use_pallas=use_pallas)
+        return _letterbox_pad_jit(
+            inner, dst_w=dst_w, dst_h=dst_h, left=left, top=top,
+            pad_value=int(pad_value), normalize=normalize, planar=planar)
     if use_pallas:
         from ..ops.pallas_fused import (pallas_preprocess,
                                         pallas_preprocess_formats)
