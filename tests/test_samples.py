@@ -119,3 +119,8 @@ def test_sample_hdr_tonemap():
     out = run_sample("sample_hdr_tonemap.py", timeout=300)
     assert "tone-mapped to SDR" in out
     assert "wrote SDR stream" in out and out.strip().endswith("OK")
+
+
+def test_sample_detection_preprocess(CLIP):
+    out = run_sample("sample_detection_preprocess.py", CLIP, "2", "320")
+    assert "scale" in out and "letterboxed" in out
