@@ -87,6 +87,16 @@ def compute_all(clip: str) -> dict:
         pipe.stop()
         break
 
+    # letterbox pipeline: aspect-preserving content + constant canvas
+    # (Pallas inner resample on TPU, pad via dynamic_update_slice)
+    lpipe = MultiStreamPipeline([clip], dst_w=PIPE_DST, dst_h=PIPE_DST,
+                                gpu_id=0, batch_size=PIPE_BATCH,
+                                letterbox=True)
+    for batch, ids in lpipe:
+        out["letterbox_batch"] = np.asarray(batch).copy()
+        lpipe.stop()
+        break
+
     # analytics: scene scores + histogram over a two-scene luma batch
     from vali_tpu.ops import analytics, tonemap
 

@@ -16,7 +16,10 @@ f32); Pallas routes compute uint8 in bfloat16, within 2 LSB of the CPU
 path with high PSNR. Run with its own budget (compiles ~10 new shapes,
 incl. the analytics/tonemap elementwise cases):
 
-    timeout 900 python3 -m pytest tests_tpu/test_wrappers_tpu.py -q
+    timeout 1200 python3 -m pytest tests_tpu/test_wrappers_tpu.py -q
+
+(~8 fresh remote compiles; per-compile tunnel latency swings 10-240s
+with remote load, so budget the worst case.)
 """
 
 import os
@@ -137,6 +140,26 @@ def test_pipeline_batch(outputs):
                - cpu["pipeline_batch"].astype(int))
     assert d.max() <= 2
     assert _psnr(tpu["pipeline_batch"], cpu["pipeline_batch"]) > 50.0
+
+
+def test_pipeline_letterbox_batch(outputs):
+    tpu, cpu = outputs
+    from _wrapper_cases import PIPE_DST
+
+    from vali_tpu.ops.fused import letterbox_params
+
+    assert tpu["letterbox_batch"].shape == cpu["letterbox_batch"].shape
+    d = np.abs(tpu["letterbox_batch"].astype(int)
+               - cpu["letterbox_batch"].astype(int))
+    assert d.max() <= 2          # Pallas inner resample tolerance
+    # pad region must be EXACTLY the gray-114 canvas on both devices
+    n, dh, dw, _ = tpu["letterbox_batch"].shape
+    # geometry from the clip the drive synthesized (848x464 default)
+    iw, ih, left, top, _ = letterbox_params(848, 464, dw, dh)
+    mask = np.ones((dh, dw), bool)
+    mask[top:top + ih, left:left + iw] = False
+    assert (tpu["letterbox_batch"][:, mask] == 114).all()
+    assert (cpu["letterbox_batch"][:, mask] == 114).all()
 
 
 def test_analytics_on_chip(outputs):
