@@ -14,11 +14,17 @@ import numpy as np
 
 
 def synthesize_clip(path: str, w: int = 848, h: int = 464, n: int = 96,
-                    fps: float = 30.0) -> str:
+                    fps: float = 30.0, chroma: str = "flat") -> str:
     """Encode ``n`` moving-gradient NV12 frames with PyNvEncoder and mux
     them into ``path`` (container inferred from the extension). Returns
     ``path``. The clip decodes back bit-exactly through PyDecoder in
     tests/test_fidelity.py's round-trip harness.
+
+    chroma="flat" (default): U=V=128, a grayscale ramp — cheap to encode,
+    used by soak/bench/samples/dryrun. chroma="sweep": U ramps vertically
+    and V horizontally (16..240), so decoded R!=G!=B almost everywhere —
+    required by the e2e golden oracle, where a flat-chroma clip would let
+    an RGB<->BGR channel swap pass unnoticed (R=G=B when U=V=128).
 
     Deliberately JAX-free (host-frame encode, no Surface round trip):
     bench.py synthesizes clips BEFORE its device probe, and during an
@@ -31,10 +37,19 @@ def synthesize_clip(path: str, w: int = 848, h: int = 464, n: int = 96,
     pkts = []
     pkt = np.zeros(0, np.uint8)
     grad = np.linspace(16, 235, w, dtype=np.float64)
+    if chroma == "sweep":
+        u_col = np.linspace(16, 240, h // 2, dtype=np.float64)
+        v_row = np.linspace(16, 240, w // 2, dtype=np.float64)
+        uv_sweep = np.empty((h // 2, w), np.uint8)
+        uv_sweep[:, 0::2] = u_col[:, None].astype(np.uint8)
+        uv_sweep[:, 1::2] = v_row[None, :].astype(np.uint8)
+    elif chroma != "flat":
+        raise ValueError(f"chroma must be 'flat' or 'sweep', got {chroma!r}")
     for i in range(n):
         y = np.clip(grad[None, :] + i, 16, 235).astype(np.uint8)
         y = np.broadcast_to(y, (h, w))
-        uv = np.full((h // 2, w), 128, np.uint8)
+        uv = (uv_sweep if chroma == "sweep"
+              else np.full((h // 2, w), 128, np.uint8))
         frame = np.concatenate([y.reshape(-1), uv.reshape(-1)])
         if enc.EncodeSingleFrame(frame, pkt):
             pkts.append(pkt.tobytes())
