@@ -170,6 +170,13 @@ def letterbox_params(src_w: int, src_h: int, dst_w: int, dst_h: int
     Callers map model outputs (boxes, masks) back to source coordinates
     with ``src = (dst - (left, top)) / scale``.
 
+    ``scale`` is the pre-rounding fit ratio (the YOLO-family convention),
+    while ``inner_w``/``inner_h`` are round()ed — so the actual resample
+    ratio can differ by up to half a pixel at the far edges for non-exact
+    geometries. Callers needing exact back-mapping should use the
+    per-axis effective scales ``inner_w / src_w`` and ``inner_h / src_h``
+    instead of the returned ``scale``.
+
     All values are plain Python numbers computed from static shapes, so the
     padded output keeps a static shape under jit.
     """
@@ -204,15 +211,18 @@ def letterbox_preprocess(
     pad_value: int = 114,
 ) -> jnp.ndarray:
     """Batched fused decode-side letterbox: CSC + chroma upsample +
-    aspect-preserving resize + centered constant pad, one jitted pass.
+    aspect-preserving resize + centered constant pad.
 
     The standard detection-serving input path (YOLO-family convention:
     gray 114 pad). The resample itself is :func:`fused_preprocess` onto the
     static inner grid from :func:`letterbox_params`; the pad is a static
-    ``dynamic_update_slice`` into a constant canvas, so XLA fuses the whole
-    thing and the output shape stays [N, dst_h, dst_w, 3] for every source
-    geometry — one compiled program serves mixed-aspect streams at a fixed
-    model input size.
+    ``dynamic_update_slice`` into a constant canvas. When this composed op
+    is traced under one caller jit, XLA fuses the whole thing; the
+    pipeline/Pallas route instead runs the inner resample (possibly a
+    Pallas kernel) and then :func:`letterbox_pad` as a separate cheap
+    jitted canvas update. Either way the output shape stays
+    [N, dst_h, dst_w, 3] for every source geometry — one compiled program
+    serves mixed-aspect streams at a fixed model input size.
 
     ``pad_value`` is in 8-bit display units regardless of src bit depth or
     out_dtype; float outputs get ``pad_value/255`` pushed through the same
