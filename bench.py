@@ -82,16 +82,29 @@ SLOPES = 5    # independent slope estimates; report the median + spread
 
 
 def _make_loop(kernel_fn, K, consume):
+    """One jitted chain program per (kernel, K). ``apply_kernel`` is a
+    TRACED bool: True runs the kernel every iteration, False runs only
+    the 1-byte perturbation (the loop-overhead baseline). Folding both
+    into one program via lax.cond halves the remote-compile count — the
+    r4 driver run spent 275s compiling the headline's 4 programs and the
+    watchdog then killed the chipside config (round-4 verdict #1). The
+    cond's own per-iteration cost is branch-independent, so it cancels
+    in the kernel-minus-baseline subtraction."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run(x):
+    def run(x, apply_kernel):
         def body(k, carry):
             acc, xx = carry
             patch = (k % 199 + 1).astype(jnp.uint8).reshape(1, 1, 1)
             xx = jax.lax.dynamic_update_slice(xx, patch, (0, 0, 0))
-            return (acc + consume(kernel_fn, xx), xx)
+            acc = acc + jax.lax.cond(
+                apply_kernel,
+                lambda v: consume(kernel_fn, v),
+                lambda v: v[0, 0, 0].astype(jnp.int32),
+                xx)
+            return (acc, xx)
 
         acc, _ = jax.lax.fori_loop(0, K, body, (jnp.int32(0), x))
         return acc
@@ -99,34 +112,63 @@ def _make_loop(kernel_fn, K, consume):
     return run
 
 
-def _slopes(kernel_fn, x, consume, n=SLOPES, reps=REPS):
+def _slopes(kernel_fn, x, consume, n=SLOPES, reps=REPS, on_short=None):
     """n independent two-point slope estimates (compile once, interleave
     short/long chains so tunnel drift hits both equally). Also returns
     the slope of the per-chain global minima: tunnel noise is strictly
     additive, so min-of-all-reps is the tightest estimate of each chain's
-    true time and their slope is the cleanest per-call number."""
+    true time and their slope is the cleanest per-call number.
+
+    Baseline (kernel-free) chains run through the SAME two compiled
+    programs with apply_kernel=False; returns (kernel_slopes, min_slope,
+    base_slopes, base_min_slope). ``on_short(per_call_estimate)`` fires
+    after the short chain is measured — a provisional single-chain
+    number ((t_kernel - t_base)/K, RTT cancels in the subtraction) so a
+    watchdog abort during the long-chain compile still carries a value.
+    """
+    import jax.numpy as jnp
+
+    TRUE = jnp.asarray(True)
+    FALSE = jnp.asarray(False)
     fns = {}
+    gmin = {K_SHORT: float("inf"), K_LONG: float("inf")}
+    gmin_base = {K_SHORT: float("inf"), K_LONG: float("inf")}
+    base_reps = max(2, reps - 2)
+
+    def measure(K, flag, n_reps):
+        best = float("inf")
+        for _ in range(n_reps):
+            t0 = time.perf_counter()
+            float(fns[K](x, flag))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
     for K in (K_SHORT, K_LONG):
         fns[K] = _make_loop(kernel_fn, K, consume)
-        float(fns[K](x))  # compile + warm
-    out = []
-    gmin = {K_SHORT: float("inf"), K_LONG: float("inf")}
+        float(fns[K](x, TRUE))  # compile + warm (one program, both paths)
+        float(fns[K](x, FALSE))
+        if K == K_SHORT and on_short is not None:
+            tk = measure(K, TRUE, 2)
+            tb = measure(K, FALSE, 2)
+            on_short(max((tk - tb) / K, 1e-9))
+    out, base_out = [], []
     for _ in range(n):
-        times = {}
+        times, tbase = {}, {}
         for K in (K_SHORT, K_LONG):
-            best = float("inf")
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                float(fns[K](x))
-                best = min(best, time.perf_counter() - t0)
-            times[K] = best
-            gmin[K] = min(gmin[K], best)
-        out.append((times[K_LONG] - times[K_SHORT]) / (K_LONG - K_SHORT))
+            times[K] = measure(K, TRUE, reps)
+            gmin[K] = min(gmin[K], times[K])
+            tbase[K] = measure(K, FALSE, base_reps)
+            gmin_base[K] = min(gmin_base[K], tbase[K])
+        dk = K_LONG - K_SHORT
+        out.append((times[K_LONG] - times[K_SHORT]) / dk)
+        base_out.append((tbase[K_LONG] - tbase[K_SHORT]) / dk)
     min_slope = (gmin[K_LONG] - gmin[K_SHORT]) / (K_LONG - K_SHORT)
-    return out, min_slope
+    base_min = (gmin_base[K_LONG] - gmin_base[K_SHORT]) / (K_LONG - K_SHORT)
+    return out, min_slope, base_out, base_min
 
 
-def _time_kernel(kernel_fn, x, slice_consume=False, contrast=False):
+def _time_kernel(kernel_fn, x, slice_consume=False, contrast=False,
+                 on_short=None):
     """Median per-call time and relative spread across slope estimates.
 
     slice_consume=True sums only a 128-lane slice of the output — for
@@ -141,6 +183,9 @@ def _time_kernel(kernel_fn, x, slice_consume=False, contrast=False):
     ~0.3-0.5 s each) and their numbers only need to be roughly right —
     the full schedule there spent ~40 s of wall budget that then
     squeezed real configs out of the JSON.
+
+    on_short: forwarded to _slopes — provisional per-call estimate
+    callback after the first (short) chain, before the long compile.
     """
     import jax.numpy as jnp
 
@@ -149,10 +194,8 @@ def _time_kernel(kernel_fn, x, slice_consume=False, contrast=False):
     else:
         consume = lambda f, xx: jnp.sum(f(xx).astype(jnp.int32))
     n, reps = (2, 2) if contrast else (SLOPES, REPS)
-    with_kernel, min_slope = _slopes(kernel_fn, x, consume, n=n, reps=reps)
-    base_list, base_min = _slopes(
-        kernel_fn, x,
-        lambda f, xx: xx[0, 0, 0].astype(jnp.int32), n=3)
+    with_kernel, min_slope, base_list, base_min = _slopes(
+        kernel_fn, x, consume, n=n, reps=reps, on_short=on_short)
     baseline = np.median(base_list)
     per_call = [max(s - baseline, 1e-9) for s in with_kernel]
     med = float(np.median(per_call))
@@ -260,11 +303,23 @@ def main():
     nv12_padded = jnp.asarray(nv12_host)
     progress("arrays staged; timing headline Pallas kernel")
 
+    def _headline_provisional(per_call):
+        # single-short-chain estimate, overwritten by the slope below —
+        # lands a nonzero headline even if the long-chain compile blocks
+        # past the watchdog on a degraded tunnel
+        RESULT.update({
+            "value": round(B / per_call, 1),
+            "vs_baseline": round(B / per_call / 4000.0, 3),
+            "ms_per_64frame_batch_pallas": round(per_call * 1000, 3),
+            "headline_partial": "short-chain estimate",
+        })
+
     per_batch_pallas, spread = _time_kernel(
         lambda x: pallas_nv12_preprocess(
             x, src_w=W, src_h=H, dst_w=DW, dst_h=DH,
             space=ColorSpace.BT_709, crange=ColorRange.MPEG),
-        nv12_padded, slice_consume=True)
+        nv12_padded, slice_consume=True, on_short=_headline_provisional)
+    RESULT.pop("headline_partial", None)
     fps = B / per_batch_pallas
     in_bytes = nv12_padded.nbytes
     out_bytes = B * DH * DW * 3
@@ -276,32 +331,78 @@ def main():
         "pallas_slope_spread": round(spread, 3),
         "hbm_gbytes_per_sec": round(gbps, 1),
     })
-    # --- target-bearing configs 2 + chipside run IMMEDIATELY after the
-    # headline, unconditionally (no budget gate): these three numbers
-    # must land in ONE driver JSON line (round-3 verdict #3 — chipside
-    # was squeezed out under budget and borrowed from a sibling run).
-    # XLA-contrast and 4K sections are trimmed first instead.
-    # Deliberate tradeoff: on a tunnel SO degraded that the headline
-    # alone eats the budget, the watchdog may fire mid-config and the
-    # partial line then carries headline-only — acceptable, because no
-    # gating policy could have recorded these configs in that state
-    # either, and the sink-as-they-land design keeps whatever finished.
+    # --- target-bearing configs: chipside FIRST (the product-path
+    # north-star number — it missed the driver line in r3 AND r4; the
+    # cheap config 2 can afford to be the one at risk, round-4 verdict
+    # #1), then config 2, unconditionally (no budget gate). XLA-contrast
+    # and 4K sections are trimmed first instead. chipside fills its
+    # record in RESULT["configs"] progressively (provisional value after
+    # its short chain, device-JPEG stage budget-gated at the end), so
+    # even a watchdog abort mid-config carries a number.
     if run_configs:
         import bench_configs
 
-        for cname, cfn in (
-                ("2_tpu_two_stage_convert_resize",
-                 bench_configs.config2_convert_resize_tpu),
-                ("5_pipeline_chipside",
-                 bench_configs.config5_pipeline_chipside)):
-            progress(f"target-bearing config {cname}")
-            try:
-                RESULT["configs"][cname] = cfn()
-            except Exception as e:
-                RESULT["configs"][cname] = {
-                    "error": f"{type(e).__name__}: {e}"[:200]}
+        progress("target-bearing config 5_pipeline_chipside")
+        chipside_rec = {}
+        RESULT["configs"]["5_pipeline_chipside"] = chipside_rec
+        try:
+            bench_configs.config5_pipeline_chipside(
+                sink=chipside_rec, time_left=time_left)
+        except Exception as e:
+            chipside_rec.setdefault(
+                "error", f"{type(e).__name__}: {e}"[:200])
+        progress("target-bearing config 2_tpu_two_stage_convert_resize")
+        try:
+            RESULT["configs"]["2_tpu_two_stage_convert_resize"] = \
+                bench_configs.config2_convert_resize_tpu()
+        except Exception as e:
+            RESULT["configs"]["2_tpu_two_stage_convert_resize"] = {
+                "error": f"{type(e).__name__}: {e}"[:200]}
 
-    if time_left() > 260:
+    # secondary: batched 4K NV12 -> 1080p resize. Headline = the banded
+    # Pallas kernel (pallas_nv12_resize); the dense-einsum XLA path
+    # (PySurfaceResizer's op) is kept as the contrast number. Runs
+    # BEFORE the 1080p XLA contrast: it is a headline-table number
+    # (round-4 verdict #4 — stale since r3), the contrast is supporting
+    # evidence. Gates are tuned for the cond-folded measure (ONE remote
+    # compile per chain, r5): the r4 gates (220/260s) assumed twice the
+    # compiles and starved both sections two rounds running.
+    from vali_tpu.ops.pallas_fused import (pallas_nv12_resize,
+                                           required_pad_rows_resize)
+    from vali_tpu.ops.resize import resize_batch
+
+    B4 = 8
+    # resize batches 16 frames: 8-frame chains inherit tunnel jitter
+    # (10.5% vs 2.4% spread measured) and under-amortize grid startup
+    # (26.5 vs 24.7 us/frame)
+    B4R = 16
+    resize_4k_fps = resize_4k_fps_xla = preprocess_4k_fps = 0.0
+    if time_left() > 160:
+        progress("timing 4K resize (Pallas + XLA contrast)")
+        pad4 = required_pad_rows_resize(3840, 2160, 1920, 1080)
+        nv12_4k = jnp.asarray(rng.integers(
+            0, 256, (B4R, 2160 * 3 // 2 + pad4, 3840), dtype=np.uint8))
+        per_batch_resize, _ = _time_kernel(
+            lambda x: pallas_nv12_resize(x, src_w=3840, src_h=2160,
+                                         dst_w=1920, dst_h=1080),
+            nv12_4k, slice_consume=True,
+            on_short=lambda pc: RESULT.update(
+                {"resize_4k_to_1080p_nv12_fps": round(B4R / pc, 1),
+                 "resize_4k_partial": "short-chain estimate"}))
+        RESULT.pop("resize_4k_partial", None)
+        resize_4k_fps = B4R / per_batch_resize
+        RESULT["resize_4k_to_1080p_nv12_fps"] = round(resize_4k_fps, 1)
+        if time_left() > 110:
+            per_batch_resize_xla, _ = _time_kernel(
+                lambda x: resize_batch((x[:8, :2160 * 3 // 2],),
+                                       PixelFormat.NV12,
+                                       3840, 2160, 1920, 1080)[0],
+                nv12_4k, contrast=True)
+            resize_4k_fps_xla = 8 / per_batch_resize_xla
+            RESULT["resize_4k_to_1080p_nv12_fps_xla"] = round(
+                resize_4k_fps_xla, 1)
+
+    if time_left() > 110:
         progress(f"headline {fps:.0f} fps; timing XLA contrast")
         # uploaded lazily: only this gated section consumes the unpadded
         # view, so a time-trimmed run never pays the ~200 MB upload
@@ -313,42 +414,9 @@ def main():
             nv12, contrast=True)
         RESULT["ms_per_64frame_batch_xla"] = round(per_batch_xla * 1000, 3)
 
-    # secondary: batched 4K NV12 -> 1080p resize. Headline = the banded
-    # Pallas kernel (pallas_nv12_resize); the dense-einsum XLA path
-    # (PySurfaceResizer's op) is kept as the contrast number.
-    from vali_tpu.ops.pallas_fused import (pallas_nv12_resize,
-                                           required_pad_rows_resize)
-    from vali_tpu.ops.resize import resize_batch
-
-    B4 = 8
-    # resize batches 16 frames: 8-frame chains inherit tunnel jitter
-    # (10.5% vs 2.4% spread measured) and under-amortize grid startup
-    # (26.5 vs 24.7 us/frame)
-    B4R = 16
-    resize_4k_fps = resize_4k_fps_xla = preprocess_4k_fps = 0.0
-    if time_left() > 220:
-        progress("timing 4K resize (Pallas + XLA contrast)")
-        pad4 = required_pad_rows_resize(3840, 2160, 1920, 1080)
-        nv12_4k = jnp.asarray(rng.integers(
-            0, 256, (B4R, 2160 * 3 // 2 + pad4, 3840), dtype=np.uint8))
-        per_batch_resize, _ = _time_kernel(
-            lambda x: pallas_nv12_resize(x, src_w=3840, src_h=2160,
-                                         dst_w=1920, dst_h=1080),
-            nv12_4k, slice_consume=True)
-        resize_4k_fps = B4R / per_batch_resize
-        RESULT["resize_4k_to_1080p_nv12_fps"] = round(resize_4k_fps, 1)
-        per_batch_resize_xla, _ = _time_kernel(
-            lambda x: resize_batch((x[:8, :2160 * 3 // 2],),
-                                   PixelFormat.NV12,
-                                   3840, 2160, 1920, 1080)[0],
-            nv12_4k, contrast=True)
-        resize_4k_fps_xla = 8 / per_batch_resize_xla
-        RESULT["resize_4k_to_1080p_nv12_fps_xla"] = round(
-            resize_4k_fps_xla, 1)
-
     # 4K straight to model input in ONE fused pass (same kernel, bigger
     # source: decimation makes it even closer to its DMA floor)
-    if time_left() > 150:
+    if time_left() > 70:
         progress("timing 4K fused preprocess")
         pad4p = required_pad_rows(3840, 2160, DH)
         nv12_4kp = jnp.asarray(rng.integers(

@@ -73,7 +73,7 @@ def config1_decode_convert_cpu():
     return {"value": round(fps, 1), "unit": "frames/sec/core", "frames": n}
 
 
-def _slope_time(fn, arg, K_short=8, K_long=24, reps=3):
+def _slope_time(fn, arg, K_short=8, K_long=24, reps=3, on_short=None):
     """Two-point-slope per-call time, loop overhead subtracted.
 
     Mirrors bench.py's _time_kernel: the fori_loop's per-iteration
@@ -81,47 +81,67 @@ def _slope_time(fn, arg, K_short=8, K_long=24, reps=3):
     ~0.03 ms through this tunnel) is measured by a kernel-free baseline
     pass at the same chain lengths and subtracted — without it the
     reported slope overstates sub-0.1ms kernels (the device JPEG stage)
-    by up to ~2x. The baseline loops carry no kernel so their remote
-    compiles are cheap."""
+    by up to ~2x. As in bench.py, the baseline shares the kernel chain's
+    compiled program via a traced apply_kernel bool (lax.cond), so each
+    (K, fn) pair costs ONE remote compile instead of two — r4's driver
+    watchdog killed the chipside config mid-compile under the old
+    4-programs-per-measure schedule.
+
+    ``on_short(per_call_estimate)``: provisional single-chain estimate
+    ((t_kernel - t_baseline)/K — the tunnel RTT cancels) delivered after
+    the short chain, before the long-chain compile."""
     import jax
     import jax.numpy as jnp
 
-    def make(K, use_fn):
+    def make(K):
         @jax.jit
-        def run(x):
+        def run(x, apply_kernel):
             def body(k, carry):
                 acc, xx = carry
                 patch = (k % 199 + 1).astype(jnp.uint8).reshape(
                     *([1] * xx.ndim))
                 xx = jax.lax.dynamic_update_slice(
                     xx, patch, (0,) * xx.ndim)
-                if use_fn:
-                    out = fn(xx)
-                    acc = (acc + jnp.sum(out[1].astype(jnp.int32))
-                           if isinstance(out, tuple)
-                           else acc + jnp.sum(out.astype(jnp.int32)))
-                else:
-                    acc = acc + xx[(0,) * xx.ndim].astype(jnp.int32)
+
+                def with_kernel(v):
+                    out = fn(v)
+                    return (jnp.sum(out[1].astype(jnp.int32))
+                            if isinstance(out, tuple)
+                            else jnp.sum(out.astype(jnp.int32)))
+
+                acc = acc + jax.lax.cond(
+                    apply_kernel, with_kernel,
+                    lambda v: v[(0,) * v.ndim].astype(jnp.int32), xx)
                 return (acc, xx)
             acc, _ = jax.lax.fori_loop(0, K, body, (jnp.int32(0), x))
             return acc
         return run
 
-    def slope(use_fn, n_reps):
-        times = {}
-        for K in (K_short, K_long):
-            r = make(K, use_fn)
-            float(r(arg))
-            best = float("inf")
-            for _ in range(n_reps):
-                t0 = time.perf_counter()
-                float(r(arg))
-                best = min(best, time.perf_counter() - t0)
-            times[K] = best
-        return (times[K_long] - times[K_short]) / (K_long - K_short)
-
-    with_kernel = slope(True, reps)
-    baseline = slope(False, max(2, reps - 1))
+    TRUE = jnp.asarray(True)
+    FALSE = jnp.asarray(False)
+    times, tbase = {}, {}
+    base_reps = max(2, reps - 1)
+    for K in (K_short, K_long):
+        r = make(K)
+        float(r(arg, TRUE))  # compile + warm (one program, both paths)
+        float(r(arg, FALSE))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(r(arg, TRUE))
+            best = min(best, time.perf_counter() - t0)
+        times[K] = best
+        best = float("inf")
+        for _ in range(base_reps):
+            t0 = time.perf_counter()
+            float(r(arg, FALSE))
+            best = min(best, time.perf_counter() - t0)
+        tbase[K] = best
+        if K == K_short and on_short is not None:
+            on_short(max((times[K] - tbase[K]) / K, 1e-9))
+    dk = K_long - K_short
+    with_kernel = (times[K_long] - times[K_short]) / dk
+    baseline = (tbase[K_long] - tbase[K_short]) / dk
     return max(with_kernel - baseline, 1e-9)
 
 
@@ -314,7 +334,8 @@ def config5_pipeline_64streams(max_batches=3, jpeg_sample=16):
 
 
 def config5_pipeline_chipside(B=64, dst=224, K_dispatch=(40, 200),
-                              K_jpeg=(200, 2000)):
+                              K_jpeg=(200, 2000), sink=None,
+                              time_left=None):
     """The north-star config through the PRODUCT pipeline code,
     device-resident: MultiStreamPipeline's real staging/split/dispatch
     path (`_stage_padded` -> `_split` -> `_dispatch_planes`) run from an
@@ -325,8 +346,16 @@ def config5_pipeline_chipside(B=64, dst=224, K_dispatch=(40, 200),
     (ops/jpeg.py DCT+quant) on the pipeline's output batch separately
     from host entropy coding.
 
-    Parameters exist ONLY so tests can run the identical code path
-    scaled down on the CPU backend; the bench always uses the defaults.
+    ``sink``: optional dict filled PROGRESSIVELY (bench.py registers it
+    in RESULT["configs"] before calling, so its watchdog's partial emit
+    carries a provisional fps from the short chain even if a long-chain
+    compile blocks past budget — r3 and r4 both lost this number).
+    ``time_left``: callable returning remaining budget seconds; the
+    device-JPEG stage (one more fresh remote compile per chain) is
+    skipped when under 140s so the primary fps is never the casualty.
+
+    B/dst/K parameters exist ONLY so tests can run the identical code
+    path scaled down on the CPU backend; the bench uses the defaults.
     """
     import jax
     import jax.numpy as jnp
@@ -380,15 +409,35 @@ def config5_pipeline_chipside(B=64, dst=224, K_dispatch=(40, 200),
     # along as captured residents (same HBM-reuse pattern)
     rest = dev_planes[1:]
 
+    rec = sink if sink is not None else {}
+    rec.update({
+        "unit": "frames/sec/chip (pipeline code, HBM-resident ring)",
+        "note": ("decode+H2D excluded (host-bound on this 1-core "
+                 "tunneled host; see sw_decode_fps and h2d lines)")})
+
     def pipeline_dispatch(p):
         return pipe._dispatch_planes((p,) + rest)
 
+    def _provisional(per_call):
+        rec.update({"value": round(B / per_call, 1),
+                    "ms_per_batch": round(per_call * 1000, 3),
+                    "partial": "short-chain estimate"})
+
     per_batch = _slope_time(pipeline_dispatch, dev_planes[0],
                             K_short=K_dispatch[0], K_long=K_dispatch[1],
-                            reps=4)
+                            reps=4, on_short=_provisional)
+    rec.pop("partial", None)
     fps = B / per_batch
+    rec.update({"value": round(fps, 1),
+                "ms_per_batch": round(per_batch * 1000, 3)})
 
-    # device JPEG stage on the pipeline's real output batch
+    # device JPEG stage on the pipeline's real output batch — secondary
+    # (one more fresh remote compile per chain length), so budget-gated:
+    # the primary fps above must survive a watchdog abort
+    if time_left is not None and time_left() < 140:
+        rec["jpeg_skipped"] = (f"bench budget low ({time_left():.0f}s "
+                               "left); builder provenance in docs")
+        return rec
     packed = jnp.reshape(batch, (B, dst, dst * 3))
     # the device JPEG stage is ~30 us/batch: K=20/100 chains gave a ~2 ms
     # slope delta — below tunnel jitter, and the reported number swung 3x
@@ -398,13 +447,9 @@ def config5_pipeline_chipside(B=64, dst=224, K_dispatch=(40, 200),
             (x,), src_fmt=int(PixelFormat.RGB), width=dst, height=dst,
             quality=85)[0],
         packed, K_short=K_jpeg[0], K_long=K_jpeg[1], reps=3)
-    return {"value": round(fps, 1),
-            "unit": "frames/sec/chip (pipeline code, HBM-resident ring)",
-            "ms_per_batch": round(per_batch * 1000, 3),
-            "jpeg_device_ms_per_batch": round(per_jpeg * 1000, 3),
-            "jpeg_device_fps": round(B / per_jpeg, 1),
-            "note": ("decode+H2D excluded (host-bound on this 1-core "
-                     "tunneled host; see sw_decode_fps and h2d lines)")}
+    rec.update({"jpeg_device_ms_per_batch": round(per_jpeg * 1000, 3),
+                "jpeg_device_fps": round(B / per_jpeg, 1)})
+    return rec
 
 
 # ordered cheap-first so a tight time budget still records the quick
@@ -414,13 +459,12 @@ def config5_pipeline_chipside(B=64, dst=224, K_dispatch=(40, 200),
 # tunnel); a config is skipped with a note when less remains.
 ALL_CONFIGS = [
     ("1_sw_decode_cpu_convert", config1_decode_convert_cpu, 30),
-    # config 2 is cheap warm (~25s: its slope chains are short and the
-    # kernels cache) — run it before the long-pole chipside config so
-    # the two target-bearing numbers always land in the JSON even when
-    # the tunnel eats the budget (one run skipped chipside with 191s
-    # left under a 200s gate; the next skipped config 2 with 61s left)
-    ("2_tpu_two_stage_convert_resize", config2_convert_resize_tpu, 55),
+    # bench.py runs chipside then config 2 up front unconditionally
+    # (chipside is the product-path north star and missed the driver
+    # line in r3 AND r4; config 2 is cheap warm, ~25-32s) — these rows
+    # only matter for a standalone `python3 bench_configs.py` run
     ("5_pipeline_chipside", config5_pipeline_chipside, 120),
+    ("2_tpu_two_stage_convert_resize", config2_convert_resize_tpu, 55),
     ("4_decode_preprocess_inference_e2e", config4_inference_e2e, 90),
     ("3_transcode_4k_hevc", config3_full_transcode_4k, 90),
     ("5_pipeline_64x1080p_jpeg", config5_pipeline_64streams, 90),

@@ -138,6 +138,43 @@ def test_chipside_config_runs_scaled_down():
     assert res["jpeg_device_ms_per_batch"] > 0
 
 
+def test_chipside_sink_fills_progressively_and_gates_jpeg():
+    """With a sink dict and an exhausted budget, chipside must (1) fill
+    the sink with a final fps (the short-chain provisional is overwritten
+    by the slope), and (2) skip the device-JPEG stage with a note instead
+    of risking the primary number on two more remote compiles."""
+    sink = {}
+    res = bc.config5_pipeline_chipside(B=2, dst=32, K_dispatch=(2, 6),
+                                       sink=sink, time_left=lambda: 10.0)
+    assert res is sink
+    assert sink["value"] > 0 and sink["ms_per_batch"] > 0
+    assert "partial" not in sink          # provisional marker cleared
+    assert "jpeg_skipped" in sink         # budget-gated secondary stage
+    assert "jpeg_device_ms_per_batch" not in sink
+
+
+def test_chipside_jpeg_runs_with_budget():
+    sink = {}
+    bc.config5_pipeline_chipside(B=2, dst=32, K_dispatch=(2, 6),
+                                 K_jpeg=(2, 6), sink=sink,
+                                 time_left=lambda: 9999.0)
+    assert sink["jpeg_device_ms_per_batch"] > 0
+    assert "jpeg_skipped" not in sink
+
+
+def test_slope_time_on_short_provisional():
+    """The on_short callback must fire once, after the short chain only,
+    with a positive per-call estimate — it is what a watchdog abort
+    mid-long-compile would leave in the JSON."""
+    import numpy as np
+
+    got = []
+    x = np.zeros((4, 8), dtype=np.uint8)
+    bc._slope_time(lambda v: v + 1, x, K_short=4, K_long=16, reps=2,
+                   on_short=got.append)
+    assert len(got) == 1 and got[0] > 0
+
+
 def test_slope_time_subtracts_loop_baseline():
     """_slope_time must report (near-)zero for a free function: the
     fori_loop perturbation overhead is measured by a kernel-free
@@ -176,9 +213,17 @@ def test_main_live_path_control_flow(capsys, monkeypatch):
     monkeypatch.setattr(
         bc, "config2_convert_resize_tpu",
         lambda: (calls.append("2"), {"value": 111.0})[1])
-    monkeypatch.setattr(
-        bc, "config5_pipeline_chipside",
-        lambda: (calls.append("chip"), {"value": 222.0})[1])
+
+    def fake_chipside(sink=None, time_left=None):
+        # bench.py must pass a LIVE sink (pre-registered in RESULT) and
+        # its budget callable so the config can fill progressively and
+        # gate the JPEG stage
+        calls.append("chip")
+        assert sink is not None and callable(time_left)
+        sink["value"] = 222.0
+        return sink
+
+    monkeypatch.setattr(bc, "config5_pipeline_chipside", fake_chipside)
     monkeypatch.setattr(bc, "ALL_CONFIGS", [
         # the target-bearing pair already landed via the direct calls —
         # run_all must SKIP them even with different fakes registered
@@ -200,6 +245,10 @@ def test_main_live_path_control_flow(capsys, monkeypatch):
             {"value": 111.0}
         assert d["configs"]["5_pipeline_chipside"] == {"value": 222.0}
         assert calls.count("2") == 1 and calls.count("chip") == 1
+        # the product-path north star runs BEFORE the cheap config 2:
+        # under a degraded tunnel the cheap number is the one at risk
+        # (round-4 verdict #1 — chipside missed the driver line twice)
+        assert calls.index("chip") < calls.index("2")
         assert d["configs"]["3_transcode_4k_hevc"] == {"value": 3.0}
         # headline computed from the faked slope
         assert d["value"] > 0
