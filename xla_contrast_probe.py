@@ -48,20 +48,12 @@ def main():
     consume = lambda f, xx: jnp.sum(f(xx).astype(jnp.int32))
     K_S, K_L = 4, 12
 
+    # the cond chain under test IS bench.py's — imported, not copied, so
+    # the probe cannot silently diverge from the method it validates
+    from bench import _make_loop
+
     def make_cond(K):
-        @jax.jit
-        def run(v, apply_kernel):
-            def body(k, carry):
-                acc, xx = carry
-                patch = (k % 199 + 1).astype(jnp.uint8).reshape(1, 1, 1)
-                xx = jax.lax.dynamic_update_slice(xx, patch, (0, 0, 0))
-                acc = acc + jax.lax.cond(
-                    apply_kernel, lambda v2: consume(kernel, v2),
-                    lambda v2: v2[0, 0, 0].astype(jnp.int32), xx)
-                return (acc, xx)
-            acc, _ = jax.lax.fori_loop(0, K, body, (jnp.int32(0), v))
-            return acc
-        return run
+        return _make_loop(kernel, K, consume)
 
     def make_plain(K, use_fn):
         @jax.jit
