@@ -79,6 +79,20 @@ class TestLumaStats:
         assert float(st["std"][0]) == 0.0
         assert float(st["mean"][0]) == 100.0
 
+    def test_high_mean_low_variance_no_cancellation(self):
+        """One-pass E[x^2]-mean^2 catastrophically cancelled in f32: a
+        flat uint16 frame of 60000 reported std ~139 instead of 0. The
+        two-pass form must hold near-zero std for high-mean flat and
+        near-flat frames (black-frame/flash QC on 16-bit content)."""
+        flat = np.full((1, 64, 64), 60000, dtype=np.uint16)
+        st = analytics.luma_stats_batch(flat)
+        assert float(st["std"][0]) == 0.0
+        near = flat.copy()
+        near[0, 0, 0] = 60004  # true std ~= 0.0625
+        st = analytics.luma_stats_batch(near)
+        want = near.astype(np.float64).std()
+        assert abs(float(st["std"][0]) - want) < 1e-2 * want + 1e-3
+
 
 class TestSceneChange:
     def _clip_with_cut(self, n=12, cut=6, h=32, w=48):

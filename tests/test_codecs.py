@@ -394,6 +394,23 @@ def test_frame_converter_yuv420_rgb():
     assert abs(float(dst.mean()) - 130.4) < 1.5
 
 
+def test_frame_converter_resize_never_truncates():
+    """Auto-resizing a wrong-sized dst must ceil-divide by itemsize:
+    13x13 RGB needs 507 bytes, and a float32 dst floor-divided to
+    507//4 = 126 elems (504 bytes) fails the native size check on every
+    call after destroying the caller's buffer contents."""
+    w = h = 13
+    conv = vali.PyFrameConverter(w, h, F.YUV420, F.RGB)
+    y = np.full(w * h, 128, np.uint8)
+    # YUV420 src: swscale uses ceil-half chroma planes for odd sizes
+    c = np.full(((w + 1) // 2) * ((h + 1) // 2), 128, np.uint8)
+    src = np.concatenate([y, c, c])
+    dst = np.zeros(1, np.float32)  # wrong size AND 4-byte itemsize
+    ok, info = conv.Run(src, dst)
+    assert ok, info
+    assert dst.nbytes >= w * h * 3
+
+
 def test_frame_converter_rgb_yuv420_roundtrip():
     conv = vali.PyFrameConverter(W, H, F.RGB, F.YUV420)
     back = vali.PyFrameConverter(W, H, F.YUV420, F.RGB)

@@ -153,6 +153,23 @@ def test_yuv420_subsample_false_raises():
         jpeg_encode_device([surf], subsample420=False)
 
 
+def test_transform_batch_yuv420_subsample_false_raises():
+    """Same guard at the op level: jpeg_transform_batch is public API, so
+    the impossible YUV420 + subsample420=False combination must raise
+    here too, not only in the engine wrapper (which is bypassable)."""
+    import jax.numpy as jnp
+
+    from vali_tpu.core.enums import PixelFormat
+    from vali_tpu.ops.jpeg import jpeg_transform_batch
+
+    y = jnp.zeros((1, 32, 32), dtype=jnp.uint8)
+    c = jnp.zeros((1, 16, 16), dtype=jnp.uint8)
+    with pytest.raises(ValueError, match="already"):
+        jpeg_transform_batch((y, c, c), src_fmt=int(PixelFormat.YUV420),
+                             width=32, height=32, quality=85,
+                             subsample420=False)
+
+
 def test_transform_batch_validates_declared_size():
     """width/height are the logical size the host writer declares; a
     plane shape that disagrees must error instead of the writer's edge

@@ -65,6 +65,23 @@ def test_muxer_cfr_roundtrip(tmp_path, ext):
         assert abs(m - (40 + 15 * i)) < 3.0, (i, m)
 
 
+@pytest.mark.parametrize("fps", [30000 / 1001, (30000, 1001)])
+def test_muxer_ntsc_rate_is_cfr(tmp_path, fps):
+    """fps=30000/1001 must be declared as the exact rational (av_d2q
+    style), not millihertz-quantized to 2997/100 — the mismatch against
+    the timestamp-derived r_frame_rate made CFR NTSC content decode as
+    IsVFR=True. Accepts a float or an explicit (num, den) pair."""
+    pkts = encode_display_order_packets(12)
+    p = str(tmp_path / "ntsc.mp4")
+    with PyMuxer(p, W, H, fps=fps) as mux:
+        for i, d in enumerate(pkts):
+            # 1001/30000 s = exactly 3003 ticks at the 90 kHz timebase
+            assert mux.Mux(d, pts=i * 1001 / 30000, key=(i % 4 == 0))[0]
+    dec = vali.PyDecoder(p, {}, gpu_id=-1)
+    assert not dec.IsVFR
+    assert abs(dec.AvgFramerate - 30000 / 1001) < 1e-3
+
+
 def test_muxer_closed_rejects_write(tmp_path):
     p = str(tmp_path / "x.mp4")
     mux = PyMuxer(p, W, H)

@@ -155,6 +155,26 @@ class TestTonemapBatch:
             rgb, transfer="pq", peak_nits=1000.0, target_nits=100.0))
         assert out.min() >= 254  # 1-LSB rounding slack
 
+    def test_uint16_output_scales_to_full_range(self):
+        """Integer out_dtypes other than uint8 used to get a bare cast
+        of the [0,1] SDR float — essentially black frames of {0,1}. All
+        integer outputs must scale to the dtype's code range and agree
+        with the uint8 rendering to 1 part in 255."""
+        rgb = RNG.uniform(0, 1, (2, 16, 24, 3)).astype(np.float32)
+        out8 = np.asarray(tonemap.tonemap_batch(rgb))
+        out16 = np.asarray(tonemap.tonemap_batch(rgb, out_dtype=np.uint16))
+        assert out16.dtype == np.uint16
+        assert out16.max() > 255  # actually using the 16-bit range
+        np.testing.assert_allclose(out16 / 65535.0, out8 / 255.0,
+                                   atol=1.0 / 255.0)
+        # peak white lands on the 16-bit ceiling, not on 1
+        e = float(np.asarray(tonemap.pq_inv_eotf(np.float32(1000.0))))
+        white = np.full((1, 4, 4, 3), e, dtype=np.float32)
+        w16 = np.asarray(tonemap.tonemap_batch(
+            white, transfer="pq", peak_nits=1000.0, target_nits=100.0,
+            out_dtype=np.uint16))
+        assert w16.min() >= 65535 - 257  # 1-LSB-of-uint8 slack
+
     def test_black_stays_black(self):
         rgb = np.zeros((1, 4, 4, 3), np.float32)
         out = np.asarray(tonemap.tonemap_batch(rgb))

@@ -1,7 +1,7 @@
 """Type stub for vali_tpu (parity: reference src/python_vali/__init__.pyi)."""
 
 import enum
-from typing import Dict, List, Optional, Tuple, overload
+from typing import Dict, List, Optional, Tuple, Union, overload
 
 import numpy
 
@@ -559,7 +559,7 @@ class PyMuxer:
     def __init__(self, path: str, width: int, height: int,
                  codec: str = ..., timebase_den: int = ...,
                  format: Optional[str] = ...,
-                 fps: Optional[float] = ...,
+                 fps: Union[float, Tuple[int, int], None] = ...,
                  opts: Optional[dict] = ...) -> None: ...
     def Mux(self, packet, pts: float, dts: Optional[float] = ...,
             key: bool = ...) -> Tuple[bool, TaskExecInfo]: ...

@@ -11,12 +11,25 @@ from __future__ import annotations
 import os
 import subprocess
 import sys
+import threading
 
 _native = None
 _error: Exception | None = None
+_lock = threading.Lock()
 
 
 def load_native():
+    # Fast path without the lock; the build path below must be
+    # serialized — two threads racing `setup.py build_ext --inplace`
+    # into the same build dir clobber each other's .o/.so files, and
+    # the corrupted failure then gets cached in _error forever.
+    if _native is not None:
+        return _native
+    with _lock:
+        return _load_native_locked()
+
+
+def _load_native_locked():
     global _native, _error
     if _native is not None:
         return _native

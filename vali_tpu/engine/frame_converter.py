@@ -41,8 +41,13 @@ class PyFrameConverter:
             return (False, TaskExecInfo.SRC_DST_SIZE_MISMATCH)
         if dst.nbytes != dst_size:
             try:
-                dst.resize((dst_size // dst.dtype.itemsize,),
-                           refcheck=False)
+                # ceil-divide: must never truncate the buffer below
+                # dst_size when itemsize doesn't divide it (same rule as
+                # PyDecoder.DecodeSingleFrame) — floor left the native
+                # size check failing on every call after destroying the
+                # caller's contents.
+                n_items = -(-dst_size // dst.dtype.itemsize)
+                dst.resize((n_items,), refcheck=False)
             except ValueError:  # dst does not own its data
                 return (False, TaskExecInfo.INVALID_INPUT)
         cs = int(cc_ctx.color_space) if cc_ctx is not None else 2

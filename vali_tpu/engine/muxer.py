@@ -30,14 +30,24 @@ class PyMuxer:
     def __init__(self, path: str, width: int, height: int,
                  codec: str = "h264", timebase_den: int = 90000,
                  format: Optional[str] = None,
-                 fps: Optional[float] = None,
+                 fps=None,
                  opts: Optional[dict] = None):
         """``opts``: muxer AVOptions passed to the container writer,
         e.g. ``{"movflags": "faststart"}`` for web-streamable MP4."""
         native = load_native()
         fps_num, fps_den = 0, 1
         if fps:
-            fps_num, fps_den = int(round(fps * 1000)), 1000
+            if isinstance(fps, (tuple, list)):
+                fps_num, fps_den = int(fps[0]), int(fps[1])
+            else:
+                # av_d2q-style rational approximation, NOT millihertz
+                # quantization: fps=30000/1001 must be stored as exactly
+                # 30000/1001, or the declared rate (2997/100) disagrees
+                # with the timestamp-derived r_frame_rate and CFR NTSC
+                # content decodes as IsVFR=True.
+                from fractions import Fraction
+                frac = Fraction(float(fps)).limit_denominator(1 << 16)
+                fps_num, fps_den = frac.numerator, frac.denominator
         norm_opts = {opt_str(k): opt_str(v)
                      for k, v in (opts or {}).items()}
         self._mux = native.Muxer(path, int(width), int(height), str(codec),

@@ -83,8 +83,14 @@ def luma_stats_batch(frames: jnp.ndarray) -> dict:
     """
     x = frames.astype(jnp.float32)
     axes = _flat_axes(x)
+    # Two-pass moments: E[(x-mean)^2], NOT E[x^2]-mean^2 — the one-pass
+    # form cancels catastrophically in f32 for high-mean low-variance
+    # frames (a flat uint16 frame of 60000 reported std≈139 instead of
+    # 0), and flat/near-flat frames are exactly what the QC use cases
+    # below (black-frame / flash detection) need to measure.
     mean = jnp.mean(x, axis=axes)
-    var = jnp.mean(x * x, axis=axes) - mean * mean
+    centered = x - mean.reshape(mean.shape + (1,) * (x.ndim - 1))
+    var = jnp.mean(centered * centered, axis=axes)
     return {
         "mean": mean,
         "std": jnp.sqrt(jnp.maximum(var, 0.0)),
@@ -107,8 +113,14 @@ def _default_peak(dtype) -> float:
 def _default_hist_range(dtype, peak: Optional[float]
                         ) -> Tuple[float, float]:
     if peak is not None:
-        return (0.0, float(peak) * (256.0 / 255.0)
-                if dtype == jnp.uint8 else float(peak))
+        # Integer codes get +1-code headroom (hi = peak+1) so every code
+        # value spans an equal bin width under the half-open range —
+        # e.g. 10-bit peak=1023 -> (0, 1024), matching the uint8
+        # peak=255 -> (0, 256) convention; hi=peak exactly would make
+        # the top bin one code wider and bit-depth scores inconsistent.
+        if dtype in (jnp.uint8, jnp.uint16):
+            return (0.0, float(peak) + 1.0)
+        return (0.0, float(peak))
     if dtype == jnp.uint8:
         return (0.0, 256.0)
     if dtype == jnp.uint16:

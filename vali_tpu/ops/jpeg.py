@@ -166,6 +166,15 @@ def jpeg_transform_batch(planes, *, src_fmt: int, width: int, height: int,
         cb = planes[1].astype(jnp.float32)
         cr = planes[2].astype(jnp.float32)
     elif fmt == PixelFormat.YUV420:
+        if not subsample420:
+            # Chroma is already half-size; emitting it under a 4:4:4
+            # coefficient layout would make the writer read half-size
+            # planes as full-size and corrupt the JPEG. Raise at the op,
+            # not only in the engine wrapper (this is the public API).
+            raise ValueError(
+                "jpeg_transform_batch: subsample420=False is impossible "
+                "for YUV420 input — the chroma planes are already "
+                "subsampled")
         y = planes[0].astype(jnp.float32)
         cb = planes[1].astype(jnp.float32)
         cr = planes[2].astype(jnp.float32)

@@ -263,6 +263,10 @@ def tonemap_batch(rgb: jnp.ndarray, transfer: str = "pq",
 
     sdr = jnp.clip(lin / float(target_nits), 0.0, 1.0)
     sdr = jnp.power(sdr, 1.0 / float(out_gamma))
-    if np.dtype(out_dtype) == np.uint8:
-        return jnp.round(sdr * 255.0).astype(jnp.uint8)
+    odt = np.dtype(out_dtype)
+    if odt.kind in "ui":
+        # Scale [0,1] SDR to the full code range of ANY integer dtype —
+        # a bare cast would floor everything to {0, 1} (16-bit SDR
+        # output came back essentially black before this scaled path).
+        return jnp.round(sdr * float(np.iinfo(odt).max)).astype(out_dtype)
     return sdr.astype(out_dtype)
