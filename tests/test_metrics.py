@@ -21,7 +21,7 @@ def _ref_psnr(gt, dist, peak=255.0):
 def _ref_ssim(a, b, peak=255.0, win=8):
     """Independent numpy SSIM (uniform window, valid mode, unbiased
     moments) — deliberately a different implementation shape (cumsum
-    box filter) from the matmul version under test."""
+    box filter) from the reduce_window version under test."""
     a = a.astype(np.float64)
     b = b.astype(np.float64)
 

@@ -115,7 +115,7 @@ def compute_all(clip: str) -> dict:
     assert ok, info
     out["rot30"] = np.asarray(dst.to_numpy()).copy()
 
-    # quality metrics: MSE/PSNR reductions + the SSIM separable-matmul
+    # quality metrics: MSE/PSNR reductions + the SSIM sliding-window-sum
     # (MXU) path. Inputs are a deterministic host-generated pair
     # (identical bytes on both devices), so the cross-device comparison
     # isolates the METRIC math — scoring device-computed images here

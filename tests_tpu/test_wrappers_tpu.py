@@ -206,7 +206,7 @@ def test_rotator_on_chip(outputs):
 
 def test_metrics_on_chip(outputs):
     tpu, cpu = outputs
-    # f32 reductions + the SSIM separable-matmul (MXU) path: TPU
+    # f32 reductions + the SSIM sliding-window-sum path: TPU
     # accumulation order may differ, same rtol envelope as analytics
     for key in ("metric_mse", "metric_psnr", "metric_ssim"):
         np.testing.assert_allclose(tpu[key], cpu[key],
