@@ -183,10 +183,22 @@ def test_plane_resize_u16_real_vs_interpret():
 
 def test_preprocess_batch_routes_to_pallas_on_tpu():
     """The pipeline's one-shot entry must route NV12 to the banded
-    kernel on TPU and match the XLA path on real hardware."""
+    kernel on TPU, and that kernel must sit inside its documented
+    bf16-multiply envelope vs the true-f32 XLA path.
+
+    Routing is proven by bit-identity with the kernel called directly
+    (the f32 XLA path cannot bit-match the bf16 kernel, so identity
+    can only come from having taken the Pallas route). This test used
+    to assert array_equal against fused_preprocess; that held only
+    while the XLA einsums also multiplied in bf16 on the MXU, and
+    silently broke when they were pinned to precision=HIGHEST —
+    measured divergence on random NV12: |d|<=3, ~6% of pixels beyond
+    1 LSB, PSNR 49.2 dB (both paths are platform-deterministic: each
+    reproduces its CPU result bit-exactly)."""
     from vali_tpu.core.enums import PixelFormat
-    from vali_tpu.ops.fused import fused_preprocess
-    from vali_tpu.ops.pallas_fused import required_pad_rows
+    from vali_tpu.ops.fused import LANCZOS_AA, fused_preprocess
+    from vali_tpu.ops.pallas_fused import (pallas_nv12_preprocess,
+                                           required_pad_rows)
     from vali_tpu.pipeline.multistream import _pallas_usable, preprocess_batch
 
     assert _pallas_usable(PixelFormat.NV12, ColorSpace.BT_709,
@@ -199,10 +211,20 @@ def test_preprocess_batch_routes_to_pallas_on_tpu():
     x = jnp.asarray(nv)
     got = np.asarray(preprocess_batch((x,), PixelFormat.NV12, W, H, DW, DH,
                                       planar=True))
+    direct = np.asarray(pallas_nv12_preprocess(
+        x, src_w=W, src_h=H, dst_w=DW, dst_h=DH, space=ColorSpace.BT_709,
+        crange=ColorRange.MPEG, out_dtype=jnp.uint8, method=LANCZOS_AA,
+        normalize=None))
+    assert np.array_equal(got, direct), "pipeline did not take the Pallas route"
     want = np.asarray(fused_preprocess((x[:, :H * 3 // 2],),
                                        PixelFormat.NV12, W, H, DW, DH,
                                        planar=True))
-    assert np.array_equal(got, want)
+    d = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    mse = float((d.astype(np.float64) ** 2).mean())
+    psnr = 10.0 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+    assert d.max() <= 4, int(d.max())
+    assert (d > 1).mean() < 0.15, float((d > 1).mean())
+    assert psnr > 46.0, psnr
 
 
 def test_nv12_to_rgb_packed_real_vs_xla():

@@ -139,8 +139,13 @@ def pallas_nv12_preprocess(
 ) -> jax.Array:
     """Fused NV12/P10/P12 batch -> planar RGB [B, 3, dst_h, dst_w].
 
-    uint8 inputs compute in bfloat16 (1-LSB-exact after rounding); uint16
-    inputs compute in float32 to preserve the 10/12 significant bits.
+    uint8 inputs compute in bfloat16 multiplies with an f32 H-pass
+    accumulator rounded back to bf16 between the passes — measured
+    envelope vs the true-f32 XLA fused path on random NV12: |d| <= 3
+    with ~6% of pixels beyond 1 LSB, PSNR ~49 dB (the two were
+    bit-identical only while the XLA einsums ALSO multiplied in bf16,
+    i.e. before they were pinned to precision=HIGHEST). uint16 inputs
+    compute in float32 to preserve the 10/12 significant bits.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
