@@ -67,10 +67,15 @@ def test_pallas_kernel_interpret_matches_xla(shape):
     ref = np.moveaxis(np.asarray(fused.fused_preprocess(
         (nv12,), PixelFormat.NV12, W, H, DW, DH,
         ColorSpace.BT_709, ColorRange.MPEG)), -1, 1)
-    diff = np.abs(out.astype(int) - ref.astype(int))
-    # On real TPU the kernel is within 1 LSB of the f32 XLA path (verified
-    # in bench/verify runs); the CPU interpreter emulates bf16 with
-    # slightly different rounding, so allow a few LSB here.
+    # f32 default compute: interpret mode is bit-identical to the f32
+    # XLA fused path.
+    assert np.array_equal(out, ref)
+    # the bf16 compute_dtype knob keeps the historical low-precision
+    # envelope (a few LSB of interpret-mode bf16 rounding)
+    out_bf = np.asarray(pallas_nv12_preprocess(
+        nv12, src_w=W, src_h=H, dst_w=DW, dst_h=DH, interpret=True,
+        compute_dtype=jnp.bfloat16))
+    diff = np.abs(out_bf.astype(int) - ref.astype(int))
     assert diff.max() <= 4
     assert diff.mean() < 1.0
 
@@ -95,9 +100,8 @@ def test_pallas_yuv420_kernel_interpret_matches_xla():
     ref = np.moveaxis(np.asarray(fused.fused_preprocess(
         (y, u, v), PixelFormat.YUV420, W, H, DW, DH,
         ColorSpace.BT_709, ColorRange.MPEG)), -1, 1)
-    diff = np.abs(out.astype(int) - ref.astype(int))
-    assert diff.max() <= 4
-    assert diff.mean() < 1.0
+    # f32 default compute: interpret mode is bit-identical to XLA
+    assert np.array_equal(out, ref)
 
 
 def test_pallas_p10_kernel_interpret_matches_xla():
@@ -133,9 +137,11 @@ def test_pallas_geometry_sweep(geom):
     ref = np.moveaxis(np.asarray(fused.fused_preprocess(
         (nv12,), PixelFormat.NV12, W, H, DW, DH,
         ColorSpace.BT_709, ColorRange.MPEG)), -1, 1)
+    # f32 compute: within one rounding tie of the dense XLA path
+    # (banded-vs-dense accumulation order; <=1 LSB on ~2e-5 of pixels)
     diff = np.abs(out.astype(int) - ref.astype(int))
-    assert diff.max() <= 4, (geom, diff.max())
-    assert diff.mean() < 1.0, (geom, diff.mean())
+    assert diff.max() <= 1, (geom, diff.max())
+    assert (diff > 0).mean() < 1e-3, (geom, (diff > 0).mean())
 
 
 def test_pallas_normalize_fold():
@@ -149,8 +155,9 @@ def test_pallas_normalize_fold():
         (nv12,), PixelFormat.NV12, 128, 64, 32, 32,
         ColorSpace.BT_709, ColorRange.MPEG, out_dtype=jnp.float32,
         normalize=norm)), -1, 1)
-    # interpret-mode bf16 rounding amplified by 1/std; hardware is tighter
-    assert np.abs(out - ref).max() < 0.08
+    # f32 default compute: interpret mode matches the XLA path to f32
+    # rounding even through the 1/std amplification
+    assert np.abs(out - ref).max() < 1e-5
     with pytest.raises(ValueError):
         pallas_nv12_preprocess(nv12, src_w=128, src_h=64, dst_w=32,
                                dst_h=32, normalize=norm, interpret=True)

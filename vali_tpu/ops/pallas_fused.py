@@ -12,8 +12,9 @@ bandedness — the structural optimization XLA cannot see:
     weights on out-of-plane taps; FLOPs drop ~10-17x vs dense.
   - W-pass: banded too — per 128-lane output tile, [DH, WIN] x
     [WIN, 128] over an aligned lane window of the H-pass scratch,
-    bfloat16 in / f32 accumulate (the Lanczos band covers ~60% of the
-    dense [W, DW] matrix at 1080p->224).
+    float32 compute by default (the Lanczos band covers ~60% of the
+    dense [W, DW] matrix at 1080p->224; see _resolve_compute_dtype for
+    the measured f32-faster-than-bf16 story on v5e).
   - Chroma deinterleaving is folded into the W-pass weight matrix: the
     interleaved UV rows stay packed and parity-masked taps emit U and V
     side by side — no strided loads. The U and V output halves are
@@ -49,6 +50,30 @@ ALIGN = 8    # window starts are STATIC slices (host constants baked into
 # the unrolled tile loop), so no Mosaic dynamic-offset alignment applies;
 # 8 keeps rows on sublane boundaries. Static windows measured 0.444 ms vs
 # 0.516 ms for the scalar-prefetch dynamic-slice version (64x1080p->224).
+
+
+def _resolve_compute_dtype(compute_dtype, hbd: bool = False):
+    """Family-wide compute-dtype policy.
+
+    Default float32 for every input depth: on v5e the banded kernels
+    are MXU-occupancy-bound at M=TILE, so f32 multiplies hide behind
+    the same latency while deleting the bf16 round-trip casts between
+    the H and W passes — measured FASTER than bf16 (0.307 vs 0.328 ms
+    per 64x1080p->224 NV12 batch, long-chain slope, 2026-08-19) and
+    XLA-einsum-grade numerics. bfloat16 is kept as an explicit A/B
+    knob for uint8 input; uint16 (10/12-bit) rejects it.
+    """
+    if compute_dtype is None:
+        return jnp.float32
+    req = np.dtype(compute_dtype)
+    if req not in (np.dtype(np.float32), np.dtype(jnp.bfloat16)):
+        raise ValueError(
+            f"compute_dtype must be float32 or bfloat16, got {req}")
+    if hbd and req != np.dtype(np.float32):
+        raise ValueError(
+            "uint16 (10/12-bit) input requires float32 compute — "
+            "bfloat16 cannot hold 10/12 significant bits")
+    return jnp.float32 if req == np.dtype(np.float32) else jnp.bfloat16
 
 
 def _banded_h_weights(n_in: int, n_out: int, method: str,
@@ -121,7 +146,8 @@ def required_pad_rows(src_w: int, src_h: int, dst_h: int,
 @functools.partial(
     jax.jit,
     static_argnames=("src_w", "src_h", "dst_w", "dst_h", "space", "crange",
-                     "out_dtype", "method", "normalize", "interpret"))
+                     "out_dtype", "method", "normalize", "interpret",
+                     "compute_dtype"))
 def pallas_nv12_preprocess(
     nv12: jax.Array,  # [B, >= H*3/2 (+pad), W] uint8 (NV12) / uint16 (P10,
                       # P12: MSB-aligned 16-bit, like NVDEC P010/P012)
@@ -136,16 +162,24 @@ def pallas_nv12_preprocess(
     method: str = LANCZOS_AA,
     normalize=None,
     interpret: bool = False,
+    compute_dtype=None,
 ) -> jax.Array:
     """Fused NV12/P10/P12 batch -> planar RGB [B, 3, dst_h, dst_w].
 
-    uint8 inputs compute in bfloat16 multiplies with an f32 H-pass
-    accumulator rounded back to bf16 between the passes — measured
-    envelope vs the true-f32 XLA fused path on random NV12: |d| <= 3
-    with ~6% of pixels beyond 1 LSB, PSNR ~49 dB (the two were
-    bit-identical only while the XLA einsums ALSO multiplied in bf16,
-    i.e. before they were pinned to precision=HIGHEST). uint16 inputs
-    compute in float32 to preserve the 10/12 significant bits.
+    Both passes compute in float32 by default (uint16 input always
+    does — it needs the 10/12 significant bits). For uint8 input f32
+    measured FASTER than the historical bfloat16 compute on v5e
+    (0.307 vs 0.328 ms per 64x1080p->224 batch, long-chain slope,
+    2026-08-19): the kernel is MXU-occupancy-bound at M=32 tiles, so
+    the extra f32 passes hide, while the bf16 round-trip casts between
+    the H and W passes are real VPU work that f32 deletes. Numerics vs
+    the true-f32 XLA fused path collapse from |d|<=3 / 4.6%-beyond-1LSB
+    (bf16) to |d|<=2 / 0.03%-beyond-1LSB (banded-vs-dense accumulation
+    ordering; bit-identical in interpret mode).
+
+    ``compute_dtype`` (uint8 input only): ``jnp.bfloat16`` restores the
+    old low-precision compute (kept for A/B measurement; it has no
+    speed advantage). ``jnp.float32`` / ``None`` are the default.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -156,7 +190,8 @@ def pallas_nv12_preprocess(
         raise ValueError(
             f"NV12 plane shape {nv12.shape} does not match {W}x{H}")
     hbd = np.dtype(nv12.dtype) == np.uint16  # MSB-aligned high bit depth
-    cdt = jnp.float32 if hbd else jnp.bfloat16
+    cdt = _resolve_compute_dtype(compute_dtype, hbd)
+    f32_compute = cdt == jnp.float32
     scale = 256.0 if hbd else 1.0
 
     y_starts, y_blocks, y_win, y_end = _banded_h_weights(
@@ -205,12 +240,18 @@ def pallas_nv12_preprocess(
     norm_std = tuple(float(v) for v in normalize[1]) if normalize else None
 
     def _to_compute(x):
-        if hbd:  # u16 needs the wide chain to keep 10/12 significant bits
+        if hbd or f32_compute:  # the wide chain: u8/u16 -> i32 -> f32
             return x.astype(jnp.int32).astype(jnp.float32).astype(cdt)
         # u8: Mosaic can't cast u8->bf16 directly, but u8->i16->bf16 works
         # and i16 halves the vreg traffic of the i32 route (measured: the
         # cast chain is the kernel's VPU co-bottleneck with the MXU).
         return x.astype(jnp.int16).astype(cdt)
+
+    # f32 compute pins the MXU to true-f32 multiplies: without the pin
+    # both Mosaic and on-TPU jnp run f32 dots as bf16 multiplies with
+    # f32 accumulate (diagnosed 2026-08-19: the bf16-rounded WEIGHTS,
+    # not the exact u8 samples, were the 3-LSB error source).
+    prec = jax.lax.Precision.HIGHEST if f32_compute else None
 
     def kernel(frame_ref, yblk_ref, cblk_ref, wyb_ref, wcb_ref, out_ref,
                yh_ref, ch_ref, yw_ref, cw_ref):
@@ -221,11 +262,11 @@ def pallas_nv12_preprocess(
             ys, cs = int(y_starts[t]), int(c_starts[t])
             ywin = _to_compute(frame_ref[0, ys:ys + y_win, :])
             yh_ref[t * TILE:(t + 1) * TILE, :] = jnp.dot(
-                yblk_ref[t].astype(cdt), ywin,
+                yblk_ref[t].astype(cdt), ywin, precision=prec,
                 preferred_element_type=jnp.float32).astype(cdt)
             cwin = _to_compute(frame_ref[0, cs:cs + c_win, :])
             ch_ref[t * TILE:(t + 1) * TILE, :] = jnp.dot(
-                cblk_ref[t].astype(cdt), cwin,
+                cblk_ref[t].astype(cdt), cwin, precision=prec,
                 preferred_element_type=jnp.float32).astype(cdt)
 
         # --- banded W pass over output lane tiles ----------------------
@@ -233,11 +274,13 @@ def pallas_nv12_preprocess(
             ws = int(wys[t])
             yw_ref[:, t * LANE_TILE:(t + 1) * LANE_TILE] = jnp.dot(
                 yh_ref[:DH, ws:ws + wy_winw], wyb_ref[t].astype(cdt),
+                precision=prec,
                 preferred_element_type=jnp.float32)
         for t in range(nct_w):
             ws = int(wcs[t])
             cw_ref[:, t * LANE_TILE:(t + 1) * LANE_TILE] = jnp.dot(
                 ch_ref[:DH, ws:ws + wc_winw], wcb_ref[t].astype(cdt),
+                precision=prec,
                 preferred_element_type=jnp.float32)
         u = cw_ref[:, :DW] - 128.0 * scale
         v = cw_ref[:, DWp:DWp + DW] - 128.0 * scale
@@ -305,7 +348,8 @@ def required_pad_rows_yuv444(src_w: int, src_h: int, dst_h: int,
 @functools.partial(
     jax.jit,
     static_argnames=("src_w", "src_h", "dst_w", "dst_h", "space", "crange",
-                     "out_dtype", "method", "normalize", "interpret"))
+                     "out_dtype", "method", "normalize", "interpret",
+                     "compute_dtype"))
 def pallas_yuv444_preprocess(
     y: jax.Array,  # [B, >= H (+pad), W] uint8 each
     u: jax.Array,
@@ -321,6 +365,7 @@ def pallas_yuv444_preprocess(
     method: str = LANCZOS_AA,
     normalize=None,
     interpret: bool = False,
+    compute_dtype=None,
 ) -> jax.Array:
     """Planar YUV444 batch -> planar RGB [B, 3, dst_h, dst_w].
 
@@ -328,6 +373,10 @@ def pallas_yuv444_preprocess(
     serves every plane — the simplest member of the kernel family
     (parity ancestor: the 4:4:4 paths of TaskConvertSurface.cpp +
     TaskResizeSurface.cpp, fused like ResizeUtils.cu does for NV12).
+
+    ``compute_dtype``: float32 (default) or bfloat16 — see the NV12
+    kernel's docstring for the measured speed/quality story (f32 is
+    both faster and XLA-grade on v5e).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -349,11 +398,14 @@ def pallas_yuv444_preprocess(
         v = jnp.pad(v, ((0, 0), (0, padn), (0, 0)))
     rows = y.shape[1]
 
+    cdt = _resolve_compute_dtype(compute_dtype)
+    f32_compute = cdt == jnp.float32
+    prec = jax.lax.Precision.HIGHEST if f32_compute else None
+
     wys, wyb, wy_winw, _ = _banded_blocks_from_dense(
         _w_weights(W, DW, method).T, LANE_TILE, LANE_ALIGN, W,
         clamp_to_extent=True)
-    wy_blocks = jnp.asarray(np.transpose(wyb, (0, 2, 1)).copy()).astype(
-        jnp.bfloat16)
+    wy_blocks = jnp.asarray(np.transpose(wyb, (0, 2, 1)).copy()).astype(cdt)
     nwt = wyb.shape[0]
     n_tiles = y_blocks.shape[0]
 
@@ -368,20 +420,23 @@ def pallas_yuv444_preprocess(
     norm_mean = tuple(float(x) for x in normalize[0]) if normalize else None
     norm_std = tuple(float(x) for x in normalize[1]) if normalize else None
 
-    def _to_bf16(x):
+    def _to_compute(x):
+        if f32_compute:  # the exact wide chain: u8 -> i32 -> f32
+            return x.astype(jnp.int32).astype(jnp.float32)
         # u8 -> i16 -> bf16: shortest Mosaic-supported exact chain
-        return x.astype(jnp.int16).astype(jnp.bfloat16)
+        return x.astype(jnp.int16).astype(cdt)
 
     def kernel(y_ref, u_ref, v_ref, yblk_ref, wyb_ref, out_ref,
                yh_ref, uh_ref, vh_ref, w0_ref, w1_ref, w2_ref):
         for t in range(n_tiles):
             ys = int(y_starts[t])
-            blk = yblk_ref[t].astype(jnp.bfloat16)
+            blk = yblk_ref[t].astype(cdt)
             for src_ref, dst_ref in ((y_ref, yh_ref), (u_ref, uh_ref),
                                      (v_ref, vh_ref)):
                 dst_ref[t * TILE:(t + 1) * TILE, :] = jnp.dot(
-                    blk, _to_bf16(src_ref[0, ys:ys + y_win, :]),
-                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+                    blk, _to_compute(src_ref[0, ys:ys + y_win, :]),
+                    precision=prec,
+                    preferred_element_type=jnp.float32).astype(cdt)
 
         # banded W pass (see the NV12 kernel note)
         for t in range(nwt):
@@ -390,7 +445,7 @@ def pallas_yuv444_preprocess(
                                  (vh_ref, w2_ref)):
                 w_ref[:, t * LANE_TILE:(t + 1) * LANE_TILE] = jnp.dot(
                     h_ref[:DH, ws:ws + wy_winw],
-                    wyb_ref[t].astype(jnp.bfloat16),
+                    wyb_ref[t].astype(cdt), precision=prec,
                     preferred_element_type=jnp.float32)
         yv = w0_ref[:, :DW] - y_off
         uw = w1_ref[:, :DW] - 128.0
@@ -425,9 +480,9 @@ def pallas_yuv444_preprocess(
         out_specs=pl.BlockSpec((1, 3, DH, DW), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((dh_pad, W), jnp.bfloat16),
-            pltpu.VMEM((dh_pad, W), jnp.bfloat16),
-            pltpu.VMEM((dh_pad, W), jnp.bfloat16),
+            pltpu.VMEM((dh_pad, W), cdt),
+            pltpu.VMEM((dh_pad, W), cdt),
+            pltpu.VMEM((dh_pad, W), cdt),
             pltpu.VMEM((DH, dwp), jnp.float32),
             pltpu.VMEM((DH, dwp), jnp.float32),
             pltpu.VMEM((DH, dwp), jnp.float32),
@@ -534,7 +589,8 @@ def required_pad_rows_yuv422(src_w: int, src_h: int, dst_h: int,
 @functools.partial(
     jax.jit,
     static_argnames=("src_w", "src_h", "dst_w", "dst_h", "space", "crange",
-                     "out_dtype", "method", "normalize", "interpret"))
+                     "out_dtype", "method", "normalize", "interpret",
+                     "compute_dtype"))
 def pallas_yuv422_preprocess(
     y: jax.Array,  # [B, >= H (+pad), W] uint8
     u: jax.Array,  # [B, >= H (+pad), W/2] uint8 (full height, half width)
@@ -550,12 +606,14 @@ def pallas_yuv422_preprocess(
     method: str = LANCZOS_AA,
     normalize=None,
     interpret: bool = False,
+    compute_dtype=None,
 ) -> jax.Array:
     """Planar YUV422 batch -> planar RGB [B, 3, dst_h, dst_w].
 
     4:2:2 chroma is full height / half width, so the luma row weights
     serve the chroma H-pass and only the W-pass differs (half-width
-    resample with 4:2:x horizontal siting).
+    resample with 4:2:x horizontal siting). ``compute_dtype``: float32
+    (default) or bfloat16 — see the NV12 kernel docstring.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -578,16 +636,18 @@ def pallas_yuv422_preprocess(
         v = jnp.pad(v, ((0, 0), (0, y_end - v.shape[1]), (0, 0)))
     rows = y.shape[1]
 
+    cdt = _resolve_compute_dtype(compute_dtype)
+    f32_compute = cdt == jnp.float32
+    prec = jax.lax.Precision.HIGHEST if f32_compute else None
+
     wys, wyb, wy_winw, _ = _banded_blocks_from_dense(
         _w_weights(W, DW, method).T, LANE_TILE, LANE_ALIGN, W,
         clamp_to_extent=True)
-    wy_blocks = jnp.asarray(np.transpose(wyb, (0, 2, 1)).copy()).astype(
-        jnp.bfloat16)
+    wy_blocks = jnp.asarray(np.transpose(wyb, (0, 2, 1)).copy()).astype(cdt)
     wcs, wcb, wc_winw, _ = _banded_blocks_from_dense(
         _plain_w_weights_half(W, DW, method).T, LANE_TILE, LANE_ALIGN, HW,
         clamp_to_extent=True)
-    wc_blocks = jnp.asarray(np.transpose(wcb, (0, 2, 1)).copy()).astype(
-        jnp.bfloat16)
+    wc_blocks = jnp.asarray(np.transpose(wcb, (0, 2, 1)).copy()).astype(cdt)
     nwt = wyb.shape[0]
     n_tiles = y_blocks.shape[0]
 
@@ -602,38 +662,40 @@ def pallas_yuv422_preprocess(
     norm_mean = tuple(float(x) for x in normalize[0]) if normalize else None
     norm_std = tuple(float(x) for x in normalize[1]) if normalize else None
 
-    def _to_bf16(x):
+    def _to_compute(x):
+        if f32_compute:  # the exact wide chain: u8 -> i32 -> f32
+            return x.astype(jnp.int32).astype(jnp.float32)
         # u8 -> i16 -> bf16: shortest Mosaic-supported exact chain
-        return x.astype(jnp.int16).astype(jnp.bfloat16)
+        return x.astype(jnp.int16).astype(cdt)
 
     def kernel(y_ref, u_ref, v_ref, yblk_ref, wyb_ref, wcb_ref, out_ref,
                yh_ref, uh_ref, vh_ref, w0_ref, w1_ref, w2_ref):
         for t in range(n_tiles):
             ys = int(y_starts[t])
-            blk = yblk_ref[t].astype(jnp.bfloat16)
+            blk = yblk_ref[t].astype(cdt)
             yh_ref[t * TILE:(t + 1) * TILE, :] = jnp.dot(
-                blk, _to_bf16(y_ref[0, ys:ys + y_win, :]),
-                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+                blk, _to_compute(y_ref[0, ys:ys + y_win, :]), precision=prec,
+                preferred_element_type=jnp.float32).astype(cdt)
             uh_ref[t * TILE:(t + 1) * TILE, :] = jnp.dot(
-                blk, _to_bf16(u_ref[0, ys:ys + y_win, :]),
-                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+                blk, _to_compute(u_ref[0, ys:ys + y_win, :]), precision=prec,
+                preferred_element_type=jnp.float32).astype(cdt)
             vh_ref[t * TILE:(t + 1) * TILE, :] = jnp.dot(
-                blk, _to_bf16(v_ref[0, ys:ys + y_win, :]),
-                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+                blk, _to_compute(v_ref[0, ys:ys + y_win, :]), precision=prec,
+                preferred_element_type=jnp.float32).astype(cdt)
 
         for t in range(nwt):
             w0_ref[:, t * LANE_TILE:(t + 1) * LANE_TILE] = jnp.dot(
                 yh_ref[:DH, int(wys[t]):int(wys[t]) + wy_winw],
-                wyb_ref[t].astype(jnp.bfloat16),
+                wyb_ref[t].astype(cdt), precision=prec,
                 preferred_element_type=jnp.float32)
             cs2 = int(wcs[t])
             w1_ref[:, t * LANE_TILE:(t + 1) * LANE_TILE] = jnp.dot(
                 uh_ref[:DH, cs2:cs2 + wc_winw],
-                wcb_ref[t].astype(jnp.bfloat16),
+                wcb_ref[t].astype(cdt), precision=prec,
                 preferred_element_type=jnp.float32)
             w2_ref[:, t * LANE_TILE:(t + 1) * LANE_TILE] = jnp.dot(
                 vh_ref[:DH, cs2:cs2 + wc_winw],
-                wcb_ref[t].astype(jnp.bfloat16),
+                wcb_ref[t].astype(cdt), precision=prec,
                 preferred_element_type=jnp.float32)
         yv = w0_ref[:, :DW] - y_off
         uw = w1_ref[:, :DW] - 128.0
@@ -674,9 +736,9 @@ def pallas_yuv422_preprocess(
         out_specs=pl.BlockSpec((1, 3, DH, DW), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((dh_pad, W), jnp.bfloat16),
-            pltpu.VMEM((dh_pad, HW), jnp.bfloat16),
-            pltpu.VMEM((dh_pad, HW), jnp.bfloat16),
+            pltpu.VMEM((dh_pad, W), cdt),
+            pltpu.VMEM((dh_pad, HW), cdt),
+            pltpu.VMEM((dh_pad, HW), cdt),
             pltpu.VMEM((DH, dwp), jnp.float32),
             pltpu.VMEM((DH, dwp), jnp.float32),
             pltpu.VMEM((DH, dwp), jnp.float32),
@@ -712,7 +774,8 @@ def required_pad_rows_yuv420(src_w: int, src_h: int, dst_h: int,
 @functools.partial(
     jax.jit,
     static_argnames=("src_w", "src_h", "dst_w", "dst_h", "space", "crange",
-                     "out_dtype", "method", "normalize", "bit_depth", "interpret"))
+                     "out_dtype", "method", "normalize", "bit_depth",
+                     "interpret", "compute_dtype"))
 def pallas_yuv420_preprocess(
     y: jax.Array,  # [B, >= H (+pad), W] uint8 / uint16 (LSB-aligned
                    # 10/12-bit, the software decoder's YUV420_10bit layout)
@@ -730,12 +793,15 @@ def pallas_yuv420_preprocess(
     normalize=None,
     bit_depth=None,
     interpret: bool = False,
+    compute_dtype=None,
 ) -> jax.Array:
     """Planar I420 batch -> planar RGB [B, 3, dst_h, dst_w].
 
     Same banded design as the NV12 kernel; planar chroma needs no
     interleave trick, the half-width planes resample directly. uint16
-    input computes in float32 (bit_depth defaults to 10).
+    input always computes in float32 (bit_depth defaults to 10);
+    ``compute_dtype``: float32 (default) or bfloat16 for uint8 input —
+    see the NV12 kernel docstring.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -764,7 +830,9 @@ def pallas_yuv420_preprocess(
     if bit_depth is None:
         bit_depth = 10 if hbd else 8
     scale = float(1 << (bit_depth - 8))
-    cdt = jnp.float32 if hbd else jnp.bfloat16
+    cdt = _resolve_compute_dtype(compute_dtype, hbd)
+    f32_compute = cdt == jnp.float32
+    prec = jax.lax.Precision.HIGHEST if f32_compute else None
 
     wys, wyb, wy_winw, _ = _banded_blocks_from_dense(
         _w_weights(W, DW, method).T, LANE_TILE, LANE_ALIGN, W,
@@ -789,7 +857,7 @@ def pallas_yuv420_preprocess(
     norm_std = tuple(float(v) for v in normalize[1]) if normalize else None
 
     def _to_compute(x):
-        if hbd:  # u16 keeps the wide chain for 10/12 significant bits
+        if hbd or f32_compute:  # the wide chain: u8/u16 -> i32 -> f32
             return x.astype(jnp.int32).astype(jnp.float32).astype(cdt)
         return x.astype(jnp.int16).astype(cdt)
 
@@ -802,25 +870,30 @@ def pallas_yuv420_preprocess(
             cblk = cblk_ref[t].astype(cdt)
             yh_ref[t * TILE:(t + 1) * TILE, :] = jnp.dot(
                 yblk, _to_compute(y_ref[0, ys:ys + y_win, :]),
+                precision=prec,
                 preferred_element_type=jnp.float32).astype(cdt)
             uh_ref[t * TILE:(t + 1) * TILE, :] = jnp.dot(
                 cblk, _to_compute(u_ref[0, cs:cs + c_win, :]),
+                precision=prec,
                 preferred_element_type=jnp.float32).astype(cdt)
             vh_ref[t * TILE:(t + 1) * TILE, :] = jnp.dot(
                 cblk, _to_compute(v_ref[0, cs:cs + c_win, :]),
+                precision=prec,
                 preferred_element_type=jnp.float32).astype(cdt)
 
         for t in range(nwt):
             w0_ref[:, t * LANE_TILE:(t + 1) * LANE_TILE] = jnp.dot(
                 yh_ref[:DH, int(wys[t]):int(wys[t]) + wy_winw],
-                wyb_ref[t].astype(cdt),
+                wyb_ref[t].astype(cdt), precision=prec,
                 preferred_element_type=jnp.float32)
             cs2 = int(wcs[t])
             w1_ref[:, t * LANE_TILE:(t + 1) * LANE_TILE] = jnp.dot(
                 uh_ref[:DH, cs2:cs2 + wc_winw], wcb_ref[t].astype(cdt),
+                precision=prec,
                 preferred_element_type=jnp.float32)
             w2_ref[:, t * LANE_TILE:(t + 1) * LANE_TILE] = jnp.dot(
                 vh_ref[:DH, cs2:cs2 + wc_winw], wcb_ref[t].astype(cdt),
+                precision=prec,
                 preferred_element_type=jnp.float32)
         yv = w0_ref[:, :DW] - y_off * scale
         uw = w1_ref[:, :DW] - 128.0 * scale
