@@ -71,9 +71,28 @@ def _resolve_compute_dtype(compute_dtype, hbd: bool = False):
             f"compute_dtype must be float32 or bfloat16, got {req}")
     if hbd and req != np.dtype(np.float32):
         raise ValueError(
-            "uint16 (10/12-bit) input requires float32 compute — "
-            "bfloat16 cannot hold 10/12 significant bits")
+            "high-bit-depth input (uint16 / float32) requires float32 "
+            "compute — bfloat16 cannot hold its significant bits")
     return jnp.float32 if req == np.dtype(np.float32) else jnp.bfloat16
+
+
+def _resolve_compute_dtype_legacy(compute_dtype, hbd: bool,
+                                  u8_default=jnp.bfloat16):
+    """Per-kernel compute-dtype policy for the convert/resize family.
+
+    uint16/float32 input always computes in f32. For uint8 input the
+    default is per-kernel, set by measurement (f32_ab_lab.py, v5e,
+    2026-08-19): the store-bound full-res convert and the packed
+    1080p->224 resize hide the f32 MAC doubling completely (f32
+    measured at or slightly under bf16 — it also deletes the bf16
+    inter-pass casts), so those pass ``u8_default=jnp.float32``; the
+    4K NV12 resize is genuinely MXU-MAC-bound (f32 = 1.86x slower) and
+    stays bf16, with ``compute_dtype=jnp.float32`` as the exactness
+    knob. A/B before flipping any default (docs/PERFORMANCE.md
+    lesson 10)."""
+    if compute_dtype is None:
+        return jnp.float32 if hbd else u8_default
+    return _resolve_compute_dtype(compute_dtype, hbd)
 
 
 def _banded_h_weights(n_in: int, n_out: int, method: str,
@@ -1094,7 +1113,7 @@ def required_pad_rows_resize(src_w: int, src_h: int, dst_w: int, dst_h: int,
     jax.jit,
     static_argnames=("src_w", "src_h", "dst_w", "dst_h", "method",
                      "h_tile", "w_tile", "h_align", "w_align",
-                     "interpret"))
+                     "interpret", "compute_dtype"))
 def pallas_nv12_resize(
     nv12: jax.Array,  # [B, >= H*3/2 (+pad), W] uint8 / uint16 (P10/P12)
     *,
@@ -1108,6 +1127,7 @@ def pallas_nv12_resize(
     h_align: int = 8,   # H-window start alignment (rows)
     w_align: int = 32,  # W-window start alignment (lanes)
     interpret: bool = False,
+    compute_dtype=None,
 ) -> jax.Array:
     """Banded NV12/P10/P12 resize -> [B, dst_h*3/2, dst_w], same dtype.
 
@@ -1117,7 +1137,11 @@ def pallas_nv12_resize(
     banded matmuls in one Pallas kernel: for 4K -> 1080p the H-pass
     touches ~88 of 2160 rows per 32-row output tile and the W-pass ~320
     of 3840 lanes per 128-lane tile, ~10x fewer MACs than the dense
-    einsum path. uint8 computes in bfloat16, uint16 in float32.
+    einsum path. uint8 computes in bfloat16 by default — this kernel
+    is genuinely MXU-MAC-bound, f32 measured 1.86x slower (0.755 vs
+    0.407 ms/16-frame 4K batch, f32_ab_lab.py 2026-08-19) —
+    ``compute_dtype=jnp.float32`` is the exactness knob; uint16
+    (P10/P12) always computes in float32.
 
     h_align/w_align: banded-window start alignment. The kernel is
     MXU-bound at 4K->1080p, so alignment slack is dead MACs: (8, 32)
@@ -1139,7 +1163,9 @@ def pallas_nv12_resize(
     if DH % 2 or DW % 2:
         raise ValueError("NV12 resize needs even dst dims")
     hbd = np.dtype(nv12.dtype) == np.uint16
-    cdt = jnp.float32 if hbd else jnp.bfloat16
+    cdt = _resolve_compute_dtype_legacy(compute_dtype, hbd)
+    f32_compute = cdt == jnp.float32
+    prec = jax.lax.Precision.HIGHEST if f32_compute else None
     cap = 65535.0 if hbd else 255.0
     DC = DH // 2
 
@@ -1174,7 +1200,7 @@ def pallas_nv12_resize(
     dw_pad = nwt * WT
 
     def _to_compute(x):
-        if hbd:
+        if hbd or f32_compute:  # the wide chain: u8/u16 -> i32 -> f32
             return x.astype(jnp.int32).astype(jnp.float32).astype(cdt)
         return x.astype(jnp.int16).astype(cdt)
 
@@ -1185,25 +1211,27 @@ def pallas_nv12_resize(
             yh_ref[t * HT:(t + 1) * HT, :] = jnp.dot(
                 yblk_ref[t].astype(cdt),
                 _to_compute(frame_ref[0, ys:ys + y_win, :]),
+                precision=prec,
                 preferred_element_type=jnp.float32).astype(cdt)
         for t in range(nct):
             cs = int(c_starts[t])
             ch_ref[t * HT:(t + 1) * HT, :] = jnp.dot(
                 cblk_ref[t].astype(cdt),
                 _to_compute(frame_ref[0, cs:cs + c_win, :]),
+                precision=prec,
                 preferred_element_type=jnp.float32).astype(cdt)
 
         for t in range(nwt):
             ws = int(wy_starts[t])
             acc = jnp.dot(yh_ref[:DH, ws:ws + wy_winw],
-                          wyb_ref[t].astype(cdt),
+                          wyb_ref[t].astype(cdt), precision=prec,
                           preferred_element_type=jnp.float32)
             yout_ref[0, :, t * WT:(t + 1) * WT] = jnp.clip(
                 jnp.round(acc), 0.0, cap).astype(jnp.int32).astype(
                 yout_ref.dtype)
             cs = int(wc_starts[t])
             accc = jnp.dot(ch_ref[:DC, cs:cs + wc_winw],
-                           wcb_ref[t].astype(cdt),
+                           wcb_ref[t].astype(cdt), precision=prec,
                            preferred_element_type=jnp.float32)
             cout_ref[0, :, t * WT:(t + 1) * WT] = jnp.clip(
                 jnp.round(accc), 0.0, cap).astype(jnp.int32).astype(
@@ -1252,7 +1280,7 @@ def pallas_nv12_resize(
 @functools.partial(
     jax.jit,
     static_argnames=("src_h", "dst_h", "dst_w", "method", "h_align",
-                     "w_align", "interpret"))
+                     "w_align", "interpret", "compute_dtype"))
 def pallas_plane_resize(
     plane: jax.Array,  # [B, H (+pad rows ok), W] uint8 / uint16 / float32
     *,
@@ -1263,6 +1291,7 @@ def pallas_plane_resize(
     h_align: int = 8,
     w_align: int = 32,
     interpret: bool = False,
+    compute_dtype=None,
 ) -> jax.Array:
     """Banded separable resize of independent planes -> [B, dst_h, dst_w].
 
@@ -1270,7 +1299,9 @@ def pallas_plane_resize(
     YUV420/422/444 and RGB_PLANAR per plane (stack planes into the batch
     dim for one launch). Same banded blocks sliced from resize_weights,
     so semantics match resize_plane exactly up to compute dtype (uint8
-    in bfloat16, uint16/float32 in float32).
+    in bfloat16 by default — MXU-MAC-bound like pallas_nv12_resize,
+    where f32 measured 1.86x slower; uint16/float32 in float32;
+    ``compute_dtype=jnp.float32`` is the exactness knob).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1284,7 +1315,9 @@ def pallas_plane_resize(
             f"plane has {plane.shape[1]} rows < src_h={H}")
     dt = np.dtype(plane.dtype)
     hbd = dt.itemsize > 1
-    cdt = jnp.float32 if hbd else jnp.bfloat16
+    cdt = _resolve_compute_dtype_legacy(compute_dtype, hbd)
+    f32_compute = cdt == jnp.float32
+    prec = jax.lax.Precision.HIGHEST if f32_compute else None
     if dt == np.uint8:
         cap = 255.0
     elif dt == np.uint16:
@@ -1309,6 +1342,8 @@ def pallas_plane_resize(
 
     def _to_compute(x):
         if dt == np.uint8:
+            if f32_compute:  # the wide chain: u8 -> i32 -> f32
+                return x.astype(jnp.int32).astype(jnp.float32)
             return x.astype(jnp.int16).astype(cdt)
         if dt == np.uint16:
             return x.astype(jnp.int32).astype(jnp.float32)
@@ -1320,11 +1355,12 @@ def pallas_plane_resize(
             hh_ref[t * TILE:(t + 1) * TILE, :] = jnp.dot(
                 hblk_ref[t].astype(cdt),
                 _to_compute(p_ref[0, hs:hs + h_win, :]),
+                precision=prec,
                 preferred_element_type=jnp.float32).astype(cdt)
         for t in range(nwt):
             ws = int(w_starts[t])
             acc = jnp.dot(hh_ref[:DH, ws:ws + w_win],
-                          wblk_ref[t].astype(cdt),
+                          wblk_ref[t].astype(cdt), precision=prec,
                           preferred_element_type=jnp.float32)
             if cap is not None:
                 acc = jnp.clip(jnp.round(acc), 0.0, cap).astype(
@@ -1428,13 +1464,17 @@ def pallas_nv12_to_rgb(
     swap: bool = False,  # True -> BGR
     lane_align: int = 32,
     interpret: bool = False,
+    compute_dtype=None,
 ) -> jax.Array:
     """NV12 batch -> packed RGB [B, H, W*3] uint8 at full resolution.
 
     Value parity with csc._nv12_rgb (nearest chroma upsample both axes,
-    same CSC matrix); computes in bfloat16 so results sit within 1-2 LSB
-    of the float32 XLA path (coefficient rounding), like the turbo
-    resize paths.
+    same CSC matrix); computes in float32 (precision=HIGHEST) by
+    default — this kernel is store-bound, so f32 measured at-or-under
+    bf16 (2.234 vs 2.281 ms/64x1080p batch, f32_ab_lab.py 2026-08-19)
+    while matching the f32 XLA path's numerics.
+    ``compute_dtype=jnp.bfloat16`` keeps the old half-precision route
+    as an A/B knob (1-2 LSB coefficient rounding).
 
     ``lane_align`` only shapes the banded fallback (W not a multiple of
     128); group mode ignores it, so it is canonicalized here — before
@@ -1447,13 +1487,14 @@ def pallas_nv12_to_rgb(
         lane_align = 128
     return _pallas_nv12_to_rgb_jit(
         nv12, src_w=src_w, src_h=src_h, space=space, crange=crange,
-        swap=swap, lane_align=lane_align, interpret=interpret)
+        swap=swap, lane_align=lane_align, interpret=interpret,
+        compute_dtype=compute_dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("src_w", "src_h", "space", "crange", "swap",
-                     "lane_align", "interpret"))
+                     "lane_align", "interpret", "compute_dtype"))
 def _pallas_nv12_to_rgb_jit(
     nv12: jax.Array,
     *,
@@ -1464,6 +1505,7 @@ def _pallas_nv12_to_rgb_jit(
     swap: bool,
     lane_align: int,
     interpret: bool,
+    compute_dtype=None,
 ) -> jax.Array:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1475,7 +1517,10 @@ def _pallas_nv12_to_rgb_jit(
             f"NV12 plane shape {nv12.shape} does not match {W}x{H}")
     if np.dtype(nv12.dtype) != np.uint8:
         raise ValueError("pallas_nv12_to_rgb is 8-bit only")
-    cdt = jnp.bfloat16
+    cdt = _resolve_compute_dtype_legacy(compute_dtype, hbd=False,
+                                        u8_default=jnp.float32)
+    f32_compute = cdt == jnp.float32
+    prec = jax.lax.Precision.HIGHEST if f32_compute else None
 
     mo = colors.yuv2rgb_matrix(space, crange)
     if mo is None:
@@ -1537,27 +1582,30 @@ def _pallas_nv12_to_rgb_jit(
     rows = nv12.shape[1]
     h_pad = n_rt * TILE
 
+    def _to_compute(x):
+        if f32_compute:  # the exact wide chain: u8 -> i32 -> f32
+            return x.astype(jnp.int32).astype(jnp.float32)
+        return x.astype(jnp.int16).astype(cdt)
+
     def kernel(frame_ref, rblk_ref, yab_ref, cbb_ref, off_ref, out_ref,
                cf_ref):
         # chroma vertical replication H pass (banded, static windows)
         for t in range(n_rt):
             rs = int(r_starts[t])
-            win = frame_ref[0, rs:rs + r_win, :].astype(jnp.int16).astype(
-                cdt)
+            win = _to_compute(frame_ref[0, rs:rs + r_win, :])
             cf_ref[t * TILE:(t + 1) * TILE, :] = jnp.dot(
-                rblk_ref[t].astype(cdt), win,
+                rblk_ref[t].astype(cdt), win, precision=prec,
                 preferred_element_type=jnp.float32).astype(cdt)
 
         # fused upsample+CSC+interleave W pass over output lane tiles
         for t in range(nwt):
             ys, cs = int(ya_s[t]), int(cb_s[t])
             bi = 0 if P else t  # group mode shares one block
-            yv = frame_ref[0, :H, ys:ys + ya_win].astype(jnp.int16).astype(
-                cdt)
-            acc = jnp.dot(yv, yab_ref[bi].astype(cdt),
+            yv = _to_compute(frame_ref[0, :H, ys:ys + ya_win])
+            acc = jnp.dot(yv, yab_ref[bi].astype(cdt), precision=prec,
                           preferred_element_type=jnp.float32)
             acc = acc + jnp.dot(cf_ref[:H, cs:cs + cb_win],
-                                cbb_ref[bi].astype(cdt),
+                                cbb_ref[bi].astype(cdt), precision=prec,
                                 preferred_element_type=jnp.float32)
             acc = acc + off_ref[0, t * group_lt:(t + 1) * group_lt]
             out_ref[0, :, t * group_lt:(t + 1) * group_lt] = jnp.clip(
@@ -1597,7 +1645,7 @@ def _pallas_nv12_to_rgb_jit(
     jax.jit,
     static_argnames=("src_w", "src_h", "dst_w", "dst_h", "channels",
                      "method", "h_tile", "h_align", "w_align",
-                     "interpret"))
+                     "interpret", "compute_dtype"))
 def pallas_packed_resize(
     plane: jax.Array,  # [B, H (+pad rows ok), W*channels] uint8/uint16/f32
     *,
@@ -1611,6 +1659,7 @@ def pallas_packed_resize(
     h_align: int = 8,
     w_align: int = 32,
     interpret: bool = False,
+    compute_dtype=None,
 ) -> jax.Array:
     """Banded resize of a PACKED interleaved-channel plane (RGB/BGR
     [N, H, W*3]) -> [B, dst_h, dst_w*channels], same dtype.
@@ -1622,6 +1671,11 @@ def pallas_packed_resize(
     the shared dense-slicer. Identical arithmetic to resize_plane's
     channels>1 path up to compute dtype — and none of the [.,.,C]-minor
     intermediates that run XLA at C/128 lane occupancy.
+
+    Default compute is float32 (precision=HIGHEST): this kernel is
+    store-bound at the product 1080p->224 shape, so f32 measured
+    at-or-under bf16 (0.486 vs 0.510 ms/64-batch, f32_ab_lab.py
+    2026-08-19). ``compute_dtype=jnp.bfloat16`` is the A/B knob.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1639,7 +1693,10 @@ def pallas_packed_resize(
             f"packed plane has {plane.shape[1]} rows < src_h={H}")
     dt = np.dtype(plane.dtype)
     hbd = dt.itemsize > 1
-    cdt = jnp.float32 if hbd else jnp.bfloat16
+    cdt = _resolve_compute_dtype_legacy(compute_dtype, hbd,
+                                        u8_default=jnp.float32)
+    f32_compute = cdt == jnp.float32
+    prec = jax.lax.Precision.HIGHEST if f32_compute else None
     if dt == np.uint8:
         cap = 255.0
     elif dt == np.uint16:
@@ -1669,6 +1726,8 @@ def pallas_packed_resize(
 
     def _to_compute(x):
         if dt == np.uint8:
+            if f32_compute:  # the wide chain: u8 -> i32 -> f32
+                return x.astype(jnp.int32).astype(jnp.float32)
             return x.astype(jnp.int16).astype(cdt)
         if dt == np.uint16:
             return x.astype(jnp.int32).astype(jnp.float32)
@@ -1680,11 +1739,12 @@ def pallas_packed_resize(
             hh_ref[t * h_tile:(t + 1) * h_tile, :] = jnp.dot(
                 hblk_ref[t].astype(cdt),
                 _to_compute(p_ref[0, hs:hs + h_win, :]),
+                precision=prec,
                 preferred_element_type=jnp.float32).astype(cdt)
         for t in range(nwt):
             ws = int(w_starts[t])
             acc = jnp.dot(hh_ref[:DH, ws:ws + w_win],
-                          wblk_ref[t].astype(cdt),
+                          wblk_ref[t].astype(cdt), precision=prec,
                           preferred_element_type=jnp.float32)
             if cap is not None:
                 acc = jnp.clip(jnp.round(acc), 0.0, cap).astype(jnp.int32)
