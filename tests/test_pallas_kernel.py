@@ -194,6 +194,33 @@ class TestPallasResize:
         # bf16 compute vs the XLA f32 path: tiny rounding differences
         assert np.abs(got.astype(int) - want.astype(int)).max() <= 3
         assert self._psnr(got, want) > 48.0
+        # compute_dtype=f32 is the exactness knob on this MXU-MAC-bound
+        # kernel (its uint8 default stays bf16 — f32_ab_lab.py: 1.86x
+        # slower at 4K): <=1-LSB accumulation ties vs the XLA f32 path
+        got_f32 = np.asarray(pallas_nv12_resize(
+            jnp.asarray(nv12), src_w=W, src_h=H, dst_w=DW, dst_h=DH,
+            interpret=True, compute_dtype=jnp.float32))
+        assert np.abs(got_f32.astype(int) - want.astype(int)).max() <= 1
+
+    def test_bf16_compute_rejected_for_uint16(self):
+        from vali_tpu.ops.pallas_fused import (pallas_nv12_resize,
+                                               pallas_packed_resize,
+                                               pallas_plane_resize)
+
+        u16 = jnp.zeros((1, 96, 128), jnp.uint16)
+        with pytest.raises(ValueError, match="float32"):
+            pallas_nv12_resize(u16, src_w=128, src_h=64, dst_w=64,
+                               dst_h=32, interpret=True,
+                               compute_dtype=jnp.bfloat16)
+        with pytest.raises(ValueError, match="float32"):
+            pallas_plane_resize(u16, src_h=96, dst_h=48, dst_w=64,
+                                interpret=True,
+                                compute_dtype=jnp.bfloat16)
+        with pytest.raises(ValueError, match="float32"):
+            pallas_packed_resize(
+                jnp.zeros((1, 96, 128 * 3), jnp.float32), src_w=128,
+                src_h=96, dst_w=64, dst_h=48, interpret=True,
+                compute_dtype=jnp.bfloat16)
 
     def test_p10_high_bit_depth(self):
         from vali_tpu.ops.pallas_fused import (pallas_nv12_resize,
@@ -315,8 +342,19 @@ class TestPackedConvert:
             nv12, src_w=W, src_h=H, space=ColorSpace.BT_709,
             crange=ColorRange.MPEG, interpret=True))
         assert got.shape == want.shape
+        # f32 default compute (r5): interpret mode matches the exact
+        # XLA route to <=1-LSB banded-vs-dense accumulation ties
         diff = np.abs(got.astype(int) - want.astype(int))
-        assert diff.max() <= 2  # bf16 coefficient rounding
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 1e-3
+        # the bf16 knob keeps the historical coefficient-rounding
+        # envelope (A/B knob, f32_ab_lab.py)
+        got_bf = np.asarray(pallas_nv12_to_rgb(
+            nv12, src_w=W, src_h=H, space=ColorSpace.BT_709,
+            crange=ColorRange.MPEG, interpret=True,
+            compute_dtype=jnp.bfloat16))
+        diff = np.abs(got_bf.astype(int) - want.astype(int))
+        assert diff.max() <= 2
         assert (diff > 1).mean() < 0.01
 
     def test_nv12_to_bgr_swap(self):
@@ -367,10 +405,17 @@ class TestPackedResize:
             rgb, src_w=W, src_h=H, dst_w=DW, dst_h=DH,
             method="lanczos_aa", interpret=True))
         assert got.shape == want.shape
+        # f32 default compute (r5): <=1-LSB accumulation ties only
+        assert np.abs(got.astype(np.float64)
+                      - want.astype(np.float64)).max() <= tol
         if dtype == np.uint8:
-            assert np.abs(got.astype(int) - want.astype(int)).max() <= 4
-        else:
-            assert np.abs(got - want).max() < tol
+            # the bf16 knob keeps the historical envelope
+            got_bf = np.asarray(pallas_packed_resize(
+                rgb, src_w=W, src_h=H, dst_w=DW, dst_h=DH,
+                method="lanczos_aa", interpret=True,
+                compute_dtype=jnp.bfloat16))
+            assert np.abs(got_bf.astype(int)
+                          - want.astype(int)).max() <= 4
 
     def test_upscale_and_npp_method(self):
         from vali_tpu.ops import resize
