@@ -85,20 +85,29 @@ REPS = 4      # timed repeats per chain length
 SLOPES = 5    # independent slope estimates; report the median + spread
 
 
-def _make_loop(kernel_fn, K, consume):
-    """One jitted chain program per (kernel, K). ``apply_kernel`` is a
-    TRACED bool: True runs the kernel every iteration, False runs only
-    the 1-byte perturbation (the loop-overhead baseline). Folding both
-    into one program via lax.cond halves the remote-compile count — the
-    r4 driver run spent 275s compiling the headline's 4 programs and the
-    watchdog then killed the chipside config (round-4 verdict #1). The
-    cond's own per-iteration cost is branch-independent, so it cancels
-    in the kernel-minus-baseline subtraction."""
+def _make_loop(kernel_fn, consume):
+    """ONE jitted chain program per kernel. Both knobs are TRACED
+    arguments: ``apply_kernel`` (bool) selects kernel-every-iteration
+    vs perturbation-only baseline via lax.cond, and the chain length
+    ``K`` is a dynamic fori_loop bound — it lowers to a while loop
+    whose trip count XLA cannot unroll, so the program is K-independent
+    and one remote compile serves the short chain, the long chain, AND
+    both baselines. History: r4 spent 275s compiling the headline's 4
+    programs (one per (kernel, K, baseline?)); r5's cond-fold halved
+    that to 2; then the r5 f32 compute defaults roughly doubled
+    big-shape Mosaic compile times (observed 417s for the 1080p f32
+    convert, and a 460s-budget abort mid-headline, 2026-08-19), which
+    this K-fold absorbs by halving the count again. The cond's
+    per-iteration cost is branch-independent and cancels in the
+    kernel-minus-baseline subtraction; the slope method itself is
+    unchanged (and strictly cleaner: both chain lengths now share one
+    executable, so their per-iteration costs are identical by
+    construction)."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run(x, apply_kernel):
+    def run(x, K, apply_kernel):
         def body(k, carry):
             acc, xx = carry
             patch = (k % 199 + 1).astype(jnp.uint8).reshape(1, 1, 1)
@@ -134,7 +143,8 @@ def _slopes(kernel_fn, x, consume, n=SLOPES, reps=REPS, on_short=None):
 
     TRUE = jnp.asarray(True)
     FALSE = jnp.asarray(False)
-    fns = {}
+    fn = _make_loop(kernel_fn, consume)
+    Ks = {K: jnp.int32(K) for K in (K_SHORT, K_LONG)}
     gmin = {K_SHORT: float("inf"), K_LONG: float("inf")}
     gmin_base = {K_SHORT: float("inf"), K_LONG: float("inf")}
     base_reps = max(2, reps - 2)
@@ -143,18 +153,17 @@ def _slopes(kernel_fn, x, consume, n=SLOPES, reps=REPS, on_short=None):
         best = float("inf")
         for _ in range(n_reps):
             t0 = time.perf_counter()
-            float(fns[K](x, flag))
+            float(fn(x, Ks[K], flag))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    for K in (K_SHORT, K_LONG):
-        fns[K] = _make_loop(kernel_fn, K, consume)
-        float(fns[K](x, TRUE))  # compile + warm (one program, both paths)
-        float(fns[K](x, FALSE))
-        if K == K_SHORT and on_short is not None:
-            tk = measure(K, TRUE, 2)
-            tb = measure(K, FALSE, 2)
-            on_short(max((tk - tb) / K, 1e-9))
+    # the ONLY remote compile of this measure; warm both cond branches
+    float(fn(x, Ks[K_SHORT], TRUE))
+    float(fn(x, Ks[K_SHORT], FALSE))
+    if on_short is not None:
+        tk = measure(K_SHORT, TRUE, 2)
+        tb = measure(K_SHORT, FALSE, 2)
+        on_short(max((tk - tb) / K_SHORT, 1e-9))
     out, base_out = [], []
     for _ in range(n):
         times, tbase = {}, {}

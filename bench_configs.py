@@ -82,59 +82,64 @@ def _slope_time(fn, arg, K_short=8, K_long=24, reps=3, on_short=None):
     pass at the same chain lengths and subtracted — without it the
     reported slope overstates sub-0.1ms kernels (the device JPEG stage)
     by up to ~2x. As in bench.py, the baseline shares the kernel chain's
-    compiled program via a traced apply_kernel bool (lax.cond), so each
-    (K, fn) pair costs ONE remote compile instead of two — r4's driver
-    watchdog killed the chipside config mid-compile under the old
-    4-programs-per-measure schedule.
+    compiled program via a traced apply_kernel bool (lax.cond), and the
+    chain length K is a traced fori_loop bound (lowers to a while loop
+    XLA cannot unroll), so the WHOLE measure — both chain lengths, both
+    baselines — costs ONE remote compile. History: r4's 4-program
+    schedule blew the budget; the r5 cond-fold halved it; the r5 f32
+    compute defaults then roughly doubled big-shape Mosaic compile
+    times (417s observed for the 1080p f32 convert) and the K-fold
+    halves the count again.
 
     ``on_short(per_call_estimate)``: provisional single-chain estimate
     ((t_kernel - t_baseline)/K — the tunnel RTT cancels) delivered after
-    the short chain, before the long-chain compile."""
+    the short chain, before the long-chain measurement."""
     import jax
     import jax.numpy as jnp
 
-    def make(K):
-        @jax.jit
-        def run(x, apply_kernel):
-            def body(k, carry):
-                acc, xx = carry
-                patch = (k % 199 + 1).astype(jnp.uint8).reshape(
-                    *([1] * xx.ndim))
-                xx = jax.lax.dynamic_update_slice(
-                    xx, patch, (0,) * xx.ndim)
+    @jax.jit
+    def run(x, K, apply_kernel):
+        def body(k, carry):
+            acc, xx = carry
+            patch = (k % 199 + 1).astype(jnp.uint8).reshape(
+                *([1] * xx.ndim))
+            xx = jax.lax.dynamic_update_slice(
+                xx, patch, (0,) * xx.ndim)
 
-                def with_kernel(v):
-                    out = fn(v)
-                    return (jnp.sum(out[1].astype(jnp.int32))
-                            if isinstance(out, tuple)
-                            else jnp.sum(out.astype(jnp.int32)))
+            def with_kernel(v):
+                out = fn(v)
+                return (jnp.sum(out[1].astype(jnp.int32))
+                        if isinstance(out, tuple)
+                        else jnp.sum(out.astype(jnp.int32)))
 
-                acc = acc + jax.lax.cond(
-                    apply_kernel, with_kernel,
-                    lambda v: v[(0,) * v.ndim].astype(jnp.int32), xx)
-                return (acc, xx)
-            acc, _ = jax.lax.fori_loop(0, K, body, (jnp.int32(0), x))
-            return acc
-        return run
+            acc = acc + jax.lax.cond(
+                apply_kernel, with_kernel,
+                lambda v: v[(0,) * v.ndim].astype(jnp.int32), xx)
+            return (acc, xx)
+        acc, _ = jax.lax.fori_loop(0, K, body, (jnp.int32(0), x))
+        return acc
 
     TRUE = jnp.asarray(True)
     FALSE = jnp.asarray(False)
     times, tbase = {}, {}
     base_reps = max(2, reps - 1)
+    first = True
     for K in (K_short, K_long):
-        r = make(K)
-        float(r(arg, TRUE))  # compile + warm (one program, both paths)
-        float(r(arg, FALSE))
+        Kj = jnp.int32(K)
+        if first:  # the ONLY remote compile; warm both cond branches
+            float(run(arg, Kj, TRUE))
+            float(run(arg, Kj, FALSE))
+            first = False
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(r(arg, TRUE))
+            float(run(arg, Kj, TRUE))
             best = min(best, time.perf_counter() - t0)
         times[K] = best
         best = float("inf")
         for _ in range(base_reps):
             t0 = time.perf_counter()
-            float(r(arg, FALSE))
+            float(run(arg, Kj, FALSE))
             best = min(best, time.perf_counter() - t0)
         tbase[K] = best
         if K == K_short and on_short is not None:

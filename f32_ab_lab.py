@@ -1,9 +1,22 @@
 """f32-vs-bf16 compute A/B for the convert/resize Pallas kernels (r5 lab).
 
-Lesson 10 in docs/PERFORMANCE.md: the fused PREPROCESS family got faster
-by switching to f32 compute because it is MXU-occupancy-bound at M=32.
-The convert/resize kernels are store- or input-stream-bound, so the
-argument does not transfer automatically — this notebook measures it.
+*** RETRACTED — this lab's original run had mislabeled rows. ***
+The "bf16" arms below were built with compute_dtype=None while a
+mid-edit shared default already resolved None to f32 for the convert
+and packed kernels, so their "f32 ≈ bf16" readings compared f32
+against itself. The 4K-resize row (dtype logic still inline, truly
+bf16 vs f32) was the only honest pair — and it showed the real 1.86x
+gap. Corrected paired probes through bench.py's harness with BOTH
+dtypes explicit (f32_bench_probe.py, same day): preprocess 0.314 ms
+bf16 vs 1.56 ms f32 (~5x). All uint8 defaults are bf16; see
+docs/PERFORMANCE.md lesson 10 for the post-mortem. The lambda below
+now passes both arms explicitly so the mistake cannot recur.
+
+Original (flawed) premise, kept for the record: lesson 10 claimed the
+fused PREPROCESS family got faster by switching to f32 compute because
+it is MXU-occupancy-bound at M=32; the convert/resize kernels are
+store- or input-stream-bound, so this lab "measured" whether the
+argument transfers.
 
 Shapes are the product/bench shapes:
   convert   pallas_nv12_to_rgb      64 x 1080p            (store-bound)
@@ -16,24 +29,19 @@ best-of-reps per point; consume a 128-lane slice — bench.py rationale).
 
 Run: timeout 900 python3 -u f32_ab_lab.py [convert packed resize4k]
 
-RESULTS (v5e via tunnel, 2026-08-19, this file's provenance run):
-  convert   bf16 2.281 ms/batch (spread 0.049)   f32 2.234 ms/batch (0.032)
-  packed    bf16 0.510 ms/batch (0.029)          f32 0.486 ms/batch (0.059)
-  resize4k  bf16 0.407 ms/batch (0.018)          f32 0.755 ms/batch (0.003)
-Reading: the store-bound convert and packed-resize kernels hide the f32
-MAC doubling completely (f32 measured at or slightly under bf16 — the
-deleted bf16 inter-pass casts again), so both defaults flipped to f32
-(bit-exact vs the XLA paths, ≤1-LSB accumulation ties at some
-geometries). The 4K NV12 resize is genuinely MXU-MAC-bound: f32 costs
-1.86x, so uint8 stays bf16 there (compute_dtype=jnp.float32 remains the
-exactness knob).
+RESULTS of the original (RETRACTED — see header) run, v5e 2026-08-19:
+  convert   "bf16" 2.281 ms (0.049)   f32 2.234 ms (0.032)  <- f32 vs f32
+  packed    "bf16" 0.510 ms (0.029)   f32 0.486 ms (0.059)  <- f32 vs f32
+  resize4k   bf16  0.407 ms (0.018)   f32 0.755 ms (0.003)  <- honest pair
+The only valid reading is the resize4k row: f32 HIGHEST costs 1.86x on
+the MXU-MAC-bound 4K resize. The convert/packed "parity" rows measured
+the f32 kernel against itself.
 
-On-chip value validation of the flipped defaults (same day, real v5e,
-through the product wrappers PySurfaceConverter/PySurfaceResizer vs
-their use_pallas=False XLA routes on the same chip, 1080p NV12->RGB
-then ->224): convert dmax=1 with 4.3e-6 of pixels differing, packed
-resize dmax=1 at 6.6e-6 — pure banded-vs-dense accumulation ties, the
-bf16-era 1-2 LSB coefficient-rounding envelope is gone.
+Still-valid side note from the same day (on-chip value check, product
+wrappers vs their use_pallas=False XLA routes): with
+compute_dtype=jnp.float32 the convert and packed resize match the
+exact path at dmax=1 with 4.3e-6 / 6.6e-6 of pixels differing — f32
+remains the correct EXACTNESS knob, it is just not free.
 """
 import sys
 import time
@@ -112,7 +120,9 @@ def main():
             x, src_w=W, src_h=H, dst_w=DW, dst_h=DH, compute_dtype=cd))
 
     for name, (x, K, build) in cases.items():
-        for cd, label in ((None, "bf16"), (jnp.float32, "f32")):
+        # BOTH arms explicit — never let one arm ride a default that
+        # might be mid-edit (the retraction in this file's header)
+        for cd, label in ((jnp.bfloat16, "bf16"), (jnp.float32, "f32")):
             print(f"{name} {label} ...", flush=True)
             ms, spread = time_fn(lambda a: build(a, cd), x, K=K)
             print(f"  {name:9s} {label:4s} {ms * 1e3:7.3f} ms/batch "

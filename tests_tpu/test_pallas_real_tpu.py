@@ -35,15 +35,16 @@ def test_nv12_real_vs_interpret(dh, dw):
     assert np.array_equal(got, want)
 
 
-def test_nv12_bf16_knob_real_vs_interpret():
-    """compute_dtype=bfloat16 (the historical low-precision compute,
-    kept as an A/B knob): compiled Mosaic == interpret."""
+def test_nv12_f32_knob_real_vs_interpret():
+    """compute_dtype=float32 (the exactness knob — NOT the default;
+    ~5x MXU cost, PERFORMANCE.md lesson 10): compiled Mosaic ==
+    interpret, i.e. precision=HIGHEST is bit-deterministic on chip."""
     B, H, W, DH, DW = 2, 96, 256, 32, 64
     pad = required_pad_rows(W, H, DH)
     nv12 = jnp.asarray(RNG.integers(0, 256, (B, H * 3 // 2 + pad, W),
                                     dtype=np.uint8))
     kw = dict(src_w=W, src_h=H, dst_w=DW, dst_h=DH,
-              compute_dtype=jnp.bfloat16)
+              compute_dtype=jnp.float32)
     got = np.asarray(pallas_nv12_preprocess(nv12, **kw))
     want = np.asarray(pallas_nv12_preprocess(nv12, interpret=True, **kw))
     assert np.array_equal(got, want)
@@ -198,18 +199,15 @@ def test_plane_resize_u16_real_vs_interpret():
 def test_preprocess_batch_routes_to_pallas_on_tpu(monkeypatch):
     """The pipeline's one-shot entry must route NV12 to the banded
     kernel on TPU, and that kernel must sit inside its documented
-    f32-compute envelope vs the XLA fused path.
+    bf16-compute envelope vs the true-f32 XLA fused path.
 
     Routing is proven by instrumentation: preprocess_batch imports
     pallas_preprocess from ops.pallas_fused at call time, so a
-    recording wrapper observes the dispatch directly (the old proof —
-    bit-identity with the kernel called directly — only discriminated
-    while the kernel computed in bf16 and the XLA path in f32; with
-    the f32 default both paths are close enough that identity is no
-    longer a routing oracle). The envelope reflects banded-vs-dense
-    f32 accumulation ordering on the MXU: measured |d|<=2 with 0.03%
-    of pixels beyond 1 LSB at 1080p->224 (2026-08-19); interpret mode
-    is bit-identical."""
+    recording wrapper observes the dispatch directly — robust to
+    whatever compute dtype the kernel defaults to (bit-identity with
+    the directly-called kernel additionally pins the default path).
+    The envelope is the bf16 one: |d|<=3, ~6% of pixels beyond 1 LSB,
+    PSNR ~49 dB on random NV12 (both paths platform-deterministic)."""
     from vali_tpu.core.enums import PixelFormat
     from vali_tpu.ops import pallas_fused
     from vali_tpu.ops.fused import LANCZOS_AA, fused_preprocess
@@ -243,9 +241,9 @@ def test_preprocess_batch_routes_to_pallas_on_tpu(monkeypatch):
     d = np.abs(got.astype(np.int32) - want.astype(np.int32))
     mse = float((d.astype(np.float64) ** 2).mean())
     psnr = 10.0 * np.log10(255.0 ** 2 / max(mse, 1e-12))
-    assert d.max() <= 3, int(d.max())
-    assert (d > 1).mean() < 0.01, float((d > 1).mean())
-    assert psnr > 50.0, psnr
+    assert d.max() <= 4, int(d.max())
+    assert (d > 1).mean() < 0.15, float((d > 1).mean())
+    assert psnr > 46.0, psnr
 
 
 def test_nv12_to_rgb_packed_real_vs_xla():

@@ -382,8 +382,7 @@ def convert_batch(
     On TPU the NV12 -> RGB/BGR pair routes to the banded Pallas
     conversion kernel (ops/pallas_fused.pallas_nv12_to_rgb: the packed
     interleave folded into lane-tile matmuls, ~2x the XLA channel-plane
-    path; f32 compute since r5, so it matches the exact path to <=1-LSB
-    banded-vs-dense accumulation ties).
+    path; within 1 LSB — bfloat16 coefficient rounding).
     ``use_pallas=False`` forces the exact XLA path.
 
     Raises KeyError for unsupported pairs and

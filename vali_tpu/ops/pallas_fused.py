@@ -12,9 +12,10 @@ bandedness — the structural optimization XLA cannot see:
     weights on out-of-plane taps; FLOPs drop ~10-17x vs dense.
   - W-pass: banded too — per 128-lane output tile, [DH, WIN] x
     [WIN, 128] over an aligned lane window of the H-pass scratch,
-    float32 compute by default (the Lanczos band covers ~60% of the
-    dense [W, DW] matrix at 1080p->224; see _resolve_compute_dtype for
-    the measured f32-faster-than-bf16 story on v5e).
+    bfloat16 in / f32 accumulate for uint8 input (the Lanczos band
+    covers ~60% of the dense [W, DW] matrix at 1080p->224; see
+    _resolve_compute_dtype for why f32 compute is a knob, not the
+    default).
   - Chroma deinterleaving is folded into the W-pass weight matrix: the
     interleaved UV rows stay packed and parity-masked taps emit U and V
     side by side — no strided loads. The U and V output halves are
@@ -53,18 +54,24 @@ ALIGN = 8    # window starts are STATIC slices (host constants baked into
 
 
 def _resolve_compute_dtype(compute_dtype, hbd: bool = False):
-    """Family-wide compute-dtype policy.
+    """Family-wide compute-dtype policy: uint8 input defaults to
+    bfloat16 compute, uint16/float32 ("hbd") always computes in f32.
 
-    Default float32 for every input depth: on v5e the banded kernels
-    are MXU-occupancy-bound at M=TILE, so f32 multiplies hide behind
-    the same latency while deleting the bf16 round-trip casts between
-    the H and W passes — measured FASTER than bf16 (0.307 vs 0.328 ms
-    per 64x1080p->224 NV12 batch, long-chain slope, 2026-08-19) and
-    XLA-einsum-grade numerics. bfloat16 is kept as an explicit A/B
-    knob for uint8 input; uint16 (10/12-bit) rejects it.
+    ``compute_dtype=jnp.float32`` is the per-call exactness knob for
+    uint8 input — precision=HIGHEST f32 dots match the dense XLA paths
+    to <=1-LSB accumulation ties — but it is NOT free: on the v5e MXU
+    an f32 HIGHEST matmul decomposes into multiple bf16 passes, and
+    paired bench-harness measures put the f32 1080p->224 preprocess at
+    1.56 ms/batch vs 0.314 for bf16 (~5x; 2026-08-19, spread 0.011 /
+    0.028), with f32 Mosaic compiles also much slower (163 to >580 s
+    observed vs 15-221 s for bf16 at this shape). An earlier same-day
+    A/B that read "f32 at-or-faster than bf16" was mislabeled — its
+    bf16 rows resolved to f32 through a mid-edit default — and briefly
+    flipped these defaults; docs/PERFORMANCE.md lesson 10 has the
+    post-mortem. When A/B-ing compute dtypes, pass BOTH explicitly.
     """
     if compute_dtype is None:
-        return jnp.float32
+        return jnp.float32 if hbd else jnp.bfloat16
     req = np.dtype(compute_dtype)
     if req not in (np.dtype(np.float32), np.dtype(jnp.bfloat16)):
         raise ValueError(
@@ -74,25 +81,6 @@ def _resolve_compute_dtype(compute_dtype, hbd: bool = False):
             "high-bit-depth input (uint16 / float32) requires float32 "
             "compute — bfloat16 cannot hold its significant bits")
     return jnp.float32 if req == np.dtype(np.float32) else jnp.bfloat16
-
-
-def _resolve_compute_dtype_legacy(compute_dtype, hbd: bool,
-                                  u8_default=jnp.bfloat16):
-    """Per-kernel compute-dtype policy for the convert/resize family.
-
-    uint16/float32 input always computes in f32. For uint8 input the
-    default is per-kernel, set by measurement (f32_ab_lab.py, v5e,
-    2026-08-19): the store-bound full-res convert and the packed
-    1080p->224 resize hide the f32 MAC doubling completely (f32
-    measured at or slightly under bf16 — it also deletes the bf16
-    inter-pass casts), so those pass ``u8_default=jnp.float32``; the
-    4K NV12 resize is genuinely MXU-MAC-bound (f32 = 1.86x slower) and
-    stays bf16, with ``compute_dtype=jnp.float32`` as the exactness
-    knob. A/B before flipping any default (docs/PERFORMANCE.md
-    lesson 10)."""
-    if compute_dtype is None:
-        return jnp.float32 if hbd else u8_default
-    return _resolve_compute_dtype(compute_dtype, hbd)
 
 
 def _banded_h_weights(n_in: int, n_out: int, method: str,
@@ -185,20 +173,19 @@ def pallas_nv12_preprocess(
 ) -> jax.Array:
     """Fused NV12/P10/P12 batch -> planar RGB [B, 3, dst_h, dst_w].
 
-    Both passes compute in float32 by default (uint16 input always
-    does — it needs the 10/12 significant bits). For uint8 input f32
-    measured FASTER than the historical bfloat16 compute on v5e
-    (0.307 vs 0.328 ms per 64x1080p->224 batch, long-chain slope,
-    2026-08-19): the kernel is MXU-occupancy-bound at M=32 tiles, so
-    the extra f32 passes hide, while the bf16 round-trip casts between
-    the H and W passes are real VPU work that f32 deletes. Numerics vs
-    the true-f32 XLA fused path collapse from |d|<=3 / 4.6%-beyond-1LSB
-    (bf16) to |d|<=2 / 0.03%-beyond-1LSB (banded-vs-dense accumulation
-    ordering; bit-identical in interpret mode).
+    uint8 inputs compute in bfloat16 multiplies with an f32 H-pass
+    accumulator rounded back to bf16 between the passes — measured
+    envelope vs the true-f32 XLA fused path on random NV12: |d| <= 3
+    with ~6% of pixels beyond 1 LSB, PSNR ~49 dB. uint16 inputs
+    compute in float32 to preserve the 10/12 significant bits.
 
-    ``compute_dtype`` (uint8 input only): ``jnp.bfloat16`` restores the
-    old low-precision compute (kept for A/B measurement; it has no
-    speed advantage). ``jnp.float32`` / ``None`` are the default.
+    ``compute_dtype=jnp.float32`` (uint8 input) is the exactness knob:
+    precision=HIGHEST f32 dots collapse the envelope to |d|<=2 with
+    0.03% beyond 1 LSB (bit-identical in interpret mode) — at ~5x the
+    runtime (1.56 vs 0.314 ms per 64x1080p->224 batch, paired
+    bench-harness measures 2026-08-19) and much slower Mosaic
+    compiles. A same-day A/B claiming f32 was faster was mislabeled
+    (docs/PERFORMANCE.md lesson 10 post-mortem).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -393,9 +380,9 @@ def pallas_yuv444_preprocess(
     (parity ancestor: the 4:4:4 paths of TaskConvertSurface.cpp +
     TaskResizeSurface.cpp, fused like ResizeUtils.cu does for NV12).
 
-    ``compute_dtype``: float32 (default) or bfloat16 — see the NV12
-    kernel's docstring for the measured speed/quality story (f32 is
-    both faster and XLA-grade on v5e).
+    ``compute_dtype``: bfloat16 (uint8 default) or float32 (the
+    exactness knob) — see the NV12 kernel's docstring for the
+    measured speed/quality trade.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -631,8 +618,9 @@ def pallas_yuv422_preprocess(
 
     4:2:2 chroma is full height / half width, so the luma row weights
     serve the chroma H-pass and only the W-pass differs (half-width
-    resample with 4:2:x horizontal siting). ``compute_dtype``: float32
-    (default) or bfloat16 — see the NV12 kernel docstring.
+    resample with 4:2:x horizontal siting). ``compute_dtype``: bfloat16
+    (uint8 default) or float32 (the exactness knob) — see the NV12
+    kernel docstring.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -819,8 +807,8 @@ def pallas_yuv420_preprocess(
     Same banded design as the NV12 kernel; planar chroma needs no
     interleave trick, the half-width planes resample directly. uint16
     input always computes in float32 (bit_depth defaults to 10);
-    ``compute_dtype``: float32 (default) or bfloat16 for uint8 input —
-    see the NV12 kernel docstring.
+    ``compute_dtype``: bfloat16 (uint8 default) or float32 (the
+    exactness knob) — see the NV12 kernel docstring.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1163,7 +1151,7 @@ def pallas_nv12_resize(
     if DH % 2 or DW % 2:
         raise ValueError("NV12 resize needs even dst dims")
     hbd = np.dtype(nv12.dtype) == np.uint16
-    cdt = _resolve_compute_dtype_legacy(compute_dtype, hbd)
+    cdt = _resolve_compute_dtype(compute_dtype, hbd)
     f32_compute = cdt == jnp.float32
     prec = jax.lax.Precision.HIGHEST if f32_compute else None
     cap = 65535.0 if hbd else 255.0
@@ -1315,7 +1303,7 @@ def pallas_plane_resize(
             f"plane has {plane.shape[1]} rows < src_h={H}")
     dt = np.dtype(plane.dtype)
     hbd = dt.itemsize > 1
-    cdt = _resolve_compute_dtype_legacy(compute_dtype, hbd)
+    cdt = _resolve_compute_dtype(compute_dtype, hbd)
     f32_compute = cdt == jnp.float32
     prec = jax.lax.Precision.HIGHEST if f32_compute else None
     if dt == np.uint8:
@@ -1469,12 +1457,13 @@ def pallas_nv12_to_rgb(
     """NV12 batch -> packed RGB [B, H, W*3] uint8 at full resolution.
 
     Value parity with csc._nv12_rgb (nearest chroma upsample both axes,
-    same CSC matrix); computes in float32 (precision=HIGHEST) by
-    default — this kernel is store-bound, so f32 measured at-or-under
-    bf16 (2.234 vs 2.281 ms/64x1080p batch, f32_ab_lab.py 2026-08-19)
-    while matching the f32 XLA path's numerics.
-    ``compute_dtype=jnp.bfloat16`` keeps the old half-precision route
-    as an A/B knob (1-2 LSB coefficient rounding).
+    same CSC matrix); computes in bfloat16 by default, within 1-2 LSB
+    of the float32 XLA path (coefficient rounding), like the turbo
+    resize paths. ``compute_dtype=jnp.float32`` is the exactness knob
+    (precision=HIGHEST, <=1-LSB accumulation ties vs the exact path) —
+    f32 runs multiple MXU passes and compiles much slower, so it is
+    NOT the default; the same-day lab that claimed f32 was free was
+    mislabeled (docs/PERFORMANCE.md lesson 10).
 
     ``lane_align`` only shapes the banded fallback (W not a multiple of
     128); group mode ignores it, so it is canonicalized here — before
@@ -1517,8 +1506,7 @@ def _pallas_nv12_to_rgb_jit(
             f"NV12 plane shape {nv12.shape} does not match {W}x{H}")
     if np.dtype(nv12.dtype) != np.uint8:
         raise ValueError("pallas_nv12_to_rgb is 8-bit only")
-    cdt = _resolve_compute_dtype_legacy(compute_dtype, hbd=False,
-                                        u8_default=jnp.float32)
+    cdt = _resolve_compute_dtype(compute_dtype, hbd=False)
     f32_compute = cdt == jnp.float32
     prec = jax.lax.Precision.HIGHEST if f32_compute else None
 
@@ -1672,10 +1660,10 @@ def pallas_packed_resize(
     channels>1 path up to compute dtype — and none of the [.,.,C]-minor
     intermediates that run XLA at C/128 lane occupancy.
 
-    Default compute is float32 (precision=HIGHEST): this kernel is
-    store-bound at the product 1080p->224 shape, so f32 measured
-    at-or-under bf16 (0.486 vs 0.510 ms/64-batch, f32_ab_lab.py
-    2026-08-19). ``compute_dtype=jnp.bfloat16`` is the A/B knob.
+    uint8 computes in bfloat16 by default (within 1 LSB of the f32
+    einsum path); ``compute_dtype=jnp.float32`` is the exactness knob
+    (<=1-LSB accumulation ties, ~multi-pass MXU cost — see
+    docs/PERFORMANCE.md lesson 10); float planes always compute f32.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1693,8 +1681,7 @@ def pallas_packed_resize(
             f"packed plane has {plane.shape[1]} rows < src_h={H}")
     dt = np.dtype(plane.dtype)
     hbd = dt.itemsize > 1
-    cdt = _resolve_compute_dtype_legacy(compute_dtype, hbd,
-                                        u8_default=jnp.float32)
+    cdt = _resolve_compute_dtype(compute_dtype, hbd)
     f32_compute = cdt == jnp.float32
     prec = jax.lax.Precision.HIGHEST if f32_compute else None
     if dt == np.uint8:

@@ -221,10 +221,8 @@ def resize_batch(planes: Sequence[jnp.ndarray], fmt: PixelFormat,
     On TPU the packed 3-channel formats (RGB/BGR/RGB_32F) route to the
     banded Pallas packed resize (stride-3 expanded lane weights — none
     of the [.,.,3]-minor intermediates that run XLA at 3/128 lane
-    occupancy; ~3x at 1080p->224). uint8 computes in float32 since r5
-    (store-bound, f32 measured free — f32_ab_lab.py; matches the
-    einsum path to <=1-LSB accumulation ties); float32 stays float32
-    (within
+    occupancy; ~3x at 1080p->224). uint8 computes in bfloat16 (within
+    1 LSB of the float32 einsum path); float32 stays float32 (within
     float32 rounding of the einsum path — banded-window accumulation
     order differs, so last-ulp deviations are possible).
     ``use_pallas=False`` forces the XLA einsum path.

@@ -97,11 +97,9 @@ class PySurfaceConverter(_SurfaceOp):
     """Pixel format / color space converter (23 conversion pairs).
 
     On TPU, NV12->RGB/BGR (uint8) routes to the banded Pallas kernel by
-    default — ~5x the XLA path at 1080p, computing in float32
-    precision=HIGHEST since r5 (store-bound, so f32 is free:
-    f32_ab_lab.py), so it matches the exact XLA route up to <=1-LSB
-    banded-vs-dense accumulation ties. Construct with
-    ``use_pallas=False`` for the bit-exact XLA route, or
+    default — ~5x the XLA path at 1080p, within 1-2 LSB of it (bfloat16
+    coefficient rounding; PSNR > 54 dB vs the exact path). Construct
+    with ``use_pallas=False`` for the bit-exact XLA route, or
     ``use_pallas=True`` to force the kernel (errors off-TPU). Every
     other conversion pair is bit-exact on every backend.
     """
@@ -165,9 +163,8 @@ class PySurfaceResizer(_SurfaceOp):
 
         The packed formats (RGB/BGR/RGB_32F) route to the banded Pallas
         packed resize BY DEFAULT on TPU (~3x the XLA einsum at
-        1080p->224; since r5 uint8 computes in float32
-        precision=HIGHEST — store-bound, f32 is free (f32_ab_lab.py) —
-        matching the exact path to <=1-LSB accumulation ties). Pass
+        1080p->224; uint8 computes in bfloat16, within 1 LSB — PSNR
+        > 54 dB vs the exact path; float32 stays float32). Pass
         ``use_pallas=False`` for the bit-exact XLA route on packed
         formats, ``use_pallas=True`` to force the kernel. Planar and
         semi-planar formats in the default (non-turbo) mode always use
