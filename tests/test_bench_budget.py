@@ -191,6 +191,30 @@ def test_slope_time_subtracts_loop_baseline():
     assert per_call < 5e-4, per_call
 
 
+def test_make_loop_traced_k_signature():
+    """bench._make_loop(kernel, consume) -> run(x, K, apply_kernel) with
+    K a TRACED loop bound: one compiled program serves every chain
+    length and both baselines. xla_contrast_probe.py imports this exact
+    function — the r5 traced-K refactor silently broke the probe's old
+    (kernel, K, consume) call shape, so pin the signature here."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import bench
+
+    x = jnp.asarray(np.zeros((4, 8, 8), dtype=np.uint8))
+    consume = lambda f, xx: jnp.sum(f(xx).astype(jnp.int32))
+    run = bench._make_loop(lambda v: v + 1, consume)
+    t = jnp.asarray(True)
+    f = jnp.asarray(False)
+    # same executable across chain lengths and both cond branches
+    k4 = float(run(x, jnp.int32(4), t))
+    k12 = float(run(x, jnp.int32(12), t))
+    b4 = float(run(x, jnp.int32(4), f))
+    assert k4 != b4  # kernel branch actually applies the kernel
+    assert k12 != k4  # K is live, not baked in
+
+
 def test_main_live_path_control_flow(capsys, monkeypatch):
     """End-to-end control flow of bench.main() on the CPU backend with
     the device timing faked: the round-4 ordering must (1) record the

@@ -82,6 +82,15 @@ def test_muxer_ntsc_rate_is_cfr(tmp_path, fps):
     assert abs(dec.AvgFramerate - 30000 / 1001) < 1e-3
 
 
+@pytest.mark.parametrize("fps", [(30, 0), (0, 1), (-30, 1), (30, -1)])
+def test_muxer_rejects_degenerate_fps_rational(tmp_path, fps):
+    """The native layer only guards fps_num; a zero/negative denominator
+    would install AVRational{n, 0} as avg_frame_rate and poison every
+    duration computed from it. The wrapper must reject the pair."""
+    with pytest.raises(ValueError, match="fps rational"):
+        PyMuxer(str(tmp_path / "bad.mp4"), W, H, fps=fps)
+
+
 def test_muxer_closed_rejects_write(tmp_path):
     p = str(tmp_path / "x.mp4")
     mux = PyMuxer(p, W, H)

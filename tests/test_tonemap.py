@@ -175,6 +175,27 @@ class TestTonemapBatch:
             out_dtype=np.uint16))
         assert w16.min() >= 65535 - 257  # 1-LSB-of-uint8 slack
 
+    def test_wide_integer_output_does_not_overflow(self):
+        """int32/uint32 maxes are not representable in the f32 compute
+        type — float32(2^31-1) rounds UP to 2^31, so a naive scale
+        overflowed the cast at peak white (implementation-defined,
+        typically wrapping to INT_MIN). The scale must use the largest
+        f32 <= max: peak white lands within one f32 ULP of full scale,
+        never outside the dtype range."""
+        e = float(np.asarray(tonemap.pq_inv_eotf(np.float32(1000.0))))
+        white = np.full((1, 4, 4, 3), e, dtype=np.float32)
+        for odt in (np.uint32, np.int32):
+            w = np.asarray(tonemap.tonemap_batch(
+                white, transfer="pq", peak_nits=1000.0,
+                target_nits=100.0, out_dtype=odt))
+            assert w.dtype == np.dtype(odt)
+            info = np.iinfo(odt)
+            assert w.min() >= 0, "peak white wrapped negative"
+            # full scale up to the f32 roundtrip of the PQ encode
+            # (~2e-6 relative) — far above any wraparound artifact
+            assert int(w.min()) >= int(info.max * 0.999)
+            assert int(w.max()) <= info.max
+
     def test_black_stays_black(self):
         rgb = np.zeros((1, 4, 4, 3), np.float32)
         out = np.asarray(tonemap.tonemap_batch(rgb))

@@ -116,7 +116,7 @@ def compute_all(clip: str) -> dict:
     out["rot30"] = np.asarray(dst.to_numpy()).copy()
 
     # quality metrics: MSE/PSNR reductions + the SSIM sliding-window-sum
-    # (MXU) path. Inputs are a deterministic host-generated pair
+    # (VPU reduce_window) path. Inputs are a deterministic host-generated pair
     # (identical bytes on both devices), so the cross-device comparison
     # isolates the METRIC math — scoring device-computed images here
     # would compare metrics of different inputs (the CPU auto route has

@@ -39,6 +39,13 @@ class PyMuxer:
         if fps:
             if isinstance(fps, (tuple, list)):
                 fps_num, fps_den = int(fps[0]), int(fps[1])
+                if fps_num <= 0 or fps_den <= 0:
+                    # The native layer only guards fps_num; a zero/neg
+                    # denominator would install AVRational{n, 0} as
+                    # avg_frame_rate and poison duration math downstream.
+                    raise ValueError(
+                        f"fps rational must be positive, got "
+                        f"{fps_num}/{fps_den}")
             else:
                 # av_d2q-style rational approximation, NOT millihertz
                 # quantization: fps=30000/1001 must be stored as exactly

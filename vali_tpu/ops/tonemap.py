@@ -268,5 +268,14 @@ def tonemap_batch(rgb: jnp.ndarray, transfer: str = "pq",
         # Scale [0,1] SDR to the full code range of ANY integer dtype —
         # a bare cast would floor everything to {0, 1} (16-bit SDR
         # output came back essentially black before this scaled path).
-        return jnp.round(sdr * float(np.iinfo(odt).max)).astype(out_dtype)
+        # For dtypes wider than f32's 24-bit mantissa the exact max is
+        # not representable in the f32 compute type (float32(2^31-1)
+        # rounds UP to 2^31, making the cast of peak white overflow with
+        # implementation-defined result), so scale by the largest f32
+        # <= max: full scale lands within one f32 ULP of the true max
+        # and the cast can never leave the dtype's range.
+        peak = np.float32(np.iinfo(odt).max)
+        if np.float64(peak) > np.float64(np.iinfo(odt).max):
+            peak = np.nextafter(peak, np.float32(0.0))
+        return jnp.round(sdr * float(peak)).astype(out_dtype)
     return sdr.astype(out_dtype)

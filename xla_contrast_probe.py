@@ -17,6 +17,12 @@ RESULT (2026-08-19, v5e via tunnel, K=4/12 chains, reps=4):
     cond method:   2.461 ms/call   (compile+warm 181s, both flags)
     plain method:  3.663 ms/call   (compile+warm 25s for 4 programs)
     ratio cond/plain: 0.67
+RE-RUN after the traced-K refactor (same day; the probe now calls the
+new one-program _make_loop(kernel, consume) -> run(x, K, apply_kernel)
+shape — the old per-K call shape broke at import-time signature level):
+    cond method:   2.723 ms/call   (compile+warm 249s, ONE program)
+    plain method:  3.626 ms/call   (compile+warm 22s)
+    ratio cond/plain: 0.75 — conclusion unchanged.
 Hypothesis REFUTED: the cond chain is the FASTER (tighter) measure of
 the XLA path, not a tax — the r5 driver value (2.635 ms at K=40/200,
 (2,2) schedule) is honest, and the r3 1.6 ms provenance was that run's
@@ -49,11 +55,13 @@ def main():
     K_S, K_L = 4, 12
 
     # the cond chain under test IS bench.py's — imported, not copied, so
-    # the probe cannot silently diverge from the method it validates
+    # the probe cannot silently diverge from the method it validates.
+    # Post-refactor signature: _make_loop(kernel, consume) -> run(x, K,
+    # apply_kernel) with K a traced fori_loop bound (one program total).
     from bench import _make_loop
 
-    def make_cond(K):
-        return _make_loop(kernel, K, consume)
+    cond_run = _make_loop(kernel, consume)
+    Kj = {K: jnp.int32(K) for K in (K_S, K_L)}
 
     def make_plain(K, use_fn):
         @jax.jit
@@ -79,15 +87,13 @@ def main():
             b = min(b, time.perf_counter() - t0)
         return b
 
-    print("compiling cond chains...", flush=True)
+    print("compiling cond chain (one program, traced K)...", flush=True)
     t0 = time.perf_counter()
-    cond = {K: make_cond(K) for K in (K_S, K_L)}
     TRUE, FALSE = jnp.asarray(True), jnp.asarray(False)
-    for K in (K_S, K_L):
-        float(cond[K](x, TRUE)); float(cond[K](x, FALSE))
+    float(cond_run(x, Kj[K_S], TRUE)); float(cond_run(x, Kj[K_S], FALSE))
     print(f"  cond compile+warm {time.perf_counter()-t0:.0f}s", flush=True)
-    tk = {K: best(cond[K], x, TRUE) for K in (K_S, K_L)}
-    tb = {K: best(cond[K], x, FALSE) for K in (K_S, K_L)}
+    tk = {K: best(cond_run, x, Kj[K], TRUE) for K in (K_S, K_L)}
+    tb = {K: best(cond_run, x, Kj[K], FALSE) for K in (K_S, K_L)}
     slope_cond = ((tk[K_L] - tk[K_S]) - (tb[K_L] - tb[K_S])) / (K_L - K_S)
     print(f"cond method:  {slope_cond*1000:.3f} ms/call", flush=True)
 
